@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""DEWI-TPU benchmark: 1M-doc index+score build and k=10 query latency.
+
+Protocol follows the reference's measurement script defaults
+(reference scripts/profile_index.py:241-254: dim=256, n_queries=1000, k=10)
+at the 1M-doc headline scale (reference README.md:163: 2.1 hr build, 22 ms
+query on 16-core CPU + V100).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N, ...extras}
+vs_baseline is the speedup over the reference's 22 ms 1M-doc query latency.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_DOCS = 1_000_000
+DIM = 256
+N_QUERIES = 1_000
+K = 10
+BASELINE_QUERY_MS = 22.0        # reference README.md:163
+BASELINE_BUILD_S = 2.1 * 3600.0  # reference README.md:163
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dewi_tpu.index import ExactIndex
+    from dewi_tpu.scorer import DewiScorer
+    from dewi_tpu.types import PAYLOAD_FIELDS
+
+    key = jax.random.PRNGKey(0)
+    k_emb, k_sig, k_q = jax.random.split(key, 3)
+
+    # Synthetic corpus generated on device (gamma-ish signal marginals like
+    # reference profile_index.py:34-72).
+    emb = jax.random.normal(k_emb, (N_DOCS, DIM), dtype=jnp.float32)
+    sig = jax.random.gamma(k_sig, 2.0, (N_DOCS, 7), dtype=jnp.float32)
+    queries = jax.random.normal(k_q, (N_QUERIES, DIM), dtype=jnp.float32)
+    emb_h = np.asarray(emb)
+    sig_h = np.asarray(sig)
+    queries_h = np.asarray(queries)
+    doc_ids = [str(i) for i in range(N_DOCS)]
+
+    # ---- build: robust-stat fit + DEWI scoring + index build -------------
+    t0 = time.perf_counter()
+    scorer = DewiScorer()
+    dewi = scorer.fit_and_score(sig)             # fused fit+score on device
+    pay = np.empty((N_DOCS, len(PAYLOAD_FIELDS)), dtype=np.float32)
+    pay[:, 0] = np.asarray(dewi)
+    pay[:, 1:] = sig_h
+
+    index = ExactIndex(dim=DIM)
+    index.add_batch(doc_ids, emb_h, pay)
+    index.build()
+    jax.block_until_ready(index.store.device_arrays()[0])
+    build_s = time.perf_counter() - t0
+    docs_per_sec = N_DOCS / build_s
+
+    # ---- query latency ------------------------------------------------------
+    # Warmup / compile.
+    jax.block_until_ready(
+        index.search_batch(queries_h[:1], k=K, eta=0.25, entropy_pref=0.1)[0]
+    )
+    lat_ms = []
+    for i in range(min(200, N_QUERIES)):
+        q = queries_h[i : i + 1]
+        t = time.perf_counter()
+        s, _ = index.search_batch(q, k=K, eta=0.25, entropy_pref=0.1)
+        jax.block_until_ready(s)
+        lat_ms.append((time.perf_counter() - t) * 1e3)
+    p50 = float(np.percentile(lat_ms, 50))
+    p99 = float(np.percentile(lat_ms, 99))
+
+    # Batched QPS (all 1000 queries in one fused call).
+    t = time.perf_counter()
+    s, _ = index.search_batch(queries_h, k=K, eta=0.25, entropy_pref=0.1)
+    jax.block_until_ready(s)
+    batch_s = time.perf_counter() - t
+    qps = N_QUERIES / batch_s
+
+    print(
+        json.dumps(
+            {
+                "metric": "p50_query_latency_1M_docs_k10",
+                "value": round(p50, 4),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_QUERY_MS / p50, 2),
+                "extras": {
+                    "p99_query_ms": round(p99, 4),
+                    "batched_qps": round(qps, 1),
+                    "index_score_build_s": round(build_s, 2),
+                    "index_docs_per_sec": round(docs_per_sec, 1),
+                    "build_vs_baseline": round(BASELINE_BUILD_S / build_s, 1),
+                    "recall_vs_exact": 1.0,  # the index IS exact
+                    "n_docs": N_DOCS,
+                    "dim": DIM,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

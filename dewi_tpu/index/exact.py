@@ -1,0 +1,85 @@
+"""Exact TPU index: one fused matmul -> re-rank -> top-k XLA computation.
+
+Replaces the reference's numpy brute force (backends.py:386-481) and — by
+virtue of TPU matmul throughput — also stands in for its hnswlib/FAISS ANN
+tiers at exact recall.  Unlike the reference's pipeline of
+normalize / dot / argpartition(2k) / python re-rank / argpartition(k) / sort,
+the whole query is a single jitted kernel (ops/similarity.fused_search) whose
+re-rank is exact over every document, not just a 2k over-fetch.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.similarity import fused_search
+from ..types import Payload
+from .base import BaseIndex
+
+
+class ExactIndex(BaseIndex):
+    """Brute-force cosine / L2 search with fused DEWI re-ranking."""
+
+    def build(self, **kwargs) -> None:
+        if len(self.store) == 0:
+            raise ValueError("No embeddings to build index from")
+        self.store.device_arrays()  # sync + normalize on device
+        self._is_trained = True
+
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        eta: float = 0.5,
+        entropy_pref: float = 0.0,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Batched device-native search: [Q, D] queries -> ([Q, k], [Q, k]).
+
+        This is the hot path: everything from similarity to top-k runs in one
+        XLA computation on the TPU; results stay on device.
+        """
+        emb, sqn, pay, n = self.store.device_arrays()
+        q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
+        k_eff = min(int(k), self.store.capacity)
+        return fused_search(
+            emb,
+            sqn,
+            pay,
+            q,
+            n,
+            jnp.float32(eta),
+            jnp.float32(entropy_pref),
+            k=k_eff,
+            normalize=self.store.normalize,
+        )
+
+    def search(
+        self,
+        query: np.ndarray,
+        k: int = 10,
+        eta: float = 0.5,
+        entropy_pref: float = 0.0,
+    ) -> List[Tuple[str, float, Payload]]:
+        """Single-query search returning (doc_id, adjusted_score, Payload).
+
+        Result-shape parity with reference backends.py:414-481; at most
+        ``len(self)`` results are returned (padding rows are masked to -inf
+        inside the kernel and trimmed here).
+        """
+        if len(self.store) == 0:
+            return []
+        scores, idx = self.search_batch(query, k=k, eta=eta, entropy_pref=entropy_pref)
+        scores = np.asarray(scores[0])
+        idx = np.asarray(idx[0])
+        pay = self.store.payload_matrix()
+        n_live = min(int(k), len(self.store))
+        results = []
+        for rank in range(n_live):
+            i = int(idx[rank])
+            doc_id = self.store.doc_ids[i]
+            results.append((doc_id, float(scores[rank]), Payload.from_array(pay[i])))
+        return results

@@ -1,0 +1,110 @@
+"""Fused similarity + DEWI re-rank + top-k search kernels.
+
+This replaces the reference's three native search paths (hnswlib graph
+queries, FAISS IVF scans, and the numpy brute-force with its top-2k
+over-fetch, reference backends.py:217-240, 326-355, 430-479) with a single
+XLA computation shaped for the TPU:
+
+  sim = Q @ E^T      (MXU matmul, the FLOPs)
+  adj = (1-eta)*sim + eta*dewi + entropy_pref*(ht_mean+hi_mean)/2   (fused VPU)
+  top-k over masked valid rows                                     (lax.top_k)
+
+Folding the re-rank *into* the score before top-k makes the re-rank exact
+over the whole corpus, so the reference's 2k-candidate over-fetch
+(backends.py:438-444) is unnecessary: the result is the true argmax of the
+adjusted score.  XLA fuses the elementwise re-rank into the matmul epilogue;
+everything stays in HBM-resident arrays with no host round trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def l2_normalize(x: jax.Array, eps: float = 0.0) -> jax.Array:
+    """Row-wise L2 normalization; zero vectors pass through unchanged.
+
+    Matches the reference's query guard ``if query_norm > 0``
+    (backends.py:422-424).
+    """
+    x = x.astype(jnp.float32)
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return jnp.where(norm > eps, x / jnp.where(norm > 0, norm, 1.0), x)
+
+
+def rerank_scores(
+    sim: jax.Array, payloads: jax.Array, eta: jax.Array, entropy_pref: jax.Array
+) -> jax.Array:
+    """DEWI-blended adjusted score (reference backends.py:460-465).
+
+    ``sim``: [Q, N] similarity; ``payloads``: [N, 8] in PAYLOAD_FIELDS order
+    (dewi at column 0, ht_mean at 1, hi_mean at 3).
+    """
+    dewi = payloads[:, 0]
+    mean_entropy = 0.5 * (payloads[:, 1] + payloads[:, 3])
+    return (
+        (1.0 - eta) * sim
+        + eta * dewi[None, :]
+        + entropy_pref * mean_entropy[None, :]
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "normalize"))
+def fused_search(
+    embeddings: jax.Array,   # [cap, D] — pre-normalized rows if cosine
+    sqnorms: jax.Array,      # [cap]    — row squared norms (L2 path)
+    payloads: jax.Array,     # [cap, 8] — PAYLOAD_FIELDS order
+    queries: jax.Array,      # [Q, D]
+    n_valid: jax.Array,      # scalar int32: number of live rows
+    eta: jax.Array,          # scalar f32
+    entropy_pref: jax.Array, # scalar f32
+    k: int = 10,
+    normalize: bool = True,  # True: cosine; False: negative squared L2
+) -> tuple[jax.Array, jax.Array]:
+    """Exact DEWI search over the full store: returns ([Q,k] scores, [Q,k] idx).
+
+    Rows at index >= n_valid (growth slack in the capacity buffer) are masked
+    to -inf before top-k, so capacity doubling never changes results.
+    """
+    q = queries.astype(jnp.float32)
+    if normalize:
+        q = l2_normalize(q)
+        sim = jnp.dot(q, embeddings.T, preferred_element_type=jnp.float32)
+    else:
+        # -||e - q||^2 = 2 e.q - ||e||^2 - ||q||^2  (reference backends.py:436)
+        dots = jnp.dot(q, embeddings.T, preferred_element_type=jnp.float32)
+        sim = 2.0 * dots - sqnorms[None, :] - jnp.sum(q * q, axis=-1, keepdims=True)
+
+    adj = rerank_scores(sim, payloads, eta, entropy_pref)
+    valid = jnp.arange(embeddings.shape[0], dtype=jnp.int32)[None, :] < n_valid
+    adj = jnp.where(valid, adj, NEG_INF)
+    return jax.lax.top_k(adj, k)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def topk_merge(
+    scores: jax.Array, indices: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Merge per-shard candidate lists: ([Q, S*k] scores, [Q, S*k] global idx)
+    -> global ([Q, k], [Q, k]).  Used by the distributed search after
+    all-gathering each shard's local top-k."""
+    vals, pos = jax.lax.top_k(scores, k)
+    return vals, jnp.take_along_axis(indices, pos, axis=1)
+
+
+@jax.jit
+def pairwise_cosine(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Normalized [Na, Nb] cosine similarity matrix.
+
+    The embedding-space primitive behind cross-modal dependency
+    (reference cross_modal.py:132-139) and redundancy
+    (reference redundancy.py:28-39).
+    """
+    return jnp.dot(
+        l2_normalize(a), l2_normalize(b).T, preferred_element_type=jnp.float32
+    )

@@ -1,0 +1,22 @@
+"""Mesh/runtime layer: device meshes, shardings, distributed search."""
+
+from .distributed import ShardedExactSearcher, make_sharded_search
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    data_sharding,
+    make_mesh,
+    replicated,
+    single_device_mesh,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "single_device_mesh",
+    "make_sharded_search",
+    "ShardedExactSearcher",
+]

@@ -1,0 +1,80 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Validates that the shard_map distributed search (local fused top-k ->
+all_gather -> merge) returns exactly what the single-device kernel returns.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from dewi_tpu.index import ExactIndex
+from dewi_tpu.index.store import DocStore
+from dewi_tpu.parallel import ShardedExactSearcher, make_mesh
+
+from tests.test_index import make_payloads, numpy_oracle
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device (virtual) mesh"
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = make_mesh(n_data=len(jax.devices()) // 2, n_model=2)
+    assert mesh2.shape["model"] == 2
+
+
+def test_sharded_search_matches_oracle(rng):
+    n, d, k = 512, 16, 10
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    pays = make_payloads(rng, n)
+
+    store = DocStore(dim=d, space="cosine")
+    store.add_batch([f"d{i}" for i in range(n)], emb, pays)
+
+    mesh = make_mesh()
+    searcher = ShardedExactSearcher(store, mesh, k=k)
+    qs = rng.normal(size=(5, d)).astype(np.float32)
+    scores, idx = searcher.search_batch(qs, eta=0.4, entropy_pref=0.2)
+    assert scores.shape == (5, k)
+    for qi in range(5):
+        oracle_idx, adj = numpy_oracle(emb, pays, qs[qi], k, 0.4, 0.2)
+        np.testing.assert_array_equal(np.asarray(idx[qi]), oracle_idx)
+        np.testing.assert_allclose(np.asarray(scores[qi]), adj[oracle_idx], atol=1e-4)
+
+
+def test_sharded_matches_single_device(rng):
+    n, d, k = 300, 8, 7  # n not divisible by device count; padding masked
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    pays = make_payloads(rng, n)
+    ids = [f"d{i}" for i in range(n)]
+
+    single = ExactIndex(dim=d)
+    single.add_batch(ids, emb, pays)
+    single.build()
+
+    store = DocStore(dim=d)
+    store.add_batch(ids, emb, pays)
+    searcher = ShardedExactSearcher(store, make_mesh(), k=k)
+
+    q = rng.normal(size=(1, d)).astype(np.float32)
+    s_scores, s_idx = single.search_batch(q, k=k, eta=0.6, entropy_pref=-0.3)
+    d_scores, d_idx = searcher.search_batch(q, eta=0.6, entropy_pref=-0.3)
+    np.testing.assert_array_equal(np.asarray(s_idx), np.asarray(d_idx))
+    np.testing.assert_allclose(np.asarray(s_scores), np.asarray(d_scores), atol=1e-4)
+
+
+def test_l2_sharded(rng):
+    n, d, k = 256, 8, 5
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    pays = make_payloads(rng, n)
+    store = DocStore(dim=d, space="l2")
+    store.add_batch([f"d{i}" for i in range(n)], emb, pays)
+    searcher = ShardedExactSearcher(store, make_mesh(), k=k)
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    scores, idx = searcher.search_batch(q, eta=0.2, entropy_pref=0.0)
+    for qi in range(3):
+        oracle_idx, _ = numpy_oracle(emb, pays, q[qi], k, 0.2, 0.0, space="l2")
+        np.testing.assert_array_equal(np.asarray(idx[qi]), oracle_idx)

@@ -1,0 +1,301 @@
+"""Index tests: exactness, behavioral ranking contracts, persistence, IVF.
+
+The monotone entropy-preference and eta-ordering assertions mirror the
+reference's key semantic contracts (reference tests/test_index.py:251-353).
+Top-k exactness is checked against a plain-numpy oracle.
+"""
+
+import numpy as np
+import pytest
+
+from dewi_tpu.index import DewiIndex, ExactIndex, IVFIndex, IndexBackend
+from dewi_tpu.types import Payload
+
+
+def make_payloads(rng, n):
+    return [
+        Payload(
+            dewi=float(rng.beta(2, 2)),
+            ht_mean=float(rng.gamma(2.0, 1.5)),
+            ht_q90=float(rng.gamma(2.5, 1.5)),
+            hi_mean=float(rng.gamma(2.0, 1.0)),
+            hi_q90=float(rng.gamma(2.5, 1.0)),
+            I_hat=float(rng.beta(2, 5)),
+            redundancy=float(rng.beta(1, 4)),
+            noise=float(rng.beta(1, 9)),
+        )
+        for _ in range(n)
+    ]
+
+
+def numpy_oracle(emb, payloads, q, k, eta, ep, space="cosine"):
+    """Plain-numpy adjusted-score ranking over ALL docs (exact re-rank)."""
+    emb = emb.astype(np.float32)
+    q = q.astype(np.float32)
+    if space == "cosine":
+        e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        sim = e @ qn
+    else:
+        sim = -np.sum((emb - q) ** 2, axis=1)
+    dewi = np.array([p.dewi for p in payloads], dtype=np.float32)
+    ent = np.array([(p.ht_mean + p.hi_mean) / 2 for p in payloads], dtype=np.float32)
+    adj = (1 - eta) * sim + eta * dewi + ep * ent
+    order = np.argsort(-adj)[:k]
+    return order, adj
+
+
+@pytest.fixture
+def small_index(rng, dummy_embeddings, dummy_payloads):
+    idx = DewiIndex(dim=32, space="cosine", backend="exact")
+    for i, (e, p) in enumerate(zip(dummy_embeddings, dummy_payloads)):
+        idx.add(f"doc{i}", e, p)
+    idx.build()
+    return idx
+
+
+class TestExactIndex:
+    def test_topk_matches_numpy_oracle(self, rng, dummy_embeddings, dummy_payloads):
+        idx = ExactIndex(dim=32)
+        idx.add_batch(
+            [f"d{i}" for i in range(64)], dummy_embeddings, dummy_payloads
+        )
+        idx.build()
+        q = rng.normal(size=32).astype(np.float32)
+        for eta, ep in [(0.0, 0.0), (0.5, 0.0), (0.25, 0.7), (1.0, -0.5)]:
+            results = idx.search(q, k=10, eta=eta, entropy_pref=ep)
+            oracle_idx, adj = numpy_oracle(dummy_embeddings, dummy_payloads, q, 10, eta, ep)
+            got_ids = [r[0] for r in results]
+            assert got_ids == [f"d{i}" for i in oracle_idx]
+            for r, oi in zip(results, oracle_idx):
+                assert r[1] == pytest.approx(float(adj[oi]), abs=1e-4)
+
+    def test_l2_space(self, rng, dummy_embeddings, dummy_payloads):
+        idx = ExactIndex(dim=32, space="l2")
+        idx.add_batch([f"d{i}" for i in range(64)], dummy_embeddings, dummy_payloads)
+        idx.build()
+        q = rng.normal(size=32).astype(np.float32)
+        results = idx.search(q, k=5, eta=0.3, entropy_pref=0.0)
+        oracle_idx, adj = numpy_oracle(
+            dummy_embeddings, dummy_payloads, q, 5, 0.3, 0.0, space="l2"
+        )
+        assert [r[0] for r in results] == [f"d{i}" for i in oracle_idx]
+
+    def test_k_larger_than_corpus(self, rng, dummy_payloads):
+        idx = ExactIndex(dim=8)
+        for i in range(3):
+            idx.add(f"d{i}", rng.normal(size=8).astype(np.float32), dummy_payloads[i])
+        idx.build()
+        results = idx.search(rng.normal(size=8).astype(np.float32), k=10)
+        assert len(results) == 3
+
+    def test_capacity_growth_preserves_results(self, rng, dummy_payloads):
+        idx = ExactIndex(dim=8, capacity=4)
+        n = 100  # forces several doublings past MIN_CAPACITY floor
+        emb = rng.normal(size=(n, 8)).astype(np.float32)
+        pays = make_payloads(rng, n)
+        for i in range(n):
+            idx.add(f"d{i}", emb[i], pays[i])
+        idx.build()
+        q = rng.normal(size=8).astype(np.float32)
+        results = idx.search(q, k=5, eta=0.4, entropy_pref=0.1)
+        oracle_idx, _ = numpy_oracle(emb, pays, q, 5, 0.4, 0.1)
+        assert [r[0] for r in results] == [f"d{i}" for i in oracle_idx]
+
+    def test_batched_queries(self, rng, dummy_embeddings, dummy_payloads):
+        idx = ExactIndex(dim=32)
+        idx.add_batch([f"d{i}" for i in range(64)], dummy_embeddings, dummy_payloads)
+        idx.build()
+        qs = rng.normal(size=(7, 32)).astype(np.float32)
+        scores, indices = idx.search_batch(qs, k=4, eta=0.5, entropy_pref=0.2)
+        assert scores.shape == (7, 4) and indices.shape == (7, 4)
+        for qi in range(7):
+            oracle_idx, _ = numpy_oracle(
+                dummy_embeddings, dummy_payloads, qs[qi], 4, 0.5, 0.2
+            )
+            np.testing.assert_array_equal(np.asarray(indices[qi]), oracle_idx)
+
+    def test_empty_search(self):
+        idx = ExactIndex(dim=8)
+        assert idx.search(np.zeros(8, np.float32), k=5) == []
+
+    def test_add_shape_validation(self):
+        idx = ExactIndex(dim=8)
+        with pytest.raises(ValueError):
+            idx.add("x", np.zeros(9, np.float32), Payload())
+
+
+class TestBehavioralContracts:
+    """Parity with reference tests/test_index.py:251-353."""
+
+    def test_entropy_pref_monotone(self, rng, small_index):
+        q = rng.normal(size=32).astype(np.float32)
+
+        def mean_top_entropy(ep):
+            res = small_index.search(q, k=10, eta=0.0, entropy_pref=ep)
+            return np.mean([(p.ht_mean + p.hi_mean) / 2 for _, _, p in res])
+
+        high, neutral, low = mean_top_entropy(1.0), mean_top_entropy(0.0), mean_top_entropy(-1.0)
+        eps = 1e-6
+        assert high >= neutral - eps
+        assert neutral >= low - eps
+
+    def test_eta_monotone_dewi(self, rng, small_index):
+        q = rng.normal(size=32).astype(np.float32)
+
+        def mean_top_dewi(eta):
+            res = small_index.search(q, k=10, eta=eta, entropy_pref=0.0)
+            return np.mean([p.dewi for _, _, p in res])
+
+        eps = 1e-6
+        assert mean_top_dewi(1.0) >= mean_top_dewi(0.5) - eps
+        assert mean_top_dewi(0.5) >= mean_top_dewi(0.0) - eps
+
+    def test_eta_zero_is_pure_similarity(self, rng, dummy_embeddings, dummy_payloads):
+        idx = ExactIndex(dim=32)
+        idx.add_batch([f"d{i}" for i in range(64)], dummy_embeddings, dummy_payloads)
+        idx.build()
+        q = dummy_embeddings[7]
+        results = idx.search(q, k=1, eta=0.0, entropy_pref=0.0)
+        assert results[0][0] == "d7"
+
+
+class TestDewiIndexFacade:
+    def test_defaults_from_ctor(self, rng, dummy_embeddings, dummy_payloads):
+        idx = DewiIndex(dim=32, rerank_eta=0.7, entropy_pref=0.3)
+        idx.add_batch([f"d{i}" for i in range(64)], dummy_embeddings, dummy_payloads)
+        q = rng.normal(size=32).astype(np.float32)
+        r_default = idx.search(q, k=5)  # auto-builds
+        r_explicit = idx.search(q, k=5, eta=0.7, entropy_pref=0.3)
+        assert [x[0] for x in r_default] == [x[0] for x in r_explicit]
+
+    def test_query_shape_validation(self, small_index):
+        with pytest.raises(ValueError):
+            small_index.search(np.zeros(5, np.float32))
+
+    def test_len_and_accessors(self, small_index, dummy_embeddings):
+        assert len(small_index) == 64
+        p = small_index.get_payload("doc3")
+        assert p is not None
+        np.testing.assert_allclose(
+            small_index.get_embedding("doc3"), dummy_embeddings[3], rtol=1e-6
+        )
+        assert small_index.get_payload("nope") is None
+        assert small_index.get_embedding("nope") is None
+
+    def test_metadata(self, rng, dummy_payloads):
+        idx = DewiIndex(dim=8)
+        idx.add("a", rng.normal(size=8).astype(np.float32), dummy_payloads[0], meta={"src": "x"})
+        assert idx.get_metadata("a") == {"src": "x"}
+        assert idx.get_metadata("b") is None
+
+    def test_backend_enum(self):
+        assert IndexBackend.from_str("auto") is IndexBackend.EXACT
+        assert IndexBackend.from_str("hnsw").resolve() is ExactIndex
+        assert IndexBackend.from_str("faiss_ivfflat").resolve() is IVFIndex
+        assert IndexBackend.from_str("ivf").resolve() is IVFIndex
+
+    def test_payload_mutation_propagates_to_search(self, rng, dummy_embeddings, dummy_payloads):
+        """README flow: mutate payload via get_payload, re-rank must see it."""
+        idx = DewiIndex(dim=32)
+        idx.add_batch([f"d{i}" for i in range(64)], dummy_embeddings, dummy_payloads)
+        idx.build()
+        # Force one doc's dewi to the max; with eta=1 it must rank first.
+        p = idx.get_payload("d13")
+        p.dewi = 1000.0
+        q = rng.normal(size=32).astype(np.float32)
+        results = idx.search(q, k=1, eta=1.0, entropy_pref=0.0)
+        assert results[0][0] == "d13"
+
+
+class TestPersistence:
+    def test_exact_roundtrip(self, tmp_path, rng, dummy_embeddings, dummy_payloads):
+        idx = DewiIndex(dim=32, rerank_eta=0.4, entropy_pref=0.2)
+        idx.add_batch([f"d{i}" for i in range(64)], dummy_embeddings, dummy_payloads)
+        idx.build()
+        q = rng.normal(size=32).astype(np.float32)
+        before = idx.search(q, k=5)
+        idx.save(tmp_path / "idx")
+        loaded = DewiIndex.load(tmp_path / "idx")
+        after = loaded.search(q, k=5)
+        assert [x[0] for x in before] == [x[0] for x in after]
+        assert loaded.rerank_eta == 0.4 and loaded.entropy_pref == 0.2
+        assert len(loaded) == 64
+        lp = loaded.get_payload("d5")
+        assert lp.dewi == pytest.approx(dummy_payloads[5].dewi, abs=1e-6)
+
+    def test_meta_roundtrip(self, tmp_path, rng, dummy_payloads):
+        idx = DewiIndex(dim=8)
+        idx.add("a", rng.normal(size=8).astype(np.float32), dummy_payloads[0], meta={"k": 1})
+        idx.build()
+        idx.save(tmp_path / "m")
+        loaded = DewiIndex.load(tmp_path / "m")
+        assert loaded.get_metadata("a") == {"k": 1}
+
+    def test_jsonl_payload_format(self, tmp_path, rng, dummy_payloads):
+        import json
+
+        idx = DewiIndex(dim=8)
+        idx.add("a", rng.normal(size=8).astype(np.float32), dummy_payloads[0])
+        idx.build()
+        idx.save(tmp_path / "j")
+        lines = (tmp_path / "j" / "ann_index" / "payloads.jsonl").read_text().splitlines()
+        rec = json.loads(lines[0])
+        assert rec["doc_id"] == "a"
+        assert rec["payload"]["dewi"] == pytest.approx(dummy_payloads[0].dewi, abs=1e-6)
+
+
+class TestIVFIndex:
+    def test_high_nprobe_matches_exact(self, rng):
+        n, d = 600, 16
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pays = make_payloads(rng, n)
+        ids = [f"d{i}" for i in range(n)]
+
+        exact = ExactIndex(dim=d)
+        exact.add_batch(ids, emb, pays)
+        exact.build()
+        ivf = IVFIndex(dim=d, nlist=16, nprobe=16, kmeans_iters=5)
+        ivf.add_batch(ids, emb, pays)
+        ivf.build()
+
+        q = rng.normal(size=d).astype(np.float32)
+        r_exact = [r[0] for r in exact.search(q, k=10, eta=0.3, entropy_pref=0.1)]
+        r_ivf = [r[0] for r in ivf.search(q, k=10, eta=0.3, entropy_pref=0.1)]
+        assert r_exact == r_ivf  # probing all lists == exact
+
+    def test_recall_at_moderate_nprobe(self, rng):
+        n, d = 2000, 16
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pays = make_payloads(rng, n)
+        ids = [f"d{i}" for i in range(n)]
+        ivf = IVFIndex(dim=d, nlist=32, nprobe=8, kmeans_iters=5)
+        ivf.add_batch(ids, emb, pays)
+        ivf.build()
+        exact = ExactIndex(dim=d)
+        exact.add_batch(ids, emb, pays)
+        exact.build()
+
+        hits = total = 0
+        qs = rng.normal(size=(20, d)).astype(np.float32)
+        for q in qs:
+            true = {r[0] for r in exact.search(q, k=10, eta=0.0, entropy_pref=0.0)}
+            got = {r[0] for r in ivf.search(q, k=10, eta=0.0, entropy_pref=0.0)}
+            hits += len(true & got)
+            total += len(true)
+        assert hits / total >= 0.7  # nprobe 8/32 on random data
+
+    def test_ivf_roundtrip(self, tmp_path, rng):
+        n, d = 300, 8
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pays = make_payloads(rng, n)
+        ids = [f"d{i}" for i in range(n)]
+        idx = DewiIndex(dim=d, backend="ivf", nlist=8, nprobe=8)
+        idx.add_batch(ids, emb, pays)
+        idx.build()
+        q = rng.normal(size=d).astype(np.float32)
+        before = [r[0] for r in idx.search(q, k=5)]
+        idx.save(tmp_path / "ivf")
+        loaded = DewiIndex.load(tmp_path / "ivf")
+        after = [r[0] for r in loaded.search(q, k=5)]
+        assert before == after
