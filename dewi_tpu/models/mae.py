@@ -1,0 +1,164 @@
+"""ViT-MAE for image-entropy estimation (masked reconstruction error).
+
+TPU-native replacement for the reference's ``ViTMAEForPreTraining`` loss path
+(reference image_entropy.py:39-74): patchify, mask a fixed 75% of patches,
+encode the visible set, decode with mask tokens, and report per-image MSE on
+the masked patches.  All shapes are static under jit — masking is done with
+an ``argsort`` of uniform noise and fixed visible/masked counts, so the same
+trace serves every image batch (no recompiles, no dynamic gathers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .transformer import Encoder, TransformerConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class MAEConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    d_model: int = 256
+    n_heads: int = 4
+    n_layers: int = 4
+    d_ff: int = 1024
+    dec_d_model: int = 128
+    dec_n_heads: int = 4
+    dec_n_layers: int = 2
+    dec_d_ff: int = 512
+    mask_ratio: float = 0.75
+    norm_pix: bool = True
+    dtype: str = "bfloat16"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def num_visible(self) -> int:
+        return max(1, round(self.num_patches * (1.0 - self.mask_ratio)))
+
+    def encoder_cfg(self) -> TransformerConfig:
+        return TransformerConfig(
+            vocab_size=1,
+            d_model=self.d_model,
+            n_heads=self.n_heads,
+            n_layers=self.n_layers,
+            d_ff=self.d_ff,
+            max_len=self.num_patches + 1,
+            causal=False,
+            dtype=self.dtype,
+        )
+
+    def decoder_cfg(self) -> TransformerConfig:
+        return TransformerConfig(
+            vocab_size=1,
+            d_model=self.dec_d_model,
+            n_heads=self.dec_n_heads,
+            n_layers=self.dec_n_layers,
+            d_ff=self.dec_d_ff,
+            max_len=self.num_patches,
+            causal=False,
+            dtype=self.dtype,
+        )
+
+
+def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """``[B, H, W, C] -> [B, P, patch*patch*C]`` row-major patch grid."""
+    b, h, w, c = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, gh * gw, patch * patch * c)
+
+
+class ViTMAE(nn.Module):
+    """Masked autoencoder; ``__call__`` returns per-image masked-patch MSE."""
+
+    cfg: MAEConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        cfg = self.cfg
+        dt = cfg.encoder_cfg().compute_dtype
+        p = cfg.num_patches
+        v = cfg.num_visible
+
+        patches = patchify(images.astype(jnp.float32), cfg.patch_size)
+        target = patches
+        if cfg.norm_pix:
+            mu = patches.mean(axis=-1, keepdims=True)
+            var = patches.var(axis=-1, keepdims=True)
+            target = (patches - mu) / jnp.sqrt(var + 1e-6)
+
+        # Random masking with static counts (fixed V visible, P-V masked).
+        noise = jax.random.uniform(rng, (images.shape[0], p))
+        ids_shuffle = jnp.argsort(noise, axis=1)          # [B, P]
+        ids_restore = jnp.argsort(ids_shuffle, axis=1)    # [B, P]
+        ids_keep = ids_shuffle[:, :v]
+
+        x = nn.Dense(cfg.d_model, dtype=dt, name="patch_embed")(patches)
+        enc_pos = self.param(
+            "enc_pos", nn.initializers.normal(0.02), (p, cfg.d_model), jnp.float32
+        )
+        x = x + enc_pos[None, :, :].astype(dt)
+        x_vis = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)  # [B, V, D]
+        x_vis = Encoder(cfg.encoder_cfg(), name="encoder")(x_vis)
+
+        # Decoder: visible tokens + learned mask tokens, unshuffled to grid order.
+        y = nn.Dense(cfg.dec_d_model, dtype=dt, name="dec_embed")(x_vis)
+        mask_tok = self.param(
+            "mask_token", nn.initializers.normal(0.02), (1, 1, cfg.dec_d_model),
+            jnp.float32,
+        )
+        masked = jnp.broadcast_to(
+            mask_tok.astype(y.dtype), (y.shape[0], p - v, cfg.dec_d_model)
+        )
+        y_full = jnp.concatenate([y, masked], axis=1)                  # [B, P, Dd]
+        y_full = jnp.take_along_axis(y_full, ids_restore[:, :, None], axis=1)
+        dec_pos = self.param(
+            "dec_pos", nn.initializers.normal(0.02), (p, cfg.dec_d_model),
+            jnp.float32,
+        )
+        y_full = y_full + dec_pos[None, :, :].astype(y_full.dtype)
+        y_full = Encoder(cfg.decoder_cfg(), name="decoder")(y_full)
+        pred = nn.Dense(target.shape[-1], dtype=jnp.float32, name="dec_pred")(y_full)
+
+        # Per-image MSE over masked patches only (reference loss semantics).
+        mask = jnp.take_along_axis(
+            jnp.concatenate(
+                [jnp.zeros((images.shape[0], v)), jnp.ones((images.shape[0], p - v))],
+                axis=1,
+            ),
+            ids_restore,
+            axis=1,
+        )
+        per_patch = jnp.mean((pred - target) ** 2, axis=-1)            # [B, P]
+        return jnp.sum(per_patch * mask, axis=1) / jnp.maximum(
+            jnp.sum(mask, axis=1), 1.0
+        )
+
+
+def pixel_entropy_proxy(images: jnp.ndarray) -> jnp.ndarray:
+    """Model-free fallback: luma ``var / mean^2`` per image.
+
+    Parity with the reference's no-model fallback (reference
+    image_entropy.py:51-54), vectorized over the batch.
+    """
+    images = images.astype(jnp.float32)
+    if images.ndim == 4 and images.shape[-1] == 3:
+        luma = (
+            0.299 * images[..., 0] + 0.587 * images[..., 1] + 0.114 * images[..., 2]
+        )
+    else:
+        luma = images.reshape(images.shape[0], images.shape[1], -1).mean(-1)
+    flat = luma.reshape(luma.shape[0], -1)
+    return flat.var(axis=1) / (flat.mean(axis=1) ** 2 + 1e-8)
+
+
+__all__ = ["MAEConfig", "ViTMAE", "patchify", "pixel_entropy_proxy"]

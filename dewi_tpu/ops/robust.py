@@ -74,7 +74,8 @@ def masked_mean_and_quantiles(
     """
     values = values.astype(jnp.float32)
     mask = mask.astype(jnp.float32)
-    counts = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+    raw_counts = jnp.sum(mask, axis=1)
+    counts = jnp.maximum(raw_counts, 1.0)
     mean = jnp.sum(values * mask, axis=1) / counts
 
     big = jnp.float32(jnp.finfo(jnp.float32).max)
@@ -87,4 +88,6 @@ def masked_mean_and_quantiles(
     v_lo = jnp.take_along_axis(sorted_vals, lo, axis=1)
     v_hi = jnp.take_along_axis(sorted_vals, hi, axis=1)
     q_vals = v_lo + frac * (v_hi - v_lo)
-    return mean, q_vals
+    # Rows with no valid entries report 0 (never the +inf sort sentinel).
+    empty = (raw_counts == 0.0)[:, None]
+    return mean, jnp.where(empty, 0.0, q_vals)

@@ -1,0 +1,198 @@
+"""Text entropy (token surprisal) via a jitted causal LM.
+
+API parity with the reference estimator (reference text_entropy.py:14-125):
+``TextEntropyResult`` fields, ``compute_entropy`` / ``batch_compute`` /
+``__call__``, and the domain-relative mode (base NLL − domain NLL,
+reference text_entropy.py:76-84).
+
+Architecture is TPU-first instead of a port: texts are grouped into
+power-of-2 length buckets, padded, and scored as whole ``[B, T]`` batches in
+one fused forward + gather-CE + masked mean/quantile XLA program per bucket
+shape — replacing the reference's per-document Python loop
+(text_entropy.py:117-121, the throughput bottleneck named in SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.lm import token_nll
+from ..models.registry import init_lm, lm_config, maybe_load
+from ..ops.robust import masked_mean_and_quantiles
+from .tokenizer import bucket_length, get_tokenizer
+
+
+@dataclass
+class TextEntropyResult:
+    """Per-document surprisal record (parity: reference text_entropy.py:7-12)."""
+
+    token_entropies: List[float]
+    mean_entropy: float
+    q90_entropy: float
+    q99_entropy: float
+
+    def to_dict(self) -> Dict[str, object]:
+        """Pipeline-facing view: the dict shape the reference pipeline expects
+        (reference pipelines.py:113-114) but never actually received —
+        SURVEY.md §2.4 item 2 resolved by supporting both."""
+        return {
+            "mean": self.mean_entropy,
+            "quantiles": {0.9: self.q90_entropy, 0.99: self.q99_entropy},
+            "token_entropies": self.token_entropies,
+        }
+
+
+class TextEntropyEstimator:
+    """LM token-NLL estimator with bucketed batch inference.
+
+    Accepts the union of the reference's estimator ctor (text_entropy.py:17-22)
+    and the kwargs its pipeline passes (pipelines.py:47-52) — one coherent
+    contract (SURVEY.md §2.4 item 1).
+    """
+
+    def __init__(
+        self,
+        model_name: str = "small",
+        device: Optional[str] = None,  # accepted for parity; JAX places arrays
+        domain_model_name: Optional[str] = None,
+        quantiles: Sequence[float] = (0.9, 0.99),
+        batch_size: int = 64,
+        max_length: int = 512,
+        tokenizer: str = "byte",
+        checkpoint: Optional[str] = None,
+        domain_checkpoint: Optional[str] = None,
+        seed: int = 0,
+    ):
+        del device
+        self.quantiles = tuple(float(q) for q in quantiles)
+        self.batch_size = int(batch_size)
+        self.tokenizer = get_tokenizer(tokenizer)
+        cfg = lm_config(model_name, vocab_size=self.tokenizer.vocab_size)
+        if max_length != cfg.max_len:
+            cfg = lm_config(
+                model_name, vocab_size=self.tokenizer.vocab_size,
+                max_len=int(max_length),
+            )
+        self.cfg = cfg
+        self.model, params = init_lm(cfg, seed=seed)
+        self.params = maybe_load(params, checkpoint)
+
+        self.domain_params = None
+        if domain_model_name or domain_checkpoint:
+            dcfg = lm_config(
+                domain_model_name or model_name,
+                vocab_size=self.tokenizer.vocab_size,
+                max_len=cfg.max_len,
+            )
+            self.domain_cfg = dcfg
+            self.domain_model, dparams = init_lm(dcfg, seed=seed + 1)
+            self.domain_params = maybe_load(dparams, domain_checkpoint)
+
+        qarr = jnp.asarray(self.quantiles, dtype=jnp.float32)
+
+        def _nll(params, model, ids, mask):
+            logits = model.apply(params, ids, mask)
+            return token_nll(logits, ids, mask)
+
+        @jax.jit
+        def _score_batch(params, ids, mask):
+            nll, valid = _nll(params, self.model, ids, mask)
+            mean, qs = masked_mean_and_quantiles(
+                nll, valid.astype(jnp.float32), qarr
+            )
+            return nll, valid, mean, qs
+
+        @jax.jit
+        def _score_batch_relative(params, dparams, ids, mask):
+            nll, valid = _nll(params, self.model, ids, mask)
+            dnll, _ = _nll(dparams, self.domain_model, ids, mask)
+            rel = nll - dnll
+            mean, qs = masked_mean_and_quantiles(
+                rel, valid.astype(jnp.float32), qarr
+            )
+            return rel, valid, mean, qs
+
+        self._score_batch = _score_batch
+        self._score_batch_relative = _score_batch_relative
+
+    # -- public API ---------------------------------------------------------
+
+    def compute_entropy(
+        self, text: str, relative_to_domain: bool = False
+    ) -> TextEntropyResult:
+        """Single-document surprisal (parity: reference text_entropy.py:40-99)."""
+        return self.batch_compute([text], relative_to_domain)[0]
+
+    def batch_compute(
+        self,
+        texts: Sequence[str],
+        relative_to_domain: bool = False,
+        batch_size: Optional[int] = None,
+    ) -> List[TextEntropyResult]:
+        """Bucketed, vectorized surprisal for N documents."""
+        if not len(texts):
+            return []
+        bs = int(batch_size or self.batch_size)
+        use_domain = relative_to_domain and self.domain_params is not None
+
+        # Group doc indices by padded bucket length.
+        buckets: Dict[int, List[int]] = {}
+        enc = [self.tokenizer.encode(t, self.cfg.max_len) for t in texts]
+        for i, e in enumerate(enc):
+            b = bucket_length(max(len(e), 2), max_len=self.cfg.max_len)
+            buckets.setdefault(b, []).append(i)
+
+        results: List[Optional[TextEntropyResult]] = [None] * len(texts)
+        for blen, idxs in sorted(buckets.items()):
+            for start in range(0, len(idxs), bs):
+                chunk = idxs[start : start + bs]
+                ids, mask = self.tokenizer.encode_batch(
+                    [texts[i] for i in chunk], self.cfg.max_len, pad_to=blen
+                )
+                # Pad the batch dim so every bucket uses one trace shape.
+                pad_rows = bs - len(chunk)
+                if pad_rows:
+                    ids = np.concatenate(
+                        [ids, np.full((pad_rows, blen), self.tokenizer.pad_id,
+                                      dtype=np.int32)]
+                    )
+                    pad_mask = np.zeros((pad_rows, blen), dtype=np.float32)
+                    pad_mask[:, :2] = 1.0  # >=2 valid tokens keeps stats finite
+                    mask = np.concatenate([mask, pad_mask])
+                if use_domain:
+                    nll, valid, mean, qs = self._score_batch_relative(
+                        self.params, self.domain_params,
+                        jnp.asarray(ids), jnp.asarray(mask),
+                    )
+                else:
+                    nll, valid, mean, qs = self._score_batch(
+                        self.params, jnp.asarray(ids), jnp.asarray(mask)
+                    )
+                nll = np.asarray(nll)
+                valid = np.asarray(valid)
+                mean = np.asarray(mean)
+                qs = np.asarray(qs)
+                for row, doc_i in enumerate(chunk):
+                    toks = nll[row][valid[row]].tolist()
+                    q = {
+                        self.quantiles[j]: float(qs[row, j])
+                        for j in range(len(self.quantiles))
+                    }
+                    results[doc_i] = TextEntropyResult(
+                        token_entropies=toks,
+                        mean_entropy=float(mean[row]),
+                        q90_entropy=float(q.get(0.9, qs[row, 0])),
+                        q99_entropy=float(q.get(0.99, qs[row, -1])),
+                    )
+        return results  # type: ignore[return-value]
+
+    def __call__(self, text: str, **kwargs) -> TextEntropyResult:
+        return self.compute_entropy(text, **kwargs)
+
+
+__all__ = ["TextEntropyEstimator", "TextEntropyResult"]

@@ -1,0 +1,106 @@
+"""Hermetic byte-level tokenizer (+ optional HF tokenizer passthrough).
+
+The reference tokenizes with hub-downloaded HF tokenizers (reference
+text_entropy.py:31, cross_modal.py:49-56).  The default here is a
+deterministic byte-level scheme — ids 0..255 are raw UTF-8 bytes, 256 is
+BOS, 257 is PAD — so the framework runs with zero network and a fixed
+258-token vocabulary.  An HF tokenizer can be swapped in by name when its
+files are available locally (``DewiConfig.text.tokenizer``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+BYTE_VOCAB = 258
+BOS_ID = 256
+PAD_ID = 257
+
+
+class ByteTokenizer:
+    """UTF-8 bytes + BOS; pads with PAD_ID.  Stateless and hermetic."""
+
+    vocab_size = BYTE_VOCAB
+    bos_id = BOS_ID
+    pad_id = PAD_ID
+
+    def encode(self, text: str, max_len: int) -> List[int]:
+        ids = [BOS_ID] + list(text.encode("utf-8"))
+        return ids[:max_len]
+
+    def encode_batch(
+        self, texts: Sequence[str], max_len: int, pad_to: int | None = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Encode + pad to ``[B, T]`` int32 ids and f32 mask.
+
+        ``pad_to`` fixes T (bucketed batches keep jit traces cached);
+        otherwise T is the longest sequence in the batch.
+        """
+        encoded = [self.encode(t, max_len) for t in texts]
+        t = pad_to or max(1, max(len(e) for e in encoded))
+        ids = np.full((len(encoded), t), PAD_ID, dtype=np.int32)
+        mask = np.zeros((len(encoded), t), dtype=np.float32)
+        for i, e in enumerate(encoded):
+            ids[i, : len(e)] = e[:t]
+            mask[i, : len(e)] = 1.0
+        return ids, mask
+
+
+def get_tokenizer(name: str = "byte"):
+    """Resolve a tokenizer by name; graceful fallback to bytes.
+
+    Same optional-dependency discipline as the reference's import guards
+    (reference signals/__init__.py:11-34): a missing/unfetchable HF
+    tokenizer degrades to the hermetic byte tokenizer with a warning.
+    """
+    if name in ("byte", "bytes", None):
+        return ByteTokenizer()
+    try:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(name, local_files_only=True)
+
+        class _HFAdapter:
+            vocab_size = int(tok.vocab_size)
+            pad_id = int(tok.pad_token_id or 0)
+            bos_id = int(tok.bos_token_id or 0)
+
+            def encode(self, text: str, max_len: int) -> List[int]:
+                return tok.encode(text, truncation=True, max_length=max_len)
+
+            def encode_batch(self, texts, max_len, pad_to=None):
+                encoded = [self.encode(t, max_len) for t in texts]
+                t = pad_to or max(1, max(len(e) for e in encoded))
+                ids = np.full((len(encoded), t), self.pad_id, dtype=np.int32)
+                mask = np.zeros((len(encoded), t), dtype=np.float32)
+                for i, e in enumerate(encoded):
+                    ids[i, : len(e)] = e[:t]
+                    mask[i, : len(e)] = 1.0
+                return ids, mask
+
+        return _HFAdapter()
+    except Exception as e:  # noqa: BLE001 — any load failure degrades
+        logger.warning("Tokenizer %r unavailable (%s); using byte tokenizer.",
+                       name, e)
+        return ByteTokenizer()
+
+
+def bucket_length(n: int, min_len: int = 32, max_len: int = 512) -> int:
+    """Round a sequence length up to the next power-of-2 bucket.
+
+    Bucketing bounds the number of distinct jit traces for variable-length
+    text (SURVEY.md §7 hard part: no recompile storms).
+    """
+    b = min_len
+    while b < min(n, max_len):
+        b *= 2
+    return min(b, max_len)
+
+
+__all__ = ["ByteTokenizer", "get_tokenizer", "bucket_length",
+           "BYTE_VOCAB", "BOS_ID", "PAD_ID"]

@@ -1,0 +1,259 @@
+"""Signal estimator tests: contracts, fallbacks, and behavioral properties."""
+
+import numpy as np
+import pytest
+
+from dewi_tpu.signals import (
+    ByteTokenizer,
+    CrossModalDependency,
+    ImageEntropyEstimator,
+    NoiseEstimator,
+    RedundancyEstimator,
+    TextEntropyEstimator,
+    bucket_length,
+    max_offdiag_similarity,
+)
+from dewi_tpu.signals.redundancy import minhash_signatures, simhash_bits
+
+
+class TestTokenizer:
+    def test_byte_roundtrip_ids(self):
+        tok = ByteTokenizer()
+        ids = tok.encode("Hi!", max_len=16)
+        assert ids[0] == tok.bos_id
+        assert bytes(ids[1:]) == b"Hi!"
+
+    def test_batch_padding(self):
+        tok = ByteTokenizer()
+        ids, mask = tok.encode_batch(["a", "abcdef"], max_len=32)
+        assert ids.shape == mask.shape
+        assert mask[0].sum() == 2  # BOS + 1 byte
+        assert mask[1].sum() == 7
+
+    def test_bucket_lengths(self):
+        assert bucket_length(5) == 32
+        assert bucket_length(33) == 64
+        assert bucket_length(100, max_len=512) == 128
+        assert bucket_length(9999, max_len=512) == 512
+
+
+@pytest.fixture(scope="module")
+def text_est():
+    return TextEntropyEstimator(model_name="tiny", batch_size=4, max_length=128)
+
+
+class TestTextEntropy:
+    def test_result_fields(self, text_est):
+        r = text_est.compute_entropy("hello world, this is a test")
+        assert len(r.token_entropies) > 0
+        assert r.mean_entropy == pytest.approx(
+            float(np.mean(r.token_entropies)), rel=1e-5
+        )
+        assert r.q90_entropy <= r.q99_entropy + 1e-6
+        d = r.to_dict()
+        assert set(d) == {"mean", "quantiles", "token_entropies"}
+
+    def test_batch_matches_single(self, text_est):
+        texts = ["alpha beta gamma", "x", "the quick brown fox " * 3]
+        batch = text_est.batch_compute(texts)
+        for t, r in zip(texts, batch):
+            single = text_est.compute_entropy(t)
+            assert r.mean_entropy == pytest.approx(single.mean_entropy, abs=1e-4)
+            assert len(r.token_entropies) == len(single.token_entropies)
+
+    def test_quantile_matches_numpy(self, text_est):
+        r = text_est.compute_entropy("some moderately long sentence for quantiles")
+        toks = np.asarray(r.token_entropies)
+        assert r.q90_entropy == pytest.approx(
+            float(np.quantile(toks, 0.9)), abs=1e-4
+        )
+
+    def test_empty_text(self, text_est):
+        r = text_est.compute_entropy("")
+        assert r.token_entropies == []
+        assert r.mean_entropy == 0.0
+        assert r.q90_entropy == 0.0
+
+    def test_domain_relative(self):
+        est = TextEntropyEstimator(
+            model_name="tiny", domain_model_name="tiny", batch_size=2,
+            max_length=64,
+        )
+        base = est.compute_entropy("hello world", relative_to_domain=False)
+        rel = est.compute_entropy("hello world", relative_to_domain=True)
+        # Different seeds -> different models -> relative differs from base.
+        assert rel.mean_entropy != pytest.approx(base.mean_entropy, abs=1e-6)
+
+    def test_call_alias(self, text_est):
+        assert text_est("abc").mean_entropy == pytest.approx(
+            text_est.compute_entropy("abc").mean_entropy
+        )
+
+
+class TestImageEntropy:
+    def test_mae_scores_positive(self):
+        est = ImageEntropyEstimator(model_name="tiny", batch_size=2)
+        rng = np.random.default_rng(0)
+        imgs = [rng.random((32, 32, 3)).astype(np.float32) for _ in range(3)]
+        scores = est.batch_compute(imgs)
+        assert len(scores) == 3
+        assert all(s > 0 for s in scores)
+
+    def test_deterministic(self):
+        est = ImageEntropyEstimator(model_name="tiny", batch_size=2)
+        img = np.random.default_rng(1).random((32, 32, 3)).astype(np.float32)
+        assert est.score(img, seed=3) == pytest.approx(est.score(img, seed=3))
+
+    def test_pixel_proxy_mode(self):
+        est = ImageEntropyEstimator(model_name="pixel")
+        flat = np.full((16, 16, 3), 0.7, np.float32)
+        noisy = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+        assert est.score(noisy) > est.score(flat)
+
+    def test_resize_handles_other_shapes(self):
+        est = ImageEntropyEstimator(model_name="tiny", batch_size=1)
+        img = np.random.default_rng(2).random((50, 70, 3)).astype(np.float32)
+        assert est.score(img) > 0
+
+
+@pytest.fixture(scope="module")
+def clip_est():
+    return CrossModalDependency(model_name="tiny", batch_size=4)
+
+
+class TestCrossModal:
+    def test_result_range(self, clip_est):
+        img = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
+        r = clip_est.compute_similarity("a photo", img)
+        assert -1.0 - 1e-5 <= r.info_nce_score <= 1.0 + 1e-5
+        assert r.text_to_image_sim == r.info_nce_score
+        assert r.image_to_text_sim == r.info_nce_score
+
+    def test_batch_is_diagonal_of_matrix(self, clip_est):
+        rng = np.random.default_rng(1)
+        texts = ["one", "two", "three"]
+        imgs = [rng.random((32, 32, 3)).astype(np.float32) for _ in range(3)]
+        batch = clip_est.batch_compute(texts, imgs)
+        mat = clip_est.similarity_matrix(texts, imgs)
+        for i, r in enumerate(batch):
+            assert r.info_nce_score == pytest.approx(float(mat[i, i]), abs=1e-5)
+
+    def test_length_mismatch_raises(self, clip_est):
+        with pytest.raises(ValueError):
+            clip_est.batch_compute(["a"], [])
+
+    def test_encode_texts_normalized(self, clip_est):
+        e = clip_est.encode_texts(["hello", "world"])
+        np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, atol=1e-5)
+
+
+class TestRedundancy:
+    def test_max_offdiag_finds_duplicate(self):
+        rng = np.random.default_rng(0)
+        emb = rng.normal(size=(20, 16)).astype(np.float32)
+        emb[7] = emb[3]  # exact duplicate pair
+        scores = max_offdiag_similarity(emb, block=8)
+        assert scores[3] == pytest.approx(1.0, abs=1e-5)
+        assert scores[7] == pytest.approx(1.0, abs=1e-5)
+        assert scores.shape == (20,)
+
+    def test_single_doc_zero(self):
+        assert max_offdiag_similarity(np.ones((1, 4), np.float32))[0] == 0.0
+
+    def test_fit_score(self):
+        rng = np.random.default_rng(1)
+        emb = rng.normal(size=(10, 8)).astype(np.float32)
+        est = RedundancyEstimator(block_size=4)
+        scores = est.fit(emb).score()
+        assert scores.shape == (10,)
+        assert np.all(scores <= 1.0 + 1e-5)
+
+    def test_minhash_identical_texts(self):
+        texts = ["the cat sat on the mat today", "the cat sat on the mat today",
+                 "completely different words entirely here now"]
+        sigs = minhash_signatures(texts)
+        assert np.array_equal(sigs[0], sigs[1])
+        assert not np.array_equal(sigs[0], sigs[2])
+
+    def test_score_texts_minhash(self):
+        texts = ["aaa bbb ccc ddd eee fff", "aaa bbb ccc ddd eee fff",
+                 "zzz yyy xxx www vvv uuu"]
+        est = RedundancyEstimator(text_sim="minhash")
+        scores = est.score_texts(texts)
+        assert scores[0] == pytest.approx(1.0)
+        assert scores[1] == pytest.approx(1.0)
+        assert scores[2] < 0.5
+
+    def test_simhash_mode(self):
+        texts = ["alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon zeta",
+                 "one two three four five six"]
+        fps = simhash_bits(texts)
+        assert fps[0] == fps[1]
+        est = RedundancyEstimator(text_sim="simhash")
+        scores = est.score_texts(texts)
+        assert scores[0] == pytest.approx(1.0)
+
+    def test_near_duplicate_clusters(self):
+        texts = ["the cat sat on the mat today fine", "the cat sat on the mat today fine",
+                 "some other sentence entirely different now"]
+        est = RedundancyEstimator(threshold=0.9)
+        clusters = est.near_duplicate_clusters(texts=texts)
+        sizes = sorted(len(c) for c in clusters)
+        assert sizes == [1, 2]
+
+    def test_embedding_clusters(self):
+        rng = np.random.default_rng(2)
+        emb = rng.normal(size=(6, 8)).astype(np.float32)
+        emb[5] = emb[0] * 2.0  # same direction
+        est = RedundancyEstimator(threshold=0.99, block_size=3)
+        clusters = est.near_duplicate_clusters(embeddings=emb)
+        assert any(set(c) == {0, 5} for c in clusters)
+
+
+class TestNoise:
+    def test_text_quality_heuristics(self):
+        est = NoiseEstimator()
+        assert est.check_text_quality("") == 0.0
+        assert est.check_text_quality("A normal clean sentence.") == pytest.approx(1.0)
+        assert est.check_text_quality("!@#$%^&*()!@#$%^&*()") < 0.6
+
+    def test_language_neutral_without_detector(self):
+        est = NoiseEstimator()
+        if est._lang_detect is None:
+            assert est.check_language("hello there friend") == 0.5
+        assert est.check_language("") == 0.5
+
+    def test_nsfw_fallback_zero(self):
+        est = NoiseEstimator()
+        img = np.zeros((16, 16, 3), np.float32)
+        assert est.detect_nsfw(img) == 0.0
+
+    def test_nsfw_injectable(self):
+        est = NoiseEstimator(nsfw_fn=lambda im: 0.9)
+        assert est.detect_nsfw(None) == pytest.approx(0.9)
+        est_off = NoiseEstimator(nsfw_fn=lambda im: 0.9, nsfw_filter="none")
+        assert est_off.detect_nsfw(None) == 0.0
+
+    def test_ocr_fallback_empty(self):
+        est = NoiseEstimator()
+        if est.ocr is None:
+            assert est.ocr_text(None) == ""
+
+    def test_combined_score_ordering(self):
+        est = NoiseEstimator()
+        clean = est.score(text="A perfectly normal readable sentence.")
+        junk = est.score(text="#$%@!#$%@!#$%@!#$%@!")
+        assert 0.0 <= clean < junk <= 1.0
+
+    def test_blur_score_sharp_vs_flat(self):
+        est = NoiseEstimator()
+        flat = np.full((64, 64, 3), 0.5, np.float32)
+        rng = np.random.default_rng(0)
+        sharp = rng.random((64, 64, 3)).astype(np.float32)
+        assert est.blur_score(flat) < est.blur_score(sharp)
+
+    def test_batch_compute(self):
+        est = NoiseEstimator()
+        out = est.batch_compute(texts=["good text here", ""])
+        assert len(out) == 2
+        assert all(0.0 <= v <= 1.0 for v in out)
