@@ -78,12 +78,29 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
 
 
 class ViTMAE(nn.Module):
-    """Masked autoencoder; ``__call__`` returns per-image masked-patch MSE."""
+    """Masked autoencoder.
+
+    ``patch_losses`` returns per-patch reconstruction MSE ``[B, P]`` plus the
+    mask of reconstructed (hidden) patches; ``__call__`` reduces that to the
+    per-image masked-patch MSE the reference loss path reports
+    (image_entropy.py:66-68).  Exposing the per-patch losses lets the
+    pipeline derive real ``hi_q90`` quantiles — the reference promised them
+    (pipelines.py:121-128) but its estimator only ever returned a scalar
+    (SURVEY.md §2.4 item 3).
+    """
 
     cfg: MAEConfig
 
-    @nn.compact
     def __call__(self, images: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        per_patch, mask = self.patch_losses(images, rng)
+        return jnp.sum(per_patch * mask, axis=1) / jnp.maximum(
+            jnp.sum(mask, axis=1), 1.0
+        )
+
+    @nn.compact
+    def patch_losses(
+        self, images: jnp.ndarray, rng: jax.Array
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
         dt = cfg.encoder_cfg().compute_dtype
         p = cfg.num_patches
@@ -139,9 +156,7 @@ class ViTMAE(nn.Module):
             axis=1,
         )
         per_patch = jnp.mean((pred - target) ** 2, axis=-1)            # [B, P]
-        return jnp.sum(per_patch * mask, axis=1) / jnp.maximum(
-            jnp.sum(mask, axis=1), 1.0
-        )
+        return per_patch, mask
 
 
 def pixel_entropy_proxy(images: jnp.ndarray) -> jnp.ndarray:
@@ -161,4 +176,28 @@ def pixel_entropy_proxy(images: jnp.ndarray) -> jnp.ndarray:
     return flat.var(axis=1) / (flat.mean(axis=1) ** 2 + 1e-8)
 
 
-__all__ = ["MAEConfig", "ViTMAE", "patchify", "pixel_entropy_proxy"]
+def pixel_patch_proxy(images: jnp.ndarray, patch: int = 8) -> jnp.ndarray:
+    """Per-patch ``var/mean^2`` proxy ``[B, P]`` (patch-level analogue of
+    :func:`pixel_entropy_proxy`, so the fallback path also yields quantiles)."""
+    images = images.astype(jnp.float32)
+    if images.ndim == 4 and images.shape[-1] == 3:
+        luma = (
+            0.299 * images[..., 0] + 0.587 * images[..., 1] + 0.114 * images[..., 2]
+        )
+    else:
+        luma = images.reshape(images.shape[0], images.shape[1], -1).mean(-1)
+    b, h, w = luma.shape
+    gh, gw = h // patch, w // patch
+    x = luma[:, : gh * patch, : gw * patch]
+    x = x.reshape(b, gh, patch, gw, patch).transpose(0, 1, 3, 2, 4)
+    x = x.reshape(b, gh * gw, patch * patch)
+    return x.var(axis=2) / (x.mean(axis=2) ** 2 + 1e-8)
+
+
+__all__ = [
+    "MAEConfig",
+    "ViTMAE",
+    "patchify",
+    "pixel_entropy_proxy",
+    "pixel_patch_proxy",
+]

@@ -1,0 +1,436 @@
+"""Signal-computation pipeline: documents -> signals -> DEWI scores.
+
+Capability parity with the reference pipeline (reference pipelines.py:18-237:
+``Document``, ``DewiPipeline.compute_signals`` / ``compute_dewi_scores``,
+``create_document``) with the §2.4 API mismatches resolved — every estimator
+call here matches the estimator contracts in :mod:`dewi_tpu.signals`.
+
+TPU-first differences from the reference:
+
+* scoring is matrix-native — one fused fit+score XLA call over the whole
+  corpus instead of the per-document Python loop (pipelines.py:217-221);
+* estimators batch on device (bucketed text, padded image batches);
+* documents missing embeddings get CLIP embeddings (text tower, image tower,
+  or their mean), which also makes text queries searchable (§2.4 item 6);
+* stage-level checkpoint/resume: each signal stage persists its outputs, so
+  a restarted run skips completed stages (the reference restarts from
+  scratch — SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .config import DewiConfig
+from .types import SIGNAL_FIELDS, Payload, Weights
+
+logger = logging.getLogger(__name__)
+
+PathLike = Union[str, Path]
+
+
+@dataclass
+class Document:
+    """Per-document record (parity: reference pipelines.py:18-34, plus an
+    in-memory ``image`` array field for hermetic array-native ingestion)."""
+
+    doc_id: str
+    text: Optional[str] = None
+    image_path: Optional[str] = None
+    image: Optional[np.ndarray] = None
+    embedding: Optional[np.ndarray] = None
+
+    ht_mean: Optional[float] = None
+    ht_q90: Optional[float] = None
+    hi_mean: Optional[float] = None
+    hi_q90: Optional[float] = None
+    I_hat: Optional[float] = None
+    redundancy: Optional[float] = None
+    noise: Optional[float] = None
+    dewi_score: Optional[float] = None
+
+    def signals_dict(self) -> Dict[str, float]:
+        """None-coalescing signal view (parity: reference pipelines.py:199-210)."""
+        return {k: float(getattr(self, k) or 0.0) for k in SIGNAL_FIELDS}
+
+    def payload(self) -> Payload:
+        return Payload(dewi=float(self.dewi_score or 0.0), **self.signals_dict())
+
+    def image_source(self):
+        return self.image if self.image is not None else self.image_path
+
+
+def create_document(
+    doc_id: str,
+    text: Optional[str] = None,
+    image_path: Optional[PathLike] = None,
+    embedding: Optional[np.ndarray] = None,
+    image: Optional[np.ndarray] = None,
+) -> Document:
+    """Parity: reference pipelines.py:225-237."""
+    return Document(
+        doc_id=doc_id,
+        text=text,
+        image_path=str(image_path) if image_path else None,
+        image=image,
+        embedding=embedding,
+    )
+
+
+class _StageCheckpoint:
+    """Per-stage npz checkpoints: ``<dir>/<stage>.npz`` + manifest."""
+
+    def __init__(self, directory: Optional[PathLike], n_docs: int):
+        self.dir = Path(directory) if directory else None
+        self.n_docs = n_docs
+        if self.dir:
+            self.dir.mkdir(parents=True, exist_ok=True)
+
+    def load(self, stage: str) -> Optional[Dict[str, np.ndarray]]:
+        if not self.dir:
+            return None
+        path = self.dir / f"{stage}.npz"
+        if not path.exists():
+            return None
+        data = np.load(path, allow_pickle=False)
+        if int(data["n_docs"]) != self.n_docs:
+            logger.warning("Checkpoint %s is for %d docs (have %d); ignoring.",
+                           path, int(data["n_docs"]), self.n_docs)
+            return None
+        return {k: data[k] for k in data.files if k != "n_docs"}
+
+    def save(self, stage: str, **arrays: np.ndarray) -> None:
+        if not self.dir:
+            return
+        np.savez(self.dir / f"{stage}.npz", n_docs=self.n_docs, **arrays)
+
+
+class DewiPipeline:
+    """Signals + scoring orchestration (parity: reference pipelines.py:36-223)."""
+
+    def __init__(self, config: Optional[DewiConfig] = None, nsfw_fn=None):
+        self.config = config or DewiConfig()
+        self._nsfw_fn = nsfw_fn
+        self._text_entropy = None
+        self._image_entropy = None
+        self._cross_modal = None
+        self._redundancy = None
+        self._noise = None
+
+    # -- lazy estimators (constructed on first use; ctor stays cheap) --------
+
+    @property
+    def text_entropy(self):
+        if self._text_entropy is None:
+            from .signals.text_entropy import TextEntropyEstimator
+
+            c = self.config.text
+            self._text_entropy = TextEntropyEstimator(
+                model_name=c.model,
+                quantiles=c.quantiles,
+                batch_size=c.batch_size,
+                max_length=c.max_length,
+                tokenizer=c.tokenizer,
+                domain_model_name=c.domain_model,
+            )
+        return self._text_entropy
+
+    @property
+    def image_entropy(self):
+        if self._image_entropy is None:
+            from .signals.image_entropy import ImageEntropyEstimator
+
+            c = self.config.image
+            self._image_entropy = ImageEntropyEstimator(
+                model_name=c.model,
+                patch_size=c.patch_size,
+                image_size=c.image_size,
+                mask_ratio=c.mask_ratio,
+                batch_size=c.batch_size,
+            )
+        return self._image_entropy
+
+    @property
+    def cross_modal(self):
+        if self._cross_modal is None:
+            from .signals.cross_modal import CrossModalDependency
+
+            c = self.config.cross_modal
+            self._cross_modal = CrossModalDependency(
+                model_name=c.model,
+                batch_size=c.batch_size,
+                tokenizer=self.config.text.tokenizer,
+            )
+        return self._cross_modal
+
+    @property
+    def redundancy(self):
+        if self._redundancy is None:
+            from .signals.redundancy import RedundancyEstimator
+
+            c = self.config.redundancy
+            self._redundancy = RedundancyEstimator(
+                model_name=self.config.cross_modal.model,
+                text_sim=c.text_sim,
+                image_sim=c.image_sim,
+                cross_modal_density=c.cross_modal_density,
+                block_size=c.block_size,
+                threshold=c.threshold,
+                clip=self._cross_modal,  # share towers when already built
+            )
+        return self._redundancy
+
+    @property
+    def noise(self):
+        if self._noise is None:
+            from .signals.noise import NoiseEstimator
+
+            c = self.config.noise
+            self._noise = NoiseEstimator(
+                expected_language=c.expected_language,
+                blur_threshold=c.blur_threshold,
+                ocr_min_coverage=c.ocr_min_coverage,
+                nsfw_filter=c.nsfw_filter,
+                nsfw_fn=self._nsfw_fn,
+            )
+        return self._noise
+
+    # -- signals --------------------------------------------------------------
+
+    def compute_signals(
+        self,
+        documents: List[Document],
+        progress: bool = False,
+        checkpoint_dir: Optional[PathLike] = None,
+    ) -> List[Document]:
+        """Fill the seven signal fields of every document, stage by stage."""
+        if not documents:
+            return []
+        ckpt = _StageCheckpoint(checkpoint_dir, len(documents))
+
+        def log_stage(name: str) -> None:
+            if progress:
+                print(f"Computing {name}...")
+
+        # Stage 1: text entropy (bucketed LM batches).
+        text_idx = [i for i, d in enumerate(documents) if d.text]
+        if text_idx:
+            cached = ckpt.load("text")
+            if cached is None:
+                log_stage("text entropy")
+                results = self.text_entropy.batch_compute(
+                    [documents[i].text for i in text_idx]
+                )
+                means = np.array([r.mean_entropy for r in results], np.float32)
+                q90s = np.array([r.q90_entropy for r in results], np.float32)
+                ckpt.save("text", idx=np.array(text_idx), means=means, q90s=q90s)
+            else:
+                means, q90s = cached["means"], cached["q90s"]
+            for j, i in enumerate(text_idx):
+                documents[i].ht_mean = float(means[j])
+                documents[i].ht_q90 = float(q90s[j])
+
+        # Stage 2: image entropy (padded MAE batches, per-patch quantiles).
+        img_idx = [
+            i for i, d in enumerate(documents) if d.image_source() is not None
+        ]
+        if img_idx:
+            cached = ckpt.load("image")
+            if cached is None:
+                log_stage("image entropy")
+                means, q90s = self.image_entropy.batch_compute_stats(
+                    [documents[i].image_source() for i in img_idx]
+                )
+                ckpt.save("image", idx=np.array(img_idx), means=means, q90s=q90s)
+            else:
+                means, q90s = cached["means"], cached["q90s"]
+            for j, i in enumerate(img_idx):
+                documents[i].hi_mean = float(means[j])
+                documents[i].hi_q90 = float(q90s[j])
+
+        # Stage 3: cross-modal dependency (CLIP diagonal).
+        pair_idx = [
+            i for i, d in enumerate(documents)
+            if d.text and d.image_source() is not None
+        ]
+        if pair_idx:
+            cached = ckpt.load("cross_modal")
+            if cached is None:
+                log_stage("cross-modal dependency")
+                results = self.cross_modal.batch_compute(
+                    [documents[i].text for i in pair_idx],
+                    [documents[i].image_source() for i in pair_idx],
+                )
+                sims = np.array([r.info_nce_score for r in results], np.float32)
+                ckpt.save("cross_modal", idx=np.array(pair_idx), sims=sims)
+            else:
+                sims = cached["sims"]
+            for j, i in enumerate(pair_idx):
+                documents[i].I_hat = float(sims[j])
+
+        # Stage 4: embeddings for docs missing them (CLIP towers) —
+        # prerequisite for redundancy and for indexing (§2.4 item 6).
+        self.ensure_embeddings(documents)
+
+        # Stage 5: redundancy (embedding-space max-offdiag, or hash mode).
+        cached = ckpt.load("redundancy")
+        if cached is None:
+            log_stage("redundancy")
+            if self.config.redundancy.text_sim in ("minhash", "simhash"):
+                scores = np.zeros(len(documents), np.float32)
+                if text_idx:
+                    tscores = self.redundancy.score_texts(
+                        [documents[i].text for i in text_idx]
+                    )
+                    scores[np.array(text_idx)] = tscores
+            else:
+                # Compare only within same-dimension groups (user-provided
+                # embeddings may differ in dim from the CLIP towers').
+                scores = np.zeros(len(documents), np.float32)
+                by_dim: Dict[int, List[int]] = {}
+                for i, d in enumerate(documents):
+                    by_dim.setdefault(len(d.embedding), []).append(i)
+                for idxs in by_dim.values():
+                    if len(idxs) < 2:
+                        continue
+                    emb = np.stack([documents[i].embedding for i in idxs])
+                    scores[np.array(idxs)] = self.redundancy.score(emb)
+            ckpt.save("redundancy", scores=np.asarray(scores, np.float32))
+        else:
+            scores = cached["scores"]
+        for i, d in enumerate(documents):
+            d.redundancy = float(scores[i])
+
+        # Stage 6: noise (host-side heuristics).
+        cached = ckpt.load("noise")
+        if cached is None:
+            log_stage("noise")
+            noise = np.array(
+                self.noise.batch_compute(
+                    texts=[d.text for d in documents],
+                    images=[d.image_source() for d in documents],
+                ),
+                np.float32,
+            )
+            ckpt.save("noise", scores=noise)
+        else:
+            noise = cached["scores"]
+        for i, d in enumerate(documents):
+            d.noise = float(noise[i])
+
+        return documents
+
+    def ensure_embeddings(self, documents: List[Document]) -> List[Document]:
+        """Fill missing ``embedding`` fields from the CLIP towers.
+
+        Text-only docs get text-tower embeddings, image-only docs image-tower
+        embeddings, multimodal docs the normalized mean of both.  All towers
+        emit unit-norm vectors in the same space, so the index can mix them.
+        """
+        missing = [i for i, d in enumerate(documents) if d.embedding is None]
+        if not missing:
+            return documents
+        t_idx = [i for i in missing if documents[i].text]
+        v_idx = [
+            i for i in missing if documents[i].image_source() is not None
+        ]
+        t_emb = (
+            self.cross_modal.encode_texts([documents[i].text for i in t_idx])
+            if t_idx else None
+        )
+        v_emb = (
+            self.cross_modal.encode_images(
+                [documents[i].image_source() for i in v_idx]
+            )
+            if v_idx else None
+        )
+        dim = self.cross_modal.cfg.d_embed
+        tmap = {i: t_emb[j] for j, i in enumerate(t_idx)} if t_idx else {}
+        vmap = {i: v_emb[j] for j, i in enumerate(v_idx)} if v_idx else {}
+        for i in missing:
+            parts = [m[i] for m in (tmap, vmap) if i in m]
+            if not parts:
+                documents[i].embedding = np.zeros(dim, np.float32)
+                continue
+            e = np.mean(parts, axis=0)
+            n = np.linalg.norm(e)
+            documents[i].embedding = (e / n if n > 0 else e).astype(np.float32)
+        return documents
+
+    def encode_query(self, text: str) -> np.ndarray:
+        """Text -> embedding for search (resolves SURVEY.md §2.4 item 6)."""
+        return self.cross_modal.encode_texts([text])[0]
+
+    # -- scoring ----------------------------------------------------------------
+
+    def compute_dewi_scores(
+        self,
+        documents: List[Document],
+        weights: Optional[Union[Dict[str, float], Weights]] = None,
+        delta: Optional[float] = None,
+        mode: Optional[str] = None,
+    ) -> List[Document]:
+        """Fit robust stats + score all docs in one fused XLA call
+        (parity: reference pipelines.py:162-223, minus the per-doc loop)."""
+        from .scorer import DewiScorer
+
+        if not documents:
+            return []
+        if weights is None:
+            w = self.config.scoring.weights
+            weights = Weights(
+                alpha_t=w.alpha_t, alpha_i=w.alpha_i, alpha_m=w.alpha_m,
+                alpha_r=w.alpha_r, alpha_n=w.alpha_n,
+            )
+        elif isinstance(weights, dict):
+            weights = Weights(**weights)
+        scorer = DewiScorer(
+            weights=weights, delta=delta or self.config.scoring.delta
+        )
+        scoring_mode = mode or self.config.scoring.mode
+
+        mat = np.array(
+            [[d.signals_dict()[k] for k in SIGNAL_FIELDS] for d in documents],
+            np.float32,
+        )
+        scores = np.asarray(scorer.fit_and_score(mat, mode=scoring_mode))
+        for d, s in zip(documents, scores):
+            d.dewi_score = float(s)
+        self._scorer = scorer  # fitted stats, reusable for incremental docs
+        return documents
+
+    # -- index handoff ------------------------------------------------------------
+
+    def build_index(self, documents: List[Document], **index_kwargs):
+        """Documents -> built :class:`DewiIndex` (embeddings + payloads)."""
+        from .index import DewiIndex
+
+        if not documents:
+            raise ValueError("No documents to index")
+        self.ensure_embeddings(documents)
+        dim = len(documents[0].embedding)
+        cfg = self.config.index
+        kwargs = dict(
+            space=cfg.metric,
+            backend=cfg.ann,
+            ef=cfg.ef_construction,
+            M=cfg.M,
+            ef_query=cfg.ef_query,
+            rerank_eta=cfg.rerank_eta,
+            entropy_pref=cfg.entropy_pref,
+        )
+        kwargs.update(index_kwargs)
+        index = DewiIndex(dim=dim, **kwargs)
+        emb = np.stack([d.embedding for d in documents]).astype(np.float32)
+        pay = np.stack([d.payload().to_array() for d in documents])
+        index.add_batch([d.doc_id for d in documents], emb, pay)
+        index.build()
+        return index
+
+
+__all__ = ["Document", "DewiPipeline", "create_document"]

@@ -18,8 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.mae import pixel_entropy_proxy
+from ..models.mae import pixel_entropy_proxy, pixel_patch_proxy
 from ..models.registry import init_mae, mae_config, maybe_load
+from ..ops.robust import masked_mean_and_quantiles
 
 logger = logging.getLogger(__name__)
 
@@ -97,6 +98,18 @@ class ImageEntropyEstimator:
         self.params = maybe_load(params, checkpoint)
         self._apply = jax.jit(self.model.apply)
 
+        @jax.jit
+        def _stats(params, images, rng):
+            per_patch, mask = self.model.apply(
+                params, images, rng, method=self.model.patch_losses
+            )
+            mean, qs = masked_mean_and_quantiles(
+                per_patch, mask, jnp.asarray([0.9], jnp.float32)
+            )
+            return mean, qs[:, 0]
+
+        self._stats = _stats
+
     # -- public API ---------------------------------------------------------
 
     def score(self, image: ImageLike, seed: int = 0) -> float:
@@ -134,6 +147,45 @@ class ImageEntropyEstimator:
             )
             out.extend(float(v) for v in np.asarray(losses)[: bs - pad])
         return out
+
+    def batch_compute_stats(
+        self, images: Sequence[ImageLike], seed: int = 0,
+        batch_size: Optional[int] = None,
+    ) -> tuple:
+        """Per-image ``(mean, q90)`` of patch reconstruction error.
+
+        The pipeline's ``hi_mean``/``hi_q90`` source — the reference promised
+        image quantiles (pipelines.py:121-128) its scalar estimator could
+        never provide (SURVEY.md §2.4 item 3).
+        """
+        if not len(images):
+            return np.zeros(0, np.float32), np.zeros(0, np.float32)
+        bs = int(batch_size or self.batch_size)
+        arrays = np.stack(
+            [to_image_array(im, self.image_size) for im in images]
+        )
+        if self.model is None:
+            per_patch = np.asarray(pixel_patch_proxy(jnp.asarray(arrays)))
+            return (
+                per_patch.mean(axis=1).astype(np.float32),
+                np.quantile(per_patch, 0.9, axis=1).astype(np.float32),
+            )
+        means: List[float] = []
+        q90s: List[float] = []
+        for start in range(0, len(arrays), bs):
+            chunk = arrays[start : start + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
+                )
+            m, q = self._stats(
+                self.params, jnp.asarray(chunk),
+                jax.random.fold_in(jax.random.PRNGKey(seed), start),
+            )
+            means.extend(np.asarray(m)[: bs - pad].tolist())
+            q90s.extend(np.asarray(q)[: bs - pad].tolist())
+        return np.asarray(means, np.float32), np.asarray(q90s, np.float32)
 
     def __call__(self, image: ImageLike, **kwargs) -> float:
         return self.score(image, **kwargs)

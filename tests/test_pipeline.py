@@ -1,0 +1,191 @@
+"""Pipeline tests: signals end-to-end, scoring, checkpoints, index handoff."""
+
+import numpy as np
+import pytest
+
+from dewi_tpu.config import DewiConfig
+from dewi_tpu.pipelines import Document, DewiPipeline, create_document
+from dewi_tpu.types import SIGNAL_FIELDS
+
+
+def tiny_config(**over) -> DewiConfig:
+    cfg = DewiConfig.from_dict(
+        {
+            "text": {"model": "tiny", "batch_size": 4, "max_length": 64},
+            "image": {"model": "tiny", "batch_size": 2, "image_size": 32,
+                      "patch_size": 8},
+            "cross_modal": {"model": "tiny", "batch_size": 4},
+            "redundancy": {"block_size": 8},
+            **over,
+        }
+    )
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rng = np.random.default_rng(0)
+    return [
+        create_document("d0", text="the quick brown fox jumps over the dog"),
+        create_document("d1", text="the quick brown fox jumps over the dog"),
+        Document(doc_id="d2", text="completely different text entirely",
+                 image=rng.random((32, 32, 3)).astype(np.float32)),
+        Document(doc_id="d3",
+                 image=rng.random((32, 32, 3)).astype(np.float32)),
+        create_document("d4", text="short",
+                        embedding=rng.normal(size=16).astype(np.float32)),
+    ]
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return DewiPipeline(tiny_config())
+
+
+class TestCreateDocument:
+    def test_fields(self):
+        d = create_document("x", text="t", image_path="/tmp/a.png")
+        assert d.doc_id == "x" and d.text == "t"
+        assert d.image_path == "/tmp/a.png"
+        assert d.embedding is None
+
+    def test_signals_dict_none_coalescing(self):
+        d = create_document("x")
+        sd = d.signals_dict()
+        assert set(sd) == set(SIGNAL_FIELDS)
+        assert all(v == 0.0 for v in sd.values())
+
+    def test_payload(self):
+        d = create_document("x")
+        d.ht_mean = 2.5
+        d.dewi_score = 0.8
+        p = d.payload()
+        assert p.ht_mean == 2.5 and p.dewi == 0.8
+
+
+class TestComputeSignals:
+    def test_fills_fields_per_modality(self, pipeline, docs):
+        out = pipeline.compute_signals(list(docs))
+        # Text docs get text entropy; image docs get image entropy.
+        assert out[0].ht_mean is not None and out[0].ht_q90 is not None
+        assert out[3].ht_mean is None  # no text
+        assert out[2].hi_mean is not None and out[2].hi_q90 is not None
+        assert out[0].hi_mean is None  # no image
+        # Only the multimodal doc gets I_hat.
+        assert out[2].I_hat is not None
+        assert out[0].I_hat is None
+        # Everyone gets redundancy + noise.
+        assert all(d.redundancy is not None for d in out)
+        assert all(d.noise is not None for d in out)
+
+    def test_duplicate_texts_high_redundancy(self, pipeline, docs):
+        out = pipeline.compute_signals(list(docs))
+        # d0 and d1 are identical -> identical embeddings -> max redundancy.
+        assert out[0].redundancy == pytest.approx(1.0, abs=1e-3)
+        assert out[1].redundancy == pytest.approx(1.0, abs=1e-3)
+
+    def test_embeddings_filled_and_normalized(self, pipeline, docs):
+        out = pipeline.compute_signals(list(docs))
+        for d in out:
+            assert d.embedding is not None
+        # Provided embedding untouched.
+        assert out[4].embedding.shape == (16,)
+        # CLIP embeddings unit-norm.
+        assert np.linalg.norm(out[0].embedding) == pytest.approx(1.0, abs=1e-4)
+
+    def test_empty_input(self, pipeline):
+        assert pipeline.compute_signals([]) == []
+
+    def test_checkpoint_resume(self, tmp_path):
+        pipe = DewiPipeline(tiny_config())
+        mk = lambda: [
+            create_document(f"d{i}", text=f"document number {i} with words")
+            for i in range(4)
+        ]
+        a = pipe.compute_signals(mk(), checkpoint_dir=tmp_path)
+        assert (tmp_path / "text.npz").exists()
+        assert (tmp_path / "noise.npz").exists()
+        # Resume must reproduce identical signals without recompute.
+        b = pipe.compute_signals(mk(), checkpoint_dir=tmp_path)
+        for da, db in zip(a, b):
+            assert da.ht_mean == pytest.approx(db.ht_mean)
+            assert da.redundancy == pytest.approx(db.redundancy)
+
+    def test_checkpoint_size_mismatch_ignored(self, tmp_path):
+        pipe = DewiPipeline(tiny_config())
+        pipe.compute_signals(
+            [create_document("a", text="one two three")],
+            checkpoint_dir=tmp_path,
+        )
+        out = pipe.compute_signals(
+            [create_document("a", text="one two three"),
+             create_document("b", text="four five six")],
+            checkpoint_dir=tmp_path,
+        )
+        assert out[1].ht_mean is not None
+
+
+class TestComputeDewiScores:
+    def test_scores_in_unit_interval(self, pipeline, docs):
+        out = pipeline.compute_signals(list(docs))
+        out = pipeline.compute_dewi_scores(out)
+        for d in out:
+            assert 0.0 <= d.dewi_score <= 1.0
+
+    def test_matches_scalar_scorer(self, pipeline, docs):
+        from dewi_tpu.scorer import DewiScorer
+
+        out = pipeline.compute_signals(list(docs))
+        out = pipeline.compute_dewi_scores(out)
+        scorer = DewiScorer()
+        rows = [d.signals_dict() for d in out]
+        scorer.fit_stats(rows)
+        for d, row in zip(out, rows):
+            assert d.dewi_score == pytest.approx(scorer.score(row), abs=1e-5)
+
+    def test_conditional_mode(self, pipeline):
+        # I_hat must vary moderately so z(I) doesn't saturate the ±delta clip
+        # (saturation makes both modes agree by construction).
+        rng = np.random.default_rng(3)
+        out = []
+        for i in range(8):
+            d = create_document(f"s{i}")
+            for k in SIGNAL_FIELDS:
+                setattr(d, k, float(rng.gamma(2.0, 1.0)))
+            out.append(d)
+        std = [d.dewi_score for d in pipeline.compute_dewi_scores(out)]
+        cond = [
+            d.dewi_score
+            for d in pipeline.compute_dewi_scores(out, mode="conditional")
+        ]
+        assert std != cond
+
+    def test_weights_override(self, pipeline, docs):
+        out = pipeline.compute_signals(list(docs))
+        a = [d.dewi_score for d in pipeline.compute_dewi_scores(out)]
+        b = [
+            d.dewi_score
+            for d in pipeline.compute_dewi_scores(
+                out, weights={"alpha_t": 5.0, "alpha_i": 1.0, "alpha_m": 1.0,
+                              "alpha_r": 1.0, "alpha_n": 1.0}
+            )
+        ]
+        assert a != b
+
+
+class TestIndexHandoff:
+    def test_build_index_and_search_text_query(self, pipeline, docs):
+        subset = [d for d in docs if d.embedding is None or d.embedding.shape[0] != 16]
+        out = pipeline.compute_signals(list(subset))
+        out = pipeline.compute_dewi_scores(out)
+        index = pipeline.build_index(out, backend="exact")
+        assert len(index) == len(out)
+        q = pipeline.encode_query("the quick brown fox")
+        results = index.search(q, k=2)
+        assert len(results) == 2
+        # The duplicate quick-fox docs should rank above the unrelated ones.
+        assert results[0][0] in ("d0", "d1")
+
+    def test_build_index_empty_raises(self, pipeline):
+        with pytest.raises(ValueError):
+            pipeline.build_index([])
