@@ -1,0 +1,187 @@
+"""CLI tests via click.testing.CliRunner (parity: reference tests/test_cli.py)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from dewi_tpu.cli import cli, create_document
+
+
+@pytest.fixture
+def runner():
+    return CliRunner()
+
+
+class TestConfig:
+    def test_config_to_stdout(self, runner):
+        res = runner.invoke(cli, ["config"])
+        assert res.exit_code == 0
+        assert "scoring" in res.output
+        assert "alpha_t" in res.output
+
+    def test_config_to_file(self, runner, tmp_path):
+        out = tmp_path / "cfg.yaml"
+        res = runner.invoke(cli, ["config", "-o", str(out)])
+        assert res.exit_code == 0
+        assert out.exists()
+
+    def test_overwrite_guard(self, runner, tmp_path):
+        out = tmp_path / "cfg.yaml"
+        out.write_text("existing")
+        res = runner.invoke(cli, ["config", "-o", str(out)])
+        assert res.exit_code == 1
+        assert "already exists" in res.output
+        res = runner.invoke(cli, ["config", "-o", str(out), "--overwrite"])
+        assert res.exit_code == 0
+
+    def test_presets_change_weights(self, runner):
+        import yaml
+
+        default = runner.invoke(cli, ["config"]).output
+        web = runner.invoke(cli, ["config", "--preset", "web"]).output
+
+        def weights(txt):
+            body = txt.split("\n\n", 1)[1]
+            return yaml.safe_load(body)["scoring"]["weights"]
+
+        assert weights(default)["alpha_t"] == 1.0
+        assert weights(web)["alpha_t"] == 0.7
+        assert weights(web)["alpha_r"] == 0.3
+
+
+class TestProcess:
+    def test_process_test_mode(self, runner, tmp_path):
+        cfg = tmp_path / "cfg.yaml"
+        runner.invoke(cli, ["config", "-o", str(cfg)])
+        out = tmp_path / "out"
+        res = runner.invoke(cli, ["process", str(cfg), str(out)])
+        assert res.exit_code == 0, res.output
+        assert (out / "documents_batch_0001.jsonl").exists()
+        assert (out / "signals_summary.json").exists()
+        assert (out / "embeddings.npz").exists()
+        assert (out / "metadata.json").exists()
+        assert (out / "index").is_dir()  # the dir the reference tests wanted
+        meta = json.loads((out / "metadata.json").read_text())
+        assert meta["test_mode"] is True
+        lines = (out / "documents_batch_0001.jsonl").read_text().splitlines()
+        assert len(lines) == 10
+        row = json.loads(lines[0])
+        assert {"id", "signals", "embedding"} <= set(row)
+
+    def test_process_backup_of_existing(self, runner, tmp_path):
+        cfg = tmp_path / "cfg.yaml"
+        runner.invoke(cli, ["config", "-o", str(cfg)])
+        out = tmp_path / "out"
+        runner.invoke(cli, ["process", str(cfg), str(out)])
+        res = runner.invoke(cli, ["process", str(cfg), str(out)])
+        assert res.exit_code == 0
+        backups = list(tmp_path.glob("out_backup_*"))
+        assert len(backups) == 1
+
+    def test_process_missing_config_fails(self, runner, tmp_path):
+        res = runner.invoke(cli, ["process", str(tmp_path / "nope.yaml"),
+                                  str(tmp_path / "o")])
+        assert res.exit_code != 0
+
+
+class TestSearch:
+    def test_search_test_mode(self, runner, tmp_path):
+        idx = tmp_path / "index"
+        idx.mkdir()
+        res = runner.invoke(cli, ["search", str(idx), "query text",
+                                  "--test-mode", "--k", "3"])
+        assert res.exit_code == 0, res.output
+        assert "[TEST MODE]" in res.output
+        body = res.output.split("[TEST MODE]")[0]
+        payload = json.loads(body[body.index("[") : body.rindex("]") + 1])
+        assert len(payload) == 3
+        assert payload[0]["score"] >= payload[1]["score"]
+
+    def test_search_output_file(self, runner, tmp_path):
+        idx = tmp_path / "index"
+        idx.mkdir()
+        out = tmp_path / "results.json"
+        res = runner.invoke(cli, ["search", str(idx), "q", "--test-mode",
+                                  "-o", str(out)])
+        assert res.exit_code == 0
+        data = json.loads(out.read_text())
+        assert all({"id", "score", "dewi_score", "entropy"} <= set(r)
+                   for r in data)
+
+    def test_search_real_index_with_npy_query(self, runner, tmp_path,
+                                              monkeypatch):
+        monkeypatch.setenv("DEWI_TEST_MODE", "0")
+        from dewi_tpu import DewiIndex
+        from dewi_tpu.types import Payload
+
+        rng = np.random.default_rng(0)
+        index = DewiIndex(dim=16)
+        for i in range(8):
+            index.add(f"d{i}", rng.normal(size=16).astype(np.float32),
+                      Payload(dewi=float(i) / 8))
+        index.build()
+        index.save(tmp_path / "idx")
+        q = rng.normal(size=16).astype(np.float32)
+        np.save(tmp_path / "q.npy", q)
+        res = runner.invoke(
+            cli, ["search", str(tmp_path / "idx"), str(tmp_path / "q.npy"),
+                  "--k", "3", "--eta", "0.0"],
+        )
+        assert res.exit_code == 0, res.output
+        data = json.loads(
+            res.output[res.output.index("[") : res.output.rindex("]") + 1]
+        )
+        assert len(data) == 3
+
+    def test_help(self, runner):
+        for args in ([], ["config", "-h"], ["process", "-h"], ["search", "-h"]):
+            res = runner.invoke(cli, args + (["-h"] if not args else []))
+            assert res.exit_code == 0
+
+
+class TestCreateDocument:
+    def test_uuid_doc(self):
+        d = create_document(text="hello")
+        assert len(d.doc_id) == 36  # uuid4
+        assert d.text == "hello"
+        assert d.metadata == {}
+
+
+class TestEndToEndRealMode:
+    def test_process_real_tiny(self, runner, tmp_path, monkeypatch):
+        monkeypatch.setenv("DEWI_TEST_MODE", "0")
+        import yaml
+
+        cfg = {
+            "text": {"model": "tiny", "batch_size": 2, "max_length": 64},
+            "image": {"model": "tiny", "batch_size": 2, "image_size": 32,
+                      "patch_size": 8},
+            "cross_modal": {"model": "tiny", "batch_size": 2},
+            "redundancy": {"block_size": 4},
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(yaml.dump(cfg))
+        texts = tmp_path / "texts"
+        texts.mkdir()
+        (texts / "a.txt").write_text("the quick brown fox jumps")
+        (texts / "b.txt").write_text("an entirely different document")
+        out = tmp_path / "out"
+        res = runner.invoke(
+            cli, ["process", str(cfg_path), str(out), "--texts", str(texts)]
+        )
+        assert res.exit_code == 0, res.output
+        assert (out / "documents_batch_0001.jsonl").exists()
+        assert (out / "index" / "config.json").exists()
+        rows = [json.loads(l) for l in
+                (out / "documents_batch_0001.jsonl").read_text().splitlines()]
+        assert len(rows) == 2
+        assert all(0.0 <= r["dewi_score"] <= 1.0 for r in rows)
+
+        # Search the produced index with a text query (tiny CLIP dim=64).
+        res = runner.invoke(
+            cli, ["search", str(out / "index"), "quick brown fox", "--k", "1"]
+        )
+        assert res.exit_code == 0, res.output
