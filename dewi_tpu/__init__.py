@@ -11,7 +11,9 @@ Public root exports match the reference package root (reference
 __init__.py:5-15) plus the ``Signals`` record its README promises.
 """
 
+from .config import DewiConfig, get_default_config
 from .index import DewiIndex, ExactIndex, IVFIndex, IndexBackend
+from .pipelines import DewiPipeline, Document, create_document
 from .scorer import DewiScorer, RobustStats, local_weights_from_surprisal
 from .types import Payload, Signals, Weights
 
@@ -27,6 +29,11 @@ __all__ = [
     "ExactIndex",
     "IVFIndex",
     "IndexBackend",
+    "DewiConfig",
+    "get_default_config",
+    "DewiPipeline",
+    "Document",
+    "create_document",
     "local_weights_from_surprisal",
     "__version__",
 ]
