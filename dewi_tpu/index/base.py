@@ -82,14 +82,10 @@ class BaseIndex:
         pay = self.store.payload_matrix()
         np.save(path / "payloads.npy", pay)
         if write_jsonl:
-            with open(path / "payloads.jsonl", "w") as f:
-                for doc_id, row in zip(self.store.doc_ids, pay):
-                    f.write(
-                        json.dumps(
-                            {"doc_id": doc_id, "payload": Payload.from_array(row).to_dict()}
-                        )
-                        + "\n"
-                    )
+            # Native C++ codec with Python fallback (dewi_tpu/native).
+            from ..native import write_payloads_jsonl
+
+            write_payloads_jsonl(path / "payloads.jsonl", self.store.doc_ids, pay)
         if len(self.store):
             np.save(path / "embeddings.npy", self.store.embedding_matrix())
 
@@ -125,14 +121,13 @@ class BaseIndex:
 
 
 def _payloads_from_jsonl(path: Path, doc_ids: List[str]) -> np.ndarray:
-    by_id = {}
     jsonl = path / "payloads.jsonl"
+    by_id = {}
     if jsonl.exists():
-        with open(jsonl) as f:
-            for line in f:
-                d = json.loads(line)
-                key = d.get("doc_id", d.get("id"))
-                by_id[key] = Payload.from_dict(d["payload"]).to_array()
+        from ..native import read_payloads_jsonl
+
+        ids, mat = read_payloads_jsonl(jsonl)
+        by_id = {i: row for i, row in zip(ids, mat)}
     blank = Payload().to_array()
     return np.stack([by_id.get(i, blank) for i in doc_ids])
 

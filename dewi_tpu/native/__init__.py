@@ -1,0 +1,194 @@
+"""ctypes bindings for the native C++ runtime (JSONL codec, minhash).
+
+The reference's host-side performance came from third-party C++ wheels
+(hnswlib/faiss serde — reference backends.py:104-163, 358-383); this package
+builds its own native runtime in-repo (``native/dewi_native.cpp``) and loads
+it here.  Everything degrades gracefully to pure Python when the shared
+library is absent and can't be built (the same optional-dependency
+discipline as the reference's ``_HAS_FAISS`` guards, backends.py:18-30).
+
+Set ``DEWI_TPU_NO_NATIVE=1`` to force the Python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import logging
+import os
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..types import PAYLOAD_FIELDS, Payload
+
+logger = logging.getLogger(__name__)
+
+_LIB_PATH = Path(__file__).parent / "libdewi_native.so"
+_SRC_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    """Load (building on first use if needed) the native library."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("DEWI_TPU_NO_NATIVE", "").lower() in ("1", "true", "yes"):
+        return None
+    if not _LIB_PATH.exists() and (_SRC_DIR / "Makefile").exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_SRC_DIR)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception as e:  # noqa: BLE001
+            logger.warning("Native build failed (%s); using Python codecs.", e)
+            return None
+    if not _LIB_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.dewi_write_payloads_jsonl.restype = ctypes.c_int64
+        lib.dewi_write_payloads_jsonl.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_char_p,
+        ]
+        lib.dewi_read_payloads_jsonl.restype = ctypes.c_int64
+        lib.dewi_read_payloads_jsonl.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.dewi_minhash.restype = ctypes.c_int64
+        lib.dewi_minhash.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint64),
+        ]
+        _lib = lib
+    except OSError as e:
+        logger.warning("Native library load failed (%s); using Python.", e)
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_KEYS_CSV = ",".join(PAYLOAD_FIELDS).encode()
+
+
+# ---------------------------------------------------------------------------
+# payloads.jsonl codec
+# ---------------------------------------------------------------------------
+
+
+def write_payloads_jsonl(
+    path, doc_ids: Sequence[str], matrix: np.ndarray
+) -> None:
+    """Write ``{"doc_id": ..., "payload": {...}}`` lines (native when possible)."""
+    matrix = np.ascontiguousarray(matrix, dtype=np.float32)
+    n = matrix.shape[0]
+    assert matrix.shape[1] == len(PAYLOAD_FIELDS)
+    lib = _load()
+    if lib is not None and "\n" not in "".join(doc_ids):
+        ids_nl = "\n".join(doc_ids).encode("utf-8")
+        rc = lib.dewi_write_payloads_jsonl(
+            str(path).encode(), ids_nl,
+            matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(n), _KEYS_CSV,
+        )
+        if rc >= 0:
+            return
+        logger.warning("Native JSONL write failed (rc=%d); Python fallback.", rc)
+    with open(path, "w", encoding="utf-8") as f:
+        for doc_id, row in zip(doc_ids, matrix):
+            f.write(
+                json.dumps(
+                    {"doc_id": doc_id,
+                     "payload": Payload.from_array(row).to_dict()}
+                )
+                + "\n"
+            )
+
+
+def read_payloads_jsonl(path) -> Tuple[List[str], np.ndarray]:
+    """Read back (doc_ids, [N, 8] matrix); tolerant of missing/extra keys."""
+    path = Path(path)
+    lib = _load()
+    if lib is not None:
+        # Upper-bound row count by line count of the file.
+        data_len = path.stat().st_size
+        max_rows = max(1, data_len // 16)
+        out = np.zeros((max_rows, len(PAYLOAD_FIELDS)), dtype=np.float32)
+        ids_cap = data_len + max_rows + 16
+        ids_buf = ctypes.create_string_buffer(ids_cap)
+        rc = lib.dewi_read_payloads_jsonl(
+            str(path).encode(), _KEYS_CSV,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(max_rows), ids_buf, ctypes.c_int64(ids_cap),
+        )
+        if rc >= 0:
+            ids = ids_buf.value.decode("utf-8").split("\n") if rc else []
+            return ids[: int(rc)], out[: int(rc)]
+        logger.warning("Native JSONL read failed (rc=%d); Python fallback.", rc)
+    ids: List[str] = []
+    rows: List[np.ndarray] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            ids.append(str(d.get("doc_id", d.get("id", ""))))
+            rows.append(Payload.from_dict(d.get("payload", {})).to_array())
+    mat = (np.stack(rows) if rows
+           else np.zeros((0, len(PAYLOAD_FIELDS)), np.float32))
+    return ids, mat
+
+
+# ---------------------------------------------------------------------------
+# minhash
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures_native(
+    texts: Sequence[str], num_hashes: int = 64, seed: int = 0, k: int = 3
+) -> Optional[np.ndarray]:
+    """Native minhash; returns None when the library is unavailable or the
+    inputs contain the record separator."""
+    lib = _load()
+    if lib is None:
+        return None
+    if any("\x1e" in t for t in texts):
+        return None
+    rng = np.random.default_rng(seed)
+    p = (1 << 61) - 1
+    a = rng.integers(1, p, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, p, size=num_hashes, dtype=np.uint64)
+    sigs = np.full((len(texts), num_hashes), np.iinfo(np.uint64).max,
+                   dtype=np.uint64)
+    blob = "\x1e".join(texts).encode("utf-8", errors="replace")
+    rc = lib.dewi_minhash(
+        blob, ctypes.c_int64(len(texts)),
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(num_hashes), ctypes.c_int64(k),
+        sigs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if rc != len(texts):
+        return None
+    return sigs
+
+
+__all__ = [
+    "available",
+    "write_payloads_jsonl",
+    "read_payloads_jsonl",
+    "minhash_signatures_native",
+]

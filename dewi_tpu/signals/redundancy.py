@@ -90,7 +90,17 @@ def _shingles(text: str, k: int = 3) -> np.ndarray:
 def minhash_signatures(
     texts: Sequence[str], num_hashes: int = 64, seed: int = 0, k: int = 3
 ) -> np.ndarray:
-    """``[N, H]`` uint64 minhash signatures (universal hashing a*x+b mod p)."""
+    """``[N, H]`` uint64 minhash signatures (universal hashing a*x+b mod p).
+
+    Uses the native C++ shingle hasher (dewi_tpu/native) when available —
+    string processing is the host-side hot loop at corpus scale; the numpy
+    path below is the fallback and the reference semantics.
+    """
+    from ..native import minhash_signatures_native
+
+    native = minhash_signatures_native(texts, num_hashes, seed=seed, k=k)
+    if native is not None:
+        return native
     rng = np.random.default_rng(seed)
     a = rng.integers(1, int(_MERSENNE), size=num_hashes, dtype=np.uint64)
     b = rng.integers(0, int(_MERSENNE), size=num_hashes, dtype=np.uint64)
