@@ -5,6 +5,7 @@ from .base import BaseIndex
 from .exact import ExactIndex
 from .facade import DewiIndex, IndexBackend
 from .ivf import IVFIndex
+from .quantized import QuantizedIndex
 from .store import DocStore
 
 # Registry for persistence round-trips (replaces the reference's
@@ -13,6 +14,7 @@ from .store import DocStore
 BACKEND_CLASSES = {
     "ExactIndex": ExactIndex,
     "IVFIndex": IVFIndex,
+    "QuantizedIndex": QuantizedIndex,
     "HNSWIndex": ExactIndex,
     "FAISSIndex": IVFIndex,
 }
@@ -22,6 +24,7 @@ __all__ = [
     "BaseIndex",
     "ExactIndex",
     "IVFIndex",
+    "QuantizedIndex",
     "DewiIndex",
     "IndexBackend",
     "DocStore",

@@ -37,6 +37,7 @@ class IndexBackend(Enum):
 
     EXACT = "exact"
     IVF = "ivf"
+    QUANTIZED = "quantized"
     # Reference-compat aliases — resolved to TPU backends.
     HNSW = "hnsw"
     FAISS_IVFFLAT = "faiss_ivfflat"
@@ -47,13 +48,18 @@ class IndexBackend(Enum):
         name = name.lower()
         if name in ("auto", "bruteforce"):
             return cls.EXACT
+        if name in ("int8", "scann"):
+            return cls.QUANTIZED
         return cls(name)
 
     def resolve(self) -> type:
         from .ivf import IVFIndex
+        from .quantized import QuantizedIndex
 
         if self in (IndexBackend.IVF, IndexBackend.FAISS_IVFFLAT):
             return IVFIndex
+        if self is IndexBackend.QUANTIZED:
+            return QuantizedIndex
         if self in (IndexBackend.HNSW, IndexBackend.FAISS_HNSW):
             logger.info("Graph ANN replaced by exact TPU matmul top-k backend.")
             return ExactIndex

@@ -1,0 +1,99 @@
+"""Quantized index: int8 corpus scan + f32 refinement (ScaNN-style).
+
+The TPU-native high-throughput ANN tier — replaces the role of the
+reference's graph/IVF engines (backends.py:166-383) with quantization, which
+is what actually moves the needle on an accelerator whose brute-force search
+is HBM-bandwidth-bound (4× less corpus traffic than f32 in stage 1).
+Two-stage refinement keeps recall ≈ 1.0 vs exact; ``refine_factor`` is the
+recall/latency dial (analogous to FAISS nprobe / hnsw ef_query).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.quantized import quantize_rows, quantized_search
+from ..types import Payload
+from .base import BaseIndex
+
+
+class QuantizedIndex(BaseIndex):
+    """Exact-recall-in-practice int8 search with fused DEWI re-ranking."""
+
+    def __init__(
+        self,
+        dim: int,
+        space: str = "cosine",
+        refine_factor: int = 8,
+        **kwargs,
+    ):
+        super().__init__(dim, space, **kwargs)
+        self.refine_factor = max(1, int(refine_factor))
+        self._q_emb: Optional[jax.Array] = None
+        self._q_scales: Optional[jax.Array] = None
+
+    def build(self, **kwargs) -> None:
+        if len(self.store) == 0:
+            raise ValueError("No embeddings to build index from")
+        emb, _, _, _ = self.store.device_arrays()
+        self._q_emb, self._q_scales = quantize_rows(emb)
+        self._is_trained = True
+
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        eta: float = 0.5,
+        entropy_pref: float = 0.0,
+    ) -> Tuple[jax.Array, jax.Array]:
+        if self._q_emb is None:
+            self.build()
+        emb, sqn, pay, n = self.store.device_arrays()
+        q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
+        cap = self.store.capacity
+        k_eff = min(int(k), cap)
+        m = min(max(k_eff * self.refine_factor, 32), cap)
+        return quantized_search(
+            self._q_emb,
+            self._q_scales,
+            emb,
+            sqn,
+            pay,
+            q,
+            n,
+            jnp.float32(eta),
+            jnp.float32(entropy_pref),
+            k=k_eff,
+            m=m,
+            normalize=self.store.normalize,
+        )
+
+    def search(
+        self,
+        query: np.ndarray,
+        k: int = 10,
+        eta: float = 0.5,
+        entropy_pref: float = 0.0,
+    ) -> List[Tuple[str, float, Payload]]:
+        if len(self.store) == 0:
+            return []
+        scores, idx = self.search_batch(query, k=k, eta=eta,
+                                        entropy_pref=entropy_pref)
+        scores = np.asarray(scores[0])
+        idx = np.asarray(idx[0])
+        pay = self.store.payload_matrix()
+        results = []
+        for rank in range(min(int(k), len(self.store))):
+            i = int(idx[rank])
+            results.append(
+                (self.store.doc_ids[i], float(scores[rank]),
+                 Payload.from_array(pay[i]))
+            )
+        return results
+
+
+__all__ = ["QuantizedIndex"]

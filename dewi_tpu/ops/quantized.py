@@ -1,0 +1,97 @@
+"""Int8 quantized scoring: ScaNN-style two-stage exact search.
+
+No reference counterpart — the reference's ANN tiers are hnswlib graphs and
+FAISS IVF (backends.py:166-383).  On TPU the binding constraint for
+brute-force search is HBM bandwidth (reading the ``[N, D]`` corpus), so the
+idiomatic accelerator design is quantization, not graphs:
+
+* stage 1 — int8×int8 matmul over the whole corpus (4× less HBM traffic than
+  f32 and the MXU's highest-throughput path), fused DEWI re-rank, take a
+  top-``m`` candidate set (``m = refine_factor·k``);
+* stage 2 — gather the ``m`` f32 rows, exact similarity, re-rank, top-k.
+
+With refinement the result matches full-precision exact search except when
+a true top-k member falls outside the int8 top-``m`` — at refine_factor≥4
+measured recall is ~1.0 (see tests/test_quantized.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .similarity import l2_normalize, rerank_scores
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+@jax.jit
+def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization: returns (int8 values, f32 scales).
+
+    ``x ≈ values * scales[:, None]``; zero rows get scale 0 and quantize to 0.
+    """
+    x = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    scale = absmax / 127.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(x / safe[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+@partial(jax.jit, static_argnames=("k", "m", "normalize"))
+def quantized_search(
+    emb_i8: jax.Array,    # [cap, D] int8 corpus
+    scales: jax.Array,    # [cap] f32 row scales
+    emb_f32: jax.Array,   # [cap, D] f32 corpus (refinement gather source)
+    sqnorms: jax.Array,   # [cap] f32 row squared norms (L2 path)
+    payloads: jax.Array,  # [cap, 8]
+    queries: jax.Array,   # [Q, D]
+    n_valid: jax.Array,   # scalar int32
+    eta: jax.Array,
+    entropy_pref: jax.Array,
+    k: int,
+    m: int,
+    normalize: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Two-stage int8 -> f32 exact search; returns ([Q, k] scores, [Q, k] idx)."""
+    q = queries.astype(jnp.float32)
+    if normalize:
+        q = l2_normalize(q)
+    q_i8, q_scale = quantize_rows(q)
+
+    # Stage 1: int8 matmul (int32 accumulate on the MXU), rescale to f32.
+    acc = jax.lax.dot_general(
+        q_i8, emb_i8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)                              # [Q, cap]
+    sim1 = acc * q_scale[:, None] * scales[None, :]
+    if not normalize:
+        # -||e-q||^2 = 2 e.q - ||e||^2 - ||q||^2 with approximate dots.
+        sim1 = 2.0 * sim1 - sqnorms[None, :] - jnp.sum(q * q, -1, keepdims=True)
+    adj1 = rerank_scores(sim1, payloads, eta, entropy_pref)
+    valid = jnp.arange(emb_i8.shape[0], dtype=jnp.int32)[None, :] < n_valid
+    adj1 = jnp.where(valid, adj1, NEG_INF)
+    _, cand = jax.lax.top_k(adj1, m)                    # [Q, m]
+
+    # Stage 2: exact f32 over the m candidates only.
+    ce = emb_f32[cand]                                  # [Q, m, D]
+    sim2 = jnp.einsum("qd,qmd->qm", q, ce, preferred_element_type=jnp.float32)
+    if not normalize:
+        sim2 = 2.0 * sim2 - sqnorms[cand] - jnp.sum(q * q, -1, keepdims=True)
+    cp = payloads[cand]                                 # [Q, m, 8]
+    adj2 = (
+        (1.0 - eta) * sim2
+        + eta * cp[..., 0]
+        + entropy_pref * 0.5 * (cp[..., 1] + cp[..., 3])
+    )
+    cvalid = cand < n_valid
+    adj2 = jnp.where(cvalid, adj2, NEG_INF)
+    scores, pos = jax.lax.top_k(adj2, k)
+    return scores, jnp.take_along_axis(cand, pos, axis=1)
+
+
+__all__ = ["quantize_rows", "quantized_search"]

@@ -1,0 +1,138 @@
+"""Quantized (int8 two-stage) index tests: recall vs exact, API parity."""
+
+import numpy as np
+import pytest
+
+from dewi_tpu import DewiIndex
+from dewi_tpu.index import ExactIndex, QuantizedIndex
+from dewi_tpu.metrics import recall_matrix
+from dewi_tpu.ops.quantized import quantize_rows
+
+
+def make_corpus(n=512, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    pay = np.abs(rng.normal(size=(n, 8))).astype(np.float32)
+    pay[:, 0] = rng.beta(2, 2, n)
+    ids = [str(i) for i in range(n)]
+    return ids, emb, pay
+
+
+class TestQuantizeRows:
+    def test_roundtrip_error_small(self):
+        x = np.random.default_rng(0).normal(size=(32, 64)).astype(np.float32)
+        q, s = quantize_rows(x)
+        recon = np.asarray(q, dtype=np.float32) * np.asarray(s)[:, None]
+        rel = np.abs(recon - x).max() / np.abs(x).max()
+        assert rel < 0.01  # int8: ~1/254 worst-case per row
+
+    def test_zero_rows(self):
+        x = np.zeros((4, 8), np.float32)
+        q, s = quantize_rows(x)
+        assert np.all(np.asarray(q) == 0)
+        assert np.all(np.asarray(s) == 0)
+
+    def test_range(self):
+        x = np.random.default_rng(1).normal(size=(16, 32)).astype(np.float32)
+        q, _ = quantize_rows(x)
+        q = np.asarray(q)
+        assert q.dtype == np.int8
+        assert q.min() >= -127 and q.max() <= 127
+
+
+class TestQuantizedIndex:
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        return make_corpus()
+
+    def test_recall_vs_exact(self, corpus):
+        ids, emb, pay = corpus
+        exact = ExactIndex(dim=64)
+        exact.add_batch(ids, emb, pay)
+        exact.build()
+        quant = QuantizedIndex(dim=64, refine_factor=8)
+        quant.add_batch(ids, emb, pay)
+        quant.build()
+        q = np.random.default_rng(7).normal(size=(32, 64)).astype(np.float32)
+        _, ei = exact.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+        _, qi = quant.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+        rec = recall_matrix(np.asarray(qi), np.asarray(ei))
+        assert rec >= 0.99
+
+    def test_scores_close_to_exact(self, corpus):
+        ids, emb, pay = corpus
+        exact = ExactIndex(dim=64)
+        exact.add_batch(ids, emb, pay)
+        exact.build()
+        quant = QuantizedIndex(dim=64, refine_factor=8)
+        quant.add_batch(ids, emb, pay)
+        quant.build()
+        q = np.random.default_rng(3).normal(size=64).astype(np.float32)
+        er = exact.search(q, k=5, eta=0.3, entropy_pref=0.05)
+        qr = quant.search(q, k=5, eta=0.3, entropy_pref=0.05)
+        # Stage-2 scores are exact f32, so overlapping hits score identically.
+        e_by_id = {d: s for d, s, _ in er}
+        for d, s, _ in qr:
+            if d in e_by_id:
+                assert s == pytest.approx(e_by_id[d], abs=1e-5)
+
+    def test_search_result_shape(self, corpus):
+        ids, emb, pay = corpus
+        quant = QuantizedIndex(dim=64)
+        quant.add_batch(ids, emb, pay)
+        quant.build()
+        res = quant.search(np.ones(64, np.float32), k=7)
+        assert len(res) == 7
+        doc_id, score, payload = res[0]
+        assert isinstance(doc_id, str) and isinstance(score, float)
+
+    def test_k_exceeds_corpus(self):
+        ids, emb, pay = make_corpus(n=5, d=16)
+        quant = QuantizedIndex(dim=16)
+        quant.add_batch(ids, emb, pay)
+        quant.build()
+        res = quant.search(np.ones(16, np.float32), k=50)
+        assert len(res) == 5
+
+    def test_empty_index(self):
+        quant = QuantizedIndex(dim=8)
+        assert quant.search(np.ones(8, np.float32), k=3) == []
+        with pytest.raises(ValueError):
+            quant.build()
+
+    def test_facade_backend_names(self, corpus):
+        ids, emb, pay = corpus
+        for name in ("quantized", "int8", "scann"):
+            idx = DewiIndex(dim=64, backend=name)
+            assert isinstance(idx._backend, QuantizedIndex)
+        idx = DewiIndex(dim=64, backend="quantized", refine_factor=4)
+        idx.add_batch(ids, emb, pay)
+        idx.build()
+        res = idx.search(np.ones(64, np.float32), k=3)
+        assert len(res) == 3
+
+    def test_save_load_roundtrip(self, corpus, tmp_path):
+        ids, emb, pay = corpus
+        idx = DewiIndex(dim=64, backend="quantized")
+        idx.add_batch(ids, emb, pay)
+        idx.build()
+        q = np.random.default_rng(5).normal(size=64).astype(np.float32)
+        before = [d for d, _, _ in idx.search(q, k=5)]
+        idx.save(tmp_path / "qidx")
+        loaded = DewiIndex.load(tmp_path / "qidx")
+        assert isinstance(loaded._backend, QuantizedIndex)
+        after = [d for d, _, _ in loaded.search(q, k=5)]
+        assert before == after
+
+    def test_l2_space(self):
+        ids, emb, pay = make_corpus(n=128, d=32, seed=2)
+        exact = ExactIndex(dim=32, space="l2")
+        exact.add_batch(ids, emb, pay)
+        exact.build()
+        quant = QuantizedIndex(dim=32, space="l2", refine_factor=8)
+        quant.add_batch(ids, emb, pay)
+        quant.build()
+        q = np.random.default_rng(9).normal(size=(8, 32)).astype(np.float32)
+        _, ei = exact.search_batch(q, k=5, eta=0.0, entropy_pref=0.0)
+        _, qi = quant.search_batch(q, k=5, eta=0.0, entropy_pref=0.0)
+        assert recall_matrix(np.asarray(qi), np.asarray(ei)) >= 0.95
