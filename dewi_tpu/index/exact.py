@@ -22,7 +22,29 @@ from .base import BaseIndex
 
 
 class ExactIndex(BaseIndex):
-    """Brute-force cosine / L2 search with fused DEWI re-ranking."""
+    """Brute-force cosine / L2 search with fused DEWI re-ranking.
+
+    ``use_pallas=True`` routes cosine-space searches through the streaming
+    Pallas kernel (ops/pallas_search): corpus blocks stream HBM->VMEM with a
+    running top-k held in VMEM, instead of materializing ``[Q, cap]`` scores
+    for ``lax.top_k``.  Off by default; the XLA path is the reference
+    semantics and works on every backend.
+    """
+
+    def __init__(self, dim: int, space: str = "cosine",
+                 use_pallas: bool = False, **kwargs):
+        super().__init__(dim, space, **kwargs)
+        self.use_pallas = bool(use_pallas)
+
+    def _pallas_ok(self, n_queries: int) -> bool:
+        from ..ops.pallas_search import BLOCK, pallas_available
+
+        return (
+            self.use_pallas
+            and self.store.normalize
+            and self.store.capacity % BLOCK == 0
+            and pallas_available()
+        )
 
     def build(self, **kwargs) -> None:
         if len(self.store) == 0:
@@ -45,6 +67,14 @@ class ExactIndex(BaseIndex):
         emb, sqn, pay, n = self.store.device_arrays()
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
         k_eff = min(int(k), self.store.capacity)
+        if self._pallas_ok(q.shape[0]):
+            from ..ops.pallas_search import pallas_fused_search
+            from ..ops.similarity import l2_normalize
+
+            return pallas_fused_search(
+                emb, pay, l2_normalize(q), n,
+                jnp.float32(eta), jnp.float32(entropy_pref), k=k_eff,
+            )
         return fused_search(
             emb,
             sqn,

@@ -1,6 +1,12 @@
 """Mesh/runtime layer: device meshes, shardings, distributed search."""
 
 from .distributed import ShardedExactSearcher, make_sharded_search
+from .runtime import (
+    default_mesh,
+    device_summary,
+    initialize_runtime,
+    shard_batch,
+)
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -19,4 +25,8 @@ __all__ = [
     "single_device_mesh",
     "make_sharded_search",
     "ShardedExactSearcher",
+    "initialize_runtime",
+    "device_summary",
+    "shard_batch",
+    "default_mesh",
 ]

@@ -1,0 +1,72 @@
+"""Pallas streaming-search kernel tests (interpret mode on the CPU mesh)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dewi_tpu.ops.pallas_search import BLOCK, pallas_fused_search
+from dewi_tpu.ops.similarity import fused_search, l2_normalize
+
+
+def setup_arrays(cap=2048, d=64, q=3, seed=0):
+    rng = np.random.default_rng(seed)
+    emb = np.asarray(
+        l2_normalize(jnp.asarray(rng.normal(size=(cap, d)).astype(np.float32)))
+    )
+    pay = np.abs(rng.normal(size=(cap, 8))).astype(np.float32)
+    queries = np.asarray(
+        l2_normalize(jnp.asarray(rng.normal(size=(q, d)).astype(np.float32)))
+    )
+    return jnp.asarray(emb), jnp.asarray(pay), jnp.asarray(queries)
+
+
+def run_both(emb, pay, q, n_valid, eta, ep, k, block=1024):
+    sqn = jnp.sum(emb * emb, axis=1)
+    s_ref, i_ref = fused_search(
+        emb, sqn, pay, q, jnp.int32(n_valid),
+        jnp.float32(eta), jnp.float32(ep), k=k,
+    )
+    s_pl, i_pl = pallas_fused_search(
+        emb, pay, q, jnp.int32(n_valid),
+        jnp.float32(eta), jnp.float32(ep), k=k, block=block, interpret=True,
+    )
+    return map(np.asarray, (s_ref, i_ref, s_pl, i_pl))
+
+
+class TestPallasSearch:
+    def test_matches_xla_scores_and_sets(self):
+        emb, pay, q = setup_arrays()
+        s_ref, i_ref, s_pl, i_pl = run_both(emb, pay, q, 2000, 0.3, 0.1, k=10)
+        np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-5)
+        for a, b in zip(i_ref, i_pl):
+            assert set(a.tolist()) == set(b.tolist())
+
+    def test_validity_mask(self):
+        # Only the first 5 rows are live; no padding index may appear.
+        emb, pay, q = setup_arrays(cap=1024, d=32, q=2)
+        _, _, s_pl, i_pl = run_both(emb, pay, q, 5, 0.0, 0.0, k=5, block=256)
+        assert i_pl.max() < 5
+
+    def test_multi_block_merge(self):
+        # Force many grid steps so the running-buffer merge is exercised.
+        emb, pay, q = setup_arrays(cap=2048, d=32, q=2, seed=3)
+        s_ref, i_ref, s_pl, i_pl = run_both(
+            emb, pay, q, 2048, 0.5, 0.2, k=7, block=256
+        )
+        np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-5)
+
+    def test_eta_extremes(self):
+        emb, pay, q = setup_arrays(cap=1024, d=32, q=2, seed=5)
+        for eta in (0.0, 1.0):
+            s_ref, i_ref, s_pl, i_pl = run_both(
+                emb, pay, q, 1000, eta, 0.0, k=5, block=512
+            )
+            np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-5)
+
+    def test_capacity_must_divide(self):
+        emb, pay, q = setup_arrays(cap=1024, d=32, q=1)
+        with pytest.raises(AssertionError):
+            pallas_fused_search(
+                emb, pay, q, jnp.int32(10), jnp.float32(0.5),
+                jnp.float32(0.0), k=5, block=3000, interpret=True,
+            )
