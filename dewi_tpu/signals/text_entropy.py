@@ -134,17 +134,34 @@ class TextEntropyEstimator:
         relative_to_domain: bool = False,
         batch_size: Optional[int] = None,
     ) -> List[TextEntropyResult]:
-        """Bucketed, vectorized surprisal for N documents."""
+        """Bucketed, vectorized surprisal for N documents.
+
+        Documents longer than ``max_length`` tokens are scored over
+        overlapping fixed windows and their per-token streams merged
+        (the reference silently truncates to one forward —
+        text_entropy.py:55-73; SURVEY.md §5 long-context gap).
+        """
         if not len(texts):
             return []
         bs = int(batch_size or self.batch_size)
         use_domain = relative_to_domain and self.domain_params is not None
 
+        long_idx = [
+            i for i, t in enumerate(texts)
+            if len(self.tokenizer.encode(t, 1 << 30)) > self.cfg.max_len
+        ]
+        results_long: Dict[int, TextEntropyResult] = {
+            i: self._compute_long(texts[i], relative_to_domain, bs)
+            for i in long_idx
+        }
+        short = [i for i in range(len(texts)) if i not in results_long]
+
         # Group doc indices by padded bucket length.
         buckets: Dict[int, List[int]] = {}
-        enc = [self.tokenizer.encode(t, self.cfg.max_len) for t in texts]
-        for i, e in enumerate(enc):
-            b = bucket_length(max(len(e), 2), max_len=self.cfg.max_len)
+        enc = {i: self.tokenizer.encode(texts[i], self.cfg.max_len)
+               for i in short}
+        for i in short:
+            b = bucket_length(max(len(enc[i]), 2), max_len=self.cfg.max_len)
             buckets.setdefault(b, []).append(i)
 
         results: List[Optional[TextEntropyResult]] = [None] * len(texts)
@@ -189,7 +206,80 @@ class TextEntropyEstimator:
                         q90_entropy=float(q.get(0.9, qs[row, 0])),
                         q99_entropy=float(q.get(0.99, qs[row, -1])),
                     )
+        for i, r in results_long.items():
+            results[i] = r
         return results  # type: ignore[return-value]
+
+    def _compute_long(
+        self, text: str, relative_to_domain: bool, bs: int
+    ) -> TextEntropyResult:
+        """Long-document path: overlapping fixed windows, merged token stream.
+
+        Windows of ``max_len`` tokens advance by ``max_len - overlap``; each
+        window's first ``overlap`` targets are context-only (discarded except
+        in the first window), so every kept token has at least ``overlap``
+        tokens of left context.  All windows are scored as ONE padded batch
+        (static shapes; no per-window Python forwards).
+        """
+        t = self.cfg.max_len
+        overlap = t // 4
+        stride = t - overlap
+        ids_full = self.tokenizer.encode(text, 1 << 30)
+        windows = []
+        starts = list(range(0, max(len(ids_full) - overlap, 1), stride))
+        for s in starts:
+            windows.append(ids_full[s : s + t])
+
+        import numpy as _np
+
+        nq = len(windows)
+        ids = _np.full((nq, t), self.tokenizer.pad_id, dtype=_np.int32)
+        mask = _np.zeros((nq, t), dtype=_np.float32)
+        for w, win in enumerate(windows):
+            ids[w, : len(win)] = win
+            mask[w, : len(win)] = 1.0
+
+        use_domain = relative_to_domain and self.domain_params is not None
+        toks: List[float] = []
+        for start in range(0, nq, bs):
+            chunk_ids = ids[start : start + bs]
+            chunk_mask = mask[start : start + bs]
+            pad_rows = bs - chunk_ids.shape[0]
+            if pad_rows:
+                chunk_ids = _np.concatenate(
+                    [chunk_ids, _np.full((pad_rows, t), self.tokenizer.pad_id,
+                                         _np.int32)]
+                )
+                chunk_mask = _np.concatenate(
+                    [chunk_mask, _np.zeros((pad_rows, t), _np.float32)]
+                )
+            if use_domain:
+                nll, valid, _, _ = self._score_batch_relative(
+                    self.params, self.domain_params,
+                    jnp.asarray(chunk_ids), jnp.asarray(chunk_mask),
+                )
+            else:
+                nll, valid, _, _ = self._score_batch(
+                    self.params, jnp.asarray(chunk_ids), jnp.asarray(chunk_mask)
+                )
+            nll = np.asarray(nll)
+            valid = np.asarray(valid)
+            for row in range(min(bs - pad_rows, nq - start)):
+                w = start + row
+                stream = nll[row][valid[row]]
+                if w > 0:
+                    stream = stream[overlap - 1 :]  # drop context-only targets
+                toks.extend(stream.tolist())
+
+        arr = np.asarray(toks, dtype=np.float32)
+        if arr.size == 0:
+            return TextEntropyResult([], 0.0, 0.0, 0.0)
+        return TextEntropyResult(
+            token_entropies=arr.tolist(),
+            mean_entropy=float(arr.mean()),
+            q90_entropy=float(np.quantile(arr, 0.9)),
+            q99_entropy=float(np.quantile(arr, 0.99)),
+        )
 
     def __call__(self, text: str, **kwargs) -> TextEntropyResult:
         return self.compute_entropy(text, **kwargs)

@@ -257,3 +257,36 @@ class TestNoise:
         out = est.batch_compute(texts=["good text here", ""])
         assert len(out) == 2
         assert all(0.0 <= v <= 1.0 for v in out)
+
+
+class TestLongDocuments:
+    def test_window_merge_covers_all_tokens(self):
+        est = TextEntropyEstimator(model_name="tiny", batch_size=2,
+                                   max_length=32)
+        text = "alpha beta gamma " * 40  # far beyond 32 tokens
+        r = est.compute_entropy(text)
+        full = len(est.tokenizer.encode(text, 1 << 30))
+        assert len(r.token_entropies) == full - 1
+        assert r.mean_entropy == pytest.approx(
+            float(np.mean(r.token_entropies)), rel=1e-4
+        )
+
+    def test_long_matches_quantile_definition(self):
+        est = TextEntropyEstimator(model_name="tiny", batch_size=2,
+                                   max_length=32)
+        r = est.compute_entropy("xyz " * 50)
+        toks = np.asarray(r.token_entropies)
+        assert r.q90_entropy == pytest.approx(float(np.quantile(toks, 0.9)),
+                                              abs=1e-4)
+
+    def test_mixed_long_and_short_batch(self):
+        est = TextEntropyEstimator(model_name="tiny", batch_size=2,
+                                   max_length=32)
+        long_text = "gamma delta " * 60
+        out = est.batch_compute([long_text, "tiny", ""])
+        full = len(est.tokenizer.encode(long_text, 1 << 30))
+        assert len(out[0].token_entropies) == full - 1
+        assert len(out[1].token_entropies) == len(
+            est.compute_entropy("tiny").token_entropies
+        )
+        assert out[2].token_entropies == []
