@@ -108,14 +108,13 @@ def _search_kernel(
 
     b_scores, b_idx = _topk_via_max(adj, col, k)            # [Q, k] each
 
-    # Merge block candidates with the running buffer.
+    # Merge block candidates with the running buffer (gather-free: the
+    # doc indices ride through _topk_via_max as base_idx).
     cat_s = jnp.concatenate([run_scores[:], b_scores], axis=1)   # [Q, 2k]
     cat_i = jnp.concatenate([run_idx[:], b_idx], axis=1)
-    m_scores, m_pos = _topk_via_max(
-        cat_s, jax.lax.broadcasted_iota(jnp.int32, cat_s.shape, 1), k
-    )
+    m_scores, m_idx = _topk_via_max(cat_s, cat_i, k)
     run_scores[:] = m_scores
-    run_idx[:] = jnp.take_along_axis(cat_i, m_pos, axis=1)
+    run_idx[:] = m_idx
 
     @pl.when(step == n_steps - 1)
     def _emit():
