@@ -212,9 +212,15 @@ class IVFIndex(BaseIndex):
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
         k_eff = min(int(k), len(self.store))
 
+        # The probe gather materializes [block, nprobe, cap, D] f32; bound it
+        # to ~1 GB so 1M-doc corpora with large buckets don't OOM the device.
+        bucket_cap = int(self._dev[1].shape[1])
+        bytes_per_q = nprobe * bucket_cap * self.dim * 4
+        block_size = max(1, min(QUERY_BLOCK, (1 << 30) // max(bytes_per_q, 1)))
+
         outs_v, outs_i = [], []
-        for start in range(0, q.shape[0], QUERY_BLOCK):
-            block = q[start : start + QUERY_BLOCK]
+        for start in range(0, q.shape[0], block_size):
+            block = q[start : start + block_size]
             v, i = _ivf_search_kernel(
                 *self._dev,
                 block,

@@ -1,6 +1,11 @@
 """Mesh/runtime layer: device meshes, shardings, distributed search."""
 
-from .distributed import ShardedExactSearcher, make_sharded_search
+from .distributed import (
+    ShardedExactSearcher,
+    ShardedQuantizedSearcher,
+    make_sharded_quantized_search,
+    make_sharded_search,
+)
 from .runtime import (
     default_mesh,
     device_summary,
@@ -25,6 +30,8 @@ __all__ = [
     "single_device_mesh",
     "make_sharded_search",
     "ShardedExactSearcher",
+    "ShardedQuantizedSearcher",
+    "make_sharded_quantized_search",
     "initialize_runtime",
     "device_summary",
     "shard_batch",

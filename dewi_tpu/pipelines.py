@@ -424,6 +424,10 @@ class DewiPipeline:
             rerank_eta=cfg.rerank_eta,
             entropy_pref=cfg.entropy_pref,
         )
+        if self.config.mesh.dtype == "bfloat16":
+            import jax.numpy as jnp
+
+            kwargs["dtype"] = jnp.bfloat16  # halve index HBM traffic
         kwargs.update(index_kwargs)
         index = DewiIndex(dim=dim, **kwargs)
         emb = np.stack([d.embedding for d in documents]).astype(np.float32)

@@ -78,3 +78,34 @@ def test_l2_sharded(rng):
     for qi in range(3):
         oracle_idx, _ = numpy_oracle(emb, pays, q[qi], k, 0.2, 0.0, space="l2")
         np.testing.assert_array_equal(np.asarray(idx[qi]), oracle_idx)
+
+
+class TestShardedQuantized:
+    def test_matches_sharded_exact(self):
+        import numpy as np
+        from dewi_tpu.index.store import DocStore
+        from dewi_tpu.metrics import recall_matrix
+        from dewi_tpu.parallel import (
+            ShardedExactSearcher,
+            ShardedQuantizedSearcher,
+            make_mesh,
+        )
+
+        rng = np.random.default_rng(0)
+        n, d = 8 * 64, 32
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pay = np.abs(rng.normal(size=(n, 8))).astype(np.float32)
+        ids = [str(i) for i in range(n)]
+        mesh = make_mesh(n_data=8, n_model=1)
+
+        s1 = DocStore(dim=d)
+        s1.add_batch(ids, emb, pay)
+        exact = ShardedExactSearcher(s1, mesh, k=10)
+        s2 = DocStore(dim=d)
+        s2.add_batch(ids, emb, pay)
+        quant = ShardedQuantizedSearcher(s2, mesh, k=10, refine_factor=8)
+
+        q = rng.normal(size=(6, d)).astype(np.float32)
+        _, ei = exact.search_batch(q, eta=0.25, entropy_pref=0.1)
+        _, qi = quant.search_batch(q, eta=0.25, entropy_pref=0.1)
+        assert recall_matrix(np.asarray(qi), np.asarray(ei)) >= 0.99
