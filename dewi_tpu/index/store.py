@@ -65,6 +65,7 @@ class DocStore:
         self._live: Dict[int, Payload] = {}
         self._dirty = True
         self._device: Optional[tuple] = None
+        self._host_stale = False
 
     # ---- introspection ---------------------------------------------------
 
@@ -73,6 +74,8 @@ class DocStore:
 
     @property
     def capacity(self) -> int:
+        if self._host_stale and self._device is not None:
+            return int(self._device[0].shape[0])
         return self._emb.shape[0]
 
     @property
@@ -96,6 +99,7 @@ class DocStore:
         self._dirty = True
 
     def add(self, doc_id: str, embedding: np.ndarray, payload: Payload) -> None:
+        self._sync_host()
         emb = np.asarray(embedding, dtype=np.float32)
         if emb.shape != (self.dim,):
             raise ValueError(
@@ -116,6 +120,7 @@ class DocStore:
         payloads: Union[np.ndarray, Sequence[Payload]],
     ) -> None:
         """Bulk ingest: the TPU-native path (one memcpy, no per-doc Python)."""
+        self._sync_host()
         emb = np.asarray(embeddings, dtype=np.float32)
         if emb.ndim != 2 or emb.shape[1] != self.dim:
             raise ValueError(f"Expected [N, {self.dim}] embeddings, got {emb.shape}")
@@ -134,7 +139,67 @@ class DocStore:
         self._ids.extend(str(d) for d in doc_ids)
         self._dirty = True
 
+    def attach_device(
+        self,
+        doc_ids: Sequence[str],
+        embeddings: jax.Array,
+        payloads: jax.Array,
+    ) -> None:
+        """Zero-copy ingest of already-device-resident arrays.
+
+        The bulk path for corpora generated or scored on the accelerator:
+        arrays are padded to capacity and normalized on device; nothing
+        round-trips through host RAM (the host mirror is fetched lazily only
+        if payload accessors or persistence need it).  Replaces the store's
+        current contents.
+        """
+        if embeddings.ndim != 2 or embeddings.shape[1] != self.dim:
+            raise ValueError(
+                f"Expected [N, {self.dim}] embeddings, got {embeddings.shape}"
+            )
+        n = embeddings.shape[0]
+        if len(doc_ids) != n or payloads.shape != (n, len(PAYLOAD_FIELDS)):
+            raise ValueError("doc_ids / embeddings / payloads length mismatch")
+        cap = _next_capacity(n)
+        emb = jnp.asarray(embeddings, jnp.float32)
+        pay = jnp.asarray(payloads, jnp.float32)
+        if cap > n:
+            emb = jnp.concatenate(
+                [emb, jnp.zeros((cap - n, self.dim), jnp.float32)]
+            )
+            pay = jnp.concatenate(
+                [pay, jnp.zeros((cap - n, len(PAYLOAD_FIELDS)), jnp.float32)]
+            )
+        if self.normalize:
+            from ..ops.similarity import l2_normalize
+
+            emb = l2_normalize(emb)
+        emb = emb.astype(self.dtype)
+        sqn = jnp.sum(jnp.square(emb.astype(jnp.float32)), axis=-1)
+        if self.sharding is not None:
+            emb = jax.device_put(emb, self.sharding)
+            pay = jax.device_put(pay, self.sharding)
+        self._ids = [str(d) for d in doc_ids]
+        self._id_to_idx = {d: i for i, d in enumerate(self._ids)}
+        self._live = {}
+        self._device = (emb, sqn, pay, jnp.int32(n))
+        self._dirty = False
+        self._host_stale = True
+        # Host mirrors become placeholders; fetched on demand.
+        self._emb = np.zeros((0, self.dim), dtype=np.float32)
+        self._pay = np.zeros((0, len(PAYLOAD_FIELDS)), dtype=np.float32)
+
+    def _sync_host(self) -> None:
+        """Fetch host mirrors from device after :meth:`attach_device`."""
+        if not getattr(self, "_host_stale", False):
+            return
+        emb, _, pay, _ = self._device
+        self._emb = np.asarray(emb, dtype=np.float32)
+        self._pay = np.asarray(pay, dtype=np.float32)
+        self._host_stale = False
+
     def set_payload(self, doc_id: str, payload: Payload) -> None:
+        self._sync_host()
         idx = self._id_to_idx[doc_id]
         self._pay[idx] = payload.to_array()
         self._live.pop(idx, None)
@@ -142,6 +207,7 @@ class DocStore:
 
     def set_payload_matrix(self, matrix: np.ndarray) -> None:
         """Overwrite all live payload rows at once (bulk re-score path)."""
+        self._sync_host()
         mat = np.asarray(matrix, dtype=np.float32)
         if mat.shape != (len(self), len(PAYLOAD_FIELDS)):
             raise ValueError(
@@ -153,6 +219,7 @@ class DocStore:
 
     def set_dewi_scores(self, scores: np.ndarray) -> None:
         """Write freshly computed DEWI scores into payload column 0."""
+        self._sync_host()
         scores = np.asarray(scores, dtype=np.float32).reshape(-1)
         if scores.shape[0] != len(self):
             raise ValueError("scores length != number of documents")
@@ -167,6 +234,7 @@ class DocStore:
         idx = self._id_to_idx.get(doc_id)
         if idx is None:
             return None
+        self._sync_host()
         if idx not in self._live:
             self._live[idx] = Payload.from_array(self._pay[idx])
         return self._live[idx]
@@ -175,13 +243,16 @@ class DocStore:
         idx = self._id_to_idx.get(doc_id)
         if idx is None:
             return None
+        self._sync_host()
         return self._emb[idx].copy()
 
     def payload_matrix(self) -> np.ndarray:
+        self._sync_host()
         self._flush_live()
         return self._pay[: len(self)]
 
     def embedding_matrix(self) -> np.ndarray:
+        self._sync_host()
         return self._emb[: len(self)]
 
     # ---- device sync ---------------------------------------------------------

@@ -299,3 +299,101 @@ class TestIVFIndex:
         loaded = DewiIndex.load(tmp_path / "ivf")
         after = [r[0] for r in loaded.search(q, k=5)]
         assert before == after
+
+
+class TestAttachDevice:
+    def test_attach_matches_add_batch(self, rng, dummy_embeddings, dummy_payloads):
+        import jax.numpy as jnp
+        from dewi_tpu.index import ExactIndex
+        from dewi_tpu.types import payloads_to_matrix
+
+        pay = payloads_to_matrix(dummy_payloads)
+        a = ExactIndex(dim=32)
+        a.add_batch([str(i) for i in range(64)], dummy_embeddings, pay)
+        a.build()
+        b = ExactIndex(dim=32)
+        b.store.attach_device(
+            [str(i) for i in range(64)],
+            jnp.asarray(dummy_embeddings),
+            jnp.asarray(pay),
+        )
+        b.build()
+        q = rng.normal(size=32).astype("float32")
+        ra = a.search(q, k=5, eta=0.3, entropy_pref=0.1)
+        rb = b.search(q, k=5, eta=0.3, entropy_pref=0.1)
+        assert [r[0] for r in ra] == [r[0] for r in rb]
+        for (_, sa, pa), (_, sb, pb) in zip(ra, rb):
+            assert sa == pytest.approx(sb, abs=1e-5)
+            assert pa.dewi == pytest.approx(pb.dewi, abs=1e-6)
+
+    def test_attach_then_host_accessors(self, rng, dummy_embeddings, dummy_payloads):
+        import jax.numpy as jnp
+        from dewi_tpu.index import ExactIndex
+        from dewi_tpu.types import payloads_to_matrix
+
+        pay = payloads_to_matrix(dummy_payloads)
+        idx = ExactIndex(dim=32)
+        idx.store.attach_device(
+            [str(i) for i in range(64)],
+            jnp.asarray(dummy_embeddings),
+            jnp.asarray(pay),
+        )
+        # Lazy host fetch: payload accessors still work after device attach.
+        p = idx.get_payload("3")
+        assert p is not None
+        assert p.dewi == pytest.approx(float(pay[3, 0]), abs=1e-6)
+        assert idx.store.capacity >= 64
+        assert len(idx.store.payload_matrix()) == 64
+
+    def test_attach_then_save_load(self, tmp_path, rng, dummy_embeddings,
+                                   dummy_payloads):
+        import jax.numpy as jnp
+        from dewi_tpu.index import ExactIndex
+        from dewi_tpu.types import payloads_to_matrix
+
+        pay = payloads_to_matrix(dummy_payloads)
+        idx = ExactIndex(dim=32)
+        idx.store.attach_device(
+            [str(i) for i in range(64)],
+            jnp.asarray(dummy_embeddings),
+            jnp.asarray(pay),
+        )
+        idx.build()
+        idx.save(tmp_path / "ix")
+        loaded = ExactIndex.load(tmp_path / "ix")
+        q = rng.normal(size=32).astype("float32")
+        assert [r[0] for r in idx.search(q, k=5)] == \
+               [r[0] for r in loaded.search(q, k=5)]
+
+    def test_attach_shape_validation(self):
+        import jax.numpy as jnp
+        from dewi_tpu.index.store import DocStore
+
+        store = DocStore(dim=8)
+        with pytest.raises(ValueError):
+            store.attach_device(["a"], jnp.zeros((1, 4)), jnp.zeros((1, 8)))
+        with pytest.raises(ValueError):
+            store.attach_device(["a", "b"], jnp.zeros((1, 8)), jnp.zeros((1, 8)))
+
+
+class TestBF16Storage:
+    def test_bfloat16_store_search_close_to_f32(self, rng, dummy_embeddings,
+                                                dummy_payloads):
+        import jax.numpy as jnp
+        from dewi_tpu.index import ExactIndex
+        from dewi_tpu.metrics import recall_matrix
+        from dewi_tpu.types import payloads_to_matrix
+
+        pay = payloads_to_matrix(dummy_payloads)
+        ids = [str(i) for i in range(64)]
+        f32 = ExactIndex(dim=32)
+        f32.add_batch(ids, dummy_embeddings, pay)
+        f32.build()
+        bf16 = ExactIndex(dim=32, dtype=jnp.bfloat16)
+        bf16.add_batch(ids, dummy_embeddings, pay)
+        bf16.build()
+        q = rng.normal(size=(8, 32)).astype("float32")
+        _, i32 = f32.search_batch(q, k=5, eta=0.25, entropy_pref=0.1)
+        _, i16 = bf16.search_batch(q, k=5, eta=0.25, entropy_pref=0.1)
+        import numpy as np
+        assert recall_matrix(np.asarray(i16), np.asarray(i32)) >= 0.9
