@@ -28,7 +28,7 @@ N_DOCS = 1_000_000
 DIM = 256
 N_QUERIES = 1_000
 K = 10
-CHAIN = 32                       # searches per chained device loop
+CHAIN = 128                      # searches per chained device loop
 BASELINE_QUERY_MS = 22.0         # reference README.md:163
 BASELINE_BUILD_S = 2.1 * 3600.0  # reference README.md:163
 
@@ -130,7 +130,7 @@ def main() -> None:
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_QUERY_MS / p50_device, 2),
                 "extras": {
-                    "latency_method": "chained on-device loop (32 serialized "
+                    "latency_method": "chained on-device loop (128 serialized "
                                       "searches per dispatch)",
                     "raw_dispatch_p50_ms_incl_host_rtt": round(
                         float(np.percentile(raw_ms, 50)), 4
