@@ -102,6 +102,8 @@ def config(output: Optional[str], overwrite: bool, preset: str):
               help="Scoring mode")
 @click.option("--checkpoint-dir", type=click.Path(),
               help="Stage-checkpoint directory for resumable signal runs")
+@click.option("--shard-size", type=int,
+              help="Process the corpus in resumable shards of this many docs")
 def process(
     config_path: str,
     output_dir: str,
@@ -113,6 +115,7 @@ def process(
     delta: Optional[float],
     mode: Optional[str],
     checkpoint_dir: Optional[str],
+    shard_size: Optional[int],
 ) -> None:
     """Compute DEWI signals + scores for a corpus and write artifacts."""
     try:
@@ -154,12 +157,19 @@ def process(
             return
 
         pipeline = DewiPipeline(cfg)
-        docs = pipeline.compute_signals(
-            documents, progress=True, checkpoint_dir=checkpoint_dir
-        )
-        docs = pipeline.compute_dewi_scores(
-            docs, delta=cfg.scoring.delta, mode=cfg.scoring.mode
-        )
+        if shard_size:
+            docs = pipeline.process_stream(
+                documents, shard_size=shard_size, progress=True,
+                checkpoint_dir=checkpoint_dir,
+                delta=cfg.scoring.delta, mode=cfg.scoring.mode,
+            )
+        else:
+            docs = pipeline.compute_signals(
+                documents, progress=True, checkpoint_dir=checkpoint_dir
+            )
+            docs = pipeline.compute_dewi_scores(
+                docs, delta=cfg.scoring.delta, mode=cfg.scoring.mode
+            )
         _save_results(docs, out)
         try:
             index = pipeline.build_index(docs)

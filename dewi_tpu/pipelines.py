@@ -207,8 +207,14 @@ class DewiPipeline:
         documents: List[Document],
         progress: bool = False,
         checkpoint_dir: Optional[PathLike] = None,
+        include_redundancy: bool = True,
     ) -> List[Document]:
-        """Fill the seven signal fields of every document, stage by stage."""
+        """Fill the seven signal fields of every document, stage by stage.
+
+        ``include_redundancy=False`` defers the (cross-document) redundancy
+        stage — used by :meth:`process_stream`, which runs it globally after
+        all shards so sharding never changes scores.
+        """
         if not documents:
             return []
         ckpt = _StageCheckpoint(checkpoint_dir, len(documents))
@@ -277,36 +283,16 @@ class DewiPipeline:
         # prerequisite for redundancy and for indexing (§2.4 item 6).
         self.ensure_embeddings(documents)
 
-        # Stage 5: redundancy (embedding-space max-offdiag, or hash mode).
-        cached = ckpt.load("redundancy")
-        if cached is None:
+        # Stage 5: redundancy (embedding-space max-offdiag, or hash mode;
+        # cross-document, so process_stream defers it to a global pass).
+        if include_redundancy:
             log_stage("redundancy")
-            if self.config.redundancy.text_sim in ("minhash", "simhash"):
-                scores = np.zeros(len(documents), np.float32)
-                if text_idx:
-                    tscores = self.redundancy.score_texts(
-                        [documents[i].text for i in text_idx]
-                    )
-                    scores[np.array(text_idx)] = tscores
-            else:
-                # Compare only within same-dimension groups (user-provided
-                # embeddings may differ in dim from the CLIP towers').
-                scores = np.zeros(len(documents), np.float32)
-                by_dim: Dict[int, List[int]] = {}
-                for i, d in enumerate(documents):
-                    by_dim.setdefault(len(d.embedding), []).append(i)
-                for idxs in by_dim.values():
-                    if len(idxs) < 2:
-                        continue
-                    emb = np.stack([documents[i].embedding for i in idxs])
-                    scores[np.array(idxs)] = self.redundancy.score(emb)
-            ckpt.save("redundancy", scores=np.asarray(scores, np.float32))
-        else:
-            scores = cached["scores"]
-        for i, d in enumerate(documents):
-            d.redundancy = float(scores[i])
+            self._redundancy_stage(documents, ckpt)
 
-        # Stage 6: noise (host-side heuristics).
+        return self._noise_stage(documents, ckpt, log_stage)
+
+    def _noise_stage(self, documents, ckpt, log_stage) -> List[Document]:
+        """Stage 6: noise (host-side heuristics)."""
         cached = ckpt.load("noise")
         if cached is None:
             log_stage("noise")
@@ -322,7 +308,36 @@ class DewiPipeline:
             noise = cached["scores"]
         for i, d in enumerate(documents):
             d.noise = float(noise[i])
+        return documents
 
+    def _redundancy_stage(
+        self, documents: List[Document], ckpt: "_StageCheckpoint"
+    ) -> List[Document]:
+        """Global redundancy over an already-embedded document list."""
+        cached = ckpt.load("redundancy")
+        if cached is None:
+            if self.config.redundancy.text_sim in ("minhash", "simhash"):
+                scores = np.zeros(len(documents), np.float32)
+                text_idx = [i for i, d in enumerate(documents) if d.text]
+                if text_idx:
+                    scores[np.array(text_idx)] = self.redundancy.score_texts(
+                        [documents[i].text for i in text_idx]
+                    )
+            else:
+                scores = np.zeros(len(documents), np.float32)
+                by_dim: Dict[int, List[int]] = {}
+                for i, d in enumerate(documents):
+                    by_dim.setdefault(len(d.embedding), []).append(i)
+                for idxs in by_dim.values():
+                    if len(idxs) < 2:
+                        continue
+                    emb = np.stack([documents[i].embedding for i in idxs])
+                    scores[np.array(idxs)] = self.redundancy.score(emb)
+            ckpt.save("redundancy", scores=np.asarray(scores, np.float32))
+        else:
+            scores = cached["scores"]
+        for i, d in enumerate(documents):
+            d.redundancy = float(scores[i])
         return documents
 
     def ensure_embeddings(self, documents: List[Document]) -> List[Document]:
@@ -403,6 +418,46 @@ class DewiPipeline:
             d.dewi_score = float(s)
         self._scorer = scorer  # fitted stats, reusable for incremental docs
         return documents
+
+    def process_stream(
+        self,
+        documents: List[Document],
+        shard_size: Optional[int] = None,
+        checkpoint_dir: Optional[PathLike] = None,
+        weights=None,
+        delta: Optional[float] = None,
+        mode: Optional[str] = None,
+        progress: bool = False,
+    ) -> List[Document]:
+        """Sharded signal computation with per-shard resume + global scoring.
+
+        Corpora larger than memory/HBM process in ``shard_size`` chunks;
+        each shard's signal stages checkpoint independently (a restarted run
+        skips completed shards), and robust statistics are fit GLOBALLY over
+        all shards before scoring — identical results to the monolithic path
+        (the reference restarts signal computation from scratch on any
+        failure — SURVEY.md §5 checkpoint/resume).
+        """
+        if not documents:
+            return []
+        shard_size = int(shard_size or self.config.runtime.shard_size)
+        ckpt_root = Path(checkpoint_dir) if checkpoint_dir else None
+        n_shards = (len(documents) + shard_size - 1) // shard_size
+        for s in range(n_shards):
+            shard = documents[s * shard_size : (s + 1) * shard_size]
+            sub = ckpt_root / f"shard_{s:05d}" if ckpt_root else None
+            if progress:
+                print(f"Shard {s + 1}/{n_shards} ({len(shard)} docs)")
+            self.compute_signals(shard, progress=progress, checkpoint_dir=sub,
+                                 include_redundancy=False)
+        # Redundancy is cross-document: run it globally over all shards so
+        # sharding never changes scores.
+        self._redundancy_stage(
+            documents, _StageCheckpoint(ckpt_root, len(documents))
+        )
+        # Global fit+score across every shard in one fused call.
+        return self.compute_dewi_scores(documents, weights=weights,
+                                        delta=delta, mode=mode)
 
     # -- index handoff ------------------------------------------------------------
 

@@ -189,3 +189,35 @@ class TestIndexHandoff:
     def test_build_index_empty_raises(self, pipeline):
         with pytest.raises(ValueError):
             pipeline.build_index([])
+
+
+class TestProcessStream:
+    def test_sharded_matches_monolithic(self, tmp_path):
+        pipe = DewiPipeline(tiny_config())
+        mk = lambda: [
+            create_document(f"d{i}", text=f"document number {i} some words here")
+            for i in range(10)
+        ]
+        mono = pipe.compute_dewi_scores(pipe.compute_signals(mk()))
+        sharded = pipe.process_stream(mk(), shard_size=3,
+                                      checkpoint_dir=tmp_path)
+        for a, b in zip(mono, sharded):
+            assert a.dewi_score == pytest.approx(b.dewi_score, abs=1e-5)
+        # Per-shard checkpoint dirs exist.
+        assert (tmp_path / "shard_00000" / "text.npz").exists()
+        assert (tmp_path / "shard_00003" / "text.npz").exists()
+
+    def test_resume_skips_recompute(self, tmp_path):
+        pipe = DewiPipeline(tiny_config())
+        mk = lambda: [
+            create_document(f"d{i}", text=f"text number {i} alpha beta")
+            for i in range(6)
+        ]
+        a = pipe.process_stream(mk(), shard_size=2, checkpoint_dir=tmp_path)
+        b = pipe.process_stream(mk(), shard_size=2, checkpoint_dir=tmp_path)
+        for x, y in zip(a, b):
+            assert x.dewi_score == pytest.approx(y.dewi_score)
+
+    def test_empty(self):
+        pipe = DewiPipeline(tiny_config())
+        assert pipe.process_stream([]) == []
