@@ -103,6 +103,18 @@ def main() -> None:
         chain_ms.append((time.perf_counter() - t) * 1e3 / CHAIN)
     p50_device = float(np.percentile(chain_ms, 50))
 
+    # ---- bf16 storage variant (the low-latency serving config) -----------
+    emb16 = emb_d.astype(jnp.bfloat16)
+    jax.block_until_ready(chained(emb16, sqn_d, pay_d, n_d, q0))
+    bf16_ms = []
+    for i in range(6):
+        t = time.perf_counter()
+        jax.block_until_ready(
+            chained(emb16, sqn_d, pay_d, n_d, queries_h[i : i + 1])
+        )
+        bf16_ms.append((time.perf_counter() - t) * 1e3 / CHAIN)
+    p50_bf16 = float(np.percentile(bf16_ms, 50))
+
     # ---- raw single-dispatch latency (includes host<->device RTT) --------
     jax.block_until_ready(
         index.search_batch(q0, k=K, eta=0.25, entropy_pref=0.1)[0]
@@ -132,6 +144,7 @@ def main() -> None:
                 "extras": {
                     "latency_method": "chained on-device loop (128 serialized "
                                       "searches per dispatch)",
+                    "bf16_store_p50_ms": round(p50_bf16, 4),
                     "raw_dispatch_p50_ms_incl_host_rtt": round(
                         float(np.percentile(raw_ms, 50)), 4
                     ),
