@@ -128,10 +128,15 @@ def main() -> None:
         raw_ms.append((time.perf_counter() - t) * 1e3)
 
     # ---- batched QPS (all 1000 queries in one fused call) -----------------
-    t = time.perf_counter()
     s, _ = index.search_batch(queries_h, k=K, eta=0.25, entropy_pref=0.1)
-    jax.block_until_ready(s)
-    batch_s = time.perf_counter() - t
+    jax.block_until_ready(s)  # compile the [1000, D] shape
+    batch_s = []
+    for _ in range(3):
+        t = time.perf_counter()
+        s, _ = index.search_batch(queries_h, k=K, eta=0.25, entropy_pref=0.1)
+        jax.block_until_ready(s)
+        batch_s.append(time.perf_counter() - t)
+    batch_s = min(batch_s)
     qps = N_QUERIES / batch_s
 
     print(
