@@ -229,11 +229,11 @@ class DewiPipeline:
             cached = ckpt.load("text")
             if cached is None:
                 log_stage("text entropy")
-                results = self.text_entropy.batch_compute(
+                # Stats-only path: aggregates come straight off device, no
+                # per-token host materialization (the corpus-scale win).
+                means, q90s, _ = self.text_entropy.batch_compute_stats(
                     [documents[i].text for i in text_idx]
                 )
-                means = np.array([r.mean_entropy for r in results], np.float32)
-                q90s = np.array([r.q90_entropy for r in results], np.float32)
                 ckpt.save("text", idx=np.array(text_idx), means=means, q90s=q90s)
             else:
                 means, q90s = cached["means"], cached["q90s"]

@@ -281,6 +281,78 @@ class TextEntropyEstimator:
             q99_entropy=float(np.quantile(arr, 0.99)),
         )
 
+    def batch_compute_stats(
+        self,
+        texts: Sequence[str],
+        relative_to_domain: bool = False,
+        batch_size: Optional[int] = None,
+    ):
+        """Bulk corpus path: per-doc ``(mean, q90, q99)`` arrays ONLY.
+
+        Skips materializing per-token entropy lists on the host — that
+        Python extraction dominates wall time at corpus scale (the
+        aggregates are computed on device by the same fused kernel).
+        Long documents fall back to the windowed path.
+        """
+        if not len(texts):
+            z = np.zeros(0, np.float32)
+            return z, z.copy(), z.copy()
+        bs = int(batch_size or self.batch_size)
+        use_domain = relative_to_domain and self.domain_params is not None
+
+        means = np.zeros(len(texts), np.float32)
+        q90s = np.zeros(len(texts), np.float32)
+        q99s = np.zeros(len(texts), np.float32)
+
+        buckets: Dict[int, List[int]] = {}
+        long_idx = []
+        enc: Dict[int, List[int]] = {}
+        for i, t in enumerate(texts):
+            e = self.tokenizer.encode(t, self.cfg.max_len + 1)
+            if len(e) > self.cfg.max_len:
+                long_idx.append(i)
+                continue
+            enc[i] = e
+            b = bucket_length(max(len(e), 2), max_len=self.cfg.max_len)
+            buckets.setdefault(b, []).append(i)
+
+        for i in long_idx:
+            r = self._compute_long(texts[i], relative_to_domain, bs)
+            means[i], q90s[i], q99s[i] = r.mean_entropy, r.q90_entropy, r.q99_entropy
+
+        for blen, idxs in sorted(buckets.items()):
+            for start in range(0, len(idxs), bs):
+                chunk = idxs[start : start + bs]
+                ids, mask = self.tokenizer.encode_batch(
+                    [texts[i] for i in chunk], self.cfg.max_len, pad_to=blen
+                )
+                pad_rows = bs - len(chunk)
+                if pad_rows:
+                    ids = np.concatenate(
+                        [ids, np.full((pad_rows, blen), self.tokenizer.pad_id,
+                                      dtype=np.int32)]
+                    )
+                    mask = np.concatenate(
+                        [mask, np.zeros((pad_rows, blen), np.float32)]
+                    )
+                if use_domain:
+                    _, _, mean, qs = self._score_batch_relative(
+                        self.params, self.domain_params,
+                        jnp.asarray(ids), jnp.asarray(mask),
+                    )
+                else:
+                    _, _, mean, qs = self._score_batch(
+                        self.params, jnp.asarray(ids), jnp.asarray(mask)
+                    )
+                mean = np.asarray(mean)
+                qs = np.asarray(qs)
+                rows = np.arange(len(chunk))
+                cidx = np.asarray(chunk)
+                means[cidx] = mean[rows]
+                q90s[cidx] = qs[rows, 0] if 0.9 in self.quantiles else qs[rows, 0]
+                q99s[cidx] = qs[rows, -1]
+        return means, q90s, q99s
+
     def __call__(self, text: str, **kwargs) -> TextEntropyResult:
         return self.compute_entropy(text, **kwargs)
 

@@ -290,3 +290,32 @@ class TestLongDocuments:
             est.compute_entropy("tiny").token_entropies
         )
         assert out[2].token_entropies == []
+
+
+class TestBatchStats:
+    def test_stats_match_full_path(self):
+        est = TextEntropyEstimator(model_name="tiny", batch_size=4,
+                                   max_length=64)
+        texts = ["alpha beta gamma delta", "x", "some longer text here " * 3,
+                 ""]
+        full = est.batch_compute(texts)
+        means, q90s, q99s = est.batch_compute_stats(texts)
+        for i, r in enumerate(full):
+            assert means[i] == pytest.approx(r.mean_entropy, abs=1e-4)
+            assert q90s[i] == pytest.approx(r.q90_entropy, abs=1e-4)
+            assert q99s[i] == pytest.approx(r.q99_entropy, abs=1e-4)
+
+    def test_stats_long_docs(self):
+        est = TextEntropyEstimator(model_name="tiny", batch_size=2,
+                                   max_length=32)
+        long_text = "word " * 80
+        full = est.compute_entropy(long_text)
+        means, q90s, _ = est.batch_compute_stats([long_text, "short"])
+        assert means[0] == pytest.approx(full.mean_entropy, abs=1e-4)
+        assert q90s[0] == pytest.approx(full.q90_entropy, abs=1e-4)
+
+    def test_stats_empty(self):
+        est = TextEntropyEstimator(model_name="tiny", batch_size=2,
+                                   max_length=32)
+        m, a, b = est.batch_compute_stats([])
+        assert len(m) == 0
