@@ -190,3 +190,37 @@ def test_readme_quickstart_flow(rng):
     for doc_id, score, payload in results:
         assert doc_id in ids
         assert 0.0 <= payload.dewi <= 1.0
+
+
+class TestMaskedQuantileOp:
+    def test_matches_np_quantile_interpolation(self, rng):
+        import jax.numpy as jnp
+        from dewi_tpu.ops.robust import masked_mean_and_quantiles
+
+        vals = rng.normal(size=(3, 40)).astype("float32")
+        mask = np.zeros((3, 40), "float32")
+        mask[0, :40] = 1.0
+        mask[1, :17] = 1.0
+        mask[2, :1] = 1.0
+        qs = jnp.asarray([0.5, 0.9, 0.99], jnp.float32)
+        mean, q = masked_mean_and_quantiles(
+            jnp.asarray(vals), jnp.asarray(mask), qs
+        )
+        mean, q = np.asarray(mean), np.asarray(q)
+        for row, n in enumerate((40, 17, 1)):
+            valid = vals[row, :n]
+            assert mean[row] == pytest.approx(valid.mean(), abs=1e-5)
+            for j, qq in enumerate((0.5, 0.9, 0.99)):
+                assert q[row, j] == pytest.approx(
+                    np.quantile(valid, qq), abs=1e-5
+                )
+
+    def test_all_masked_row_is_zero(self):
+        import jax.numpy as jnp
+        from dewi_tpu.ops.robust import masked_mean_and_quantiles
+
+        mean, q = masked_mean_and_quantiles(
+            jnp.ones((1, 8)), jnp.zeros((1, 8)), jnp.asarray([0.9])
+        )
+        assert float(mean[0]) == 0.0
+        assert float(q[0, 0]) == 0.0
