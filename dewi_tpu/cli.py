@@ -292,6 +292,62 @@ def _encode_query_text(query: str, dim: int):
 
 
 # ---------------------------------------------------------------------------
+# eval
+# ---------------------------------------------------------------------------
+
+
+@cli.command(name="eval")
+@click.argument("index_dir", type=click.Path(exists=True, file_okay=False))
+@click.argument("queries", type=click.Path(exists=True, dir_okay=False))
+@click.argument("qrels", type=click.Path(exists=True, dir_okay=False))
+@click.option("--config", "config_path", type=click.Path(exists=True),
+              help="YAML config providing the eval section")
+@click.option("--eta", type=float, default=0.0)
+@click.option("--entropy-pref", type=float, default=0.0)
+@click.option("--output", "-o", type=click.Path(), help="Report JSON path")
+def eval_cmd(index_dir, queries, qrels, config_path, eta, entropy_pref,
+             output):
+    """Run the EvalConfig metric suite against a saved index.
+
+    QUERIES: ``.npz`` with ``query_ids`` + ``embeddings`` arrays (or
+    ``texts`` to encode with the CLIP text tower).  QRELS: JSON mapping
+    query id -> list of relevant doc ids.
+    """
+    import numpy as np
+
+    from .config import DewiConfig
+    from .eval import evaluate_index
+    from .index import DewiIndex
+
+    cfg = None
+    if config_path:
+        cfg = DewiConfig.from_yaml(config_path).eval
+    index = DewiIndex.load(index_dir)
+    data = np.load(queries, allow_pickle=True)
+    qids = [str(q) for q in data["query_ids"]]
+    if "embeddings" in data:
+        qvecs = np.asarray(data["embeddings"], np.float32)
+    elif "texts" in data:
+        qvecs = np.stack(
+            [_encode_query_text(str(t), index.dim) for t in data["texts"]]
+        )
+    else:
+        raise click.ClickException("queries npz needs embeddings or texts")
+    with open(qrels, encoding="utf-8") as f:
+        ground_truth = json.load(f)
+    report = evaluate_index(
+        index, qvecs, ground_truth, query_ids=qids, config=cfg,
+        eta=eta, entropy_pref=entropy_pref,
+    )
+    blob = json.dumps(report, indent=2)
+    if output:
+        Path(output).write_text(blob, encoding="utf-8")
+        click.echo(f"✓ Report saved to {output}")
+    else:
+        click.echo(blob)
+
+
+# ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
 

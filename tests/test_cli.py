@@ -185,3 +185,34 @@ class TestEndToEndRealMode:
             cli, ["search", str(out / "index"), "quick brown fox", "--k", "1"]
         )
         assert res.exit_code == 0, res.output
+
+
+class TestEvalCommand:
+    def test_eval_real_index(self, runner, tmp_path, monkeypatch):
+        monkeypatch.setenv("DEWI_TEST_MODE", "0")
+        from dewi_tpu import DewiIndex
+        from dewi_tpu.types import Payload
+
+        rng = np.random.default_rng(0)
+        emb = rng.normal(size=(20, 16)).astype(np.float32)
+        index = DewiIndex(dim=16)
+        for i in range(20):
+            index.add(f"d{i}", emb[i], Payload(dewi=float(i) / 20))
+        index.build()
+        index.save(tmp_path / "idx")
+
+        # Queries = noisy copies of docs 2 and 7.
+        q = emb[[2, 7]] + 0.01 * rng.normal(size=(2, 16)).astype(np.float32)
+        np.savez(tmp_path / "queries.npz",
+                 query_ids=["q0", "q1"], embeddings=q.astype(np.float32))
+        (tmp_path / "qrels.json").write_text(
+            json.dumps({"q0": ["d2"], "q1": ["d7"]})
+        )
+        res = runner.invoke(cli, [
+            "eval", str(tmp_path / "idx"), str(tmp_path / "queries.npz"),
+            str(tmp_path / "qrels.json"), "-o", str(tmp_path / "report.json"),
+        ])
+        assert res.exit_code == 0, res.output
+        report = json.loads((tmp_path / "report.json").read_text())
+        assert report["recall@1"] == 1.0
+        assert report["mrr"] == 1.0
