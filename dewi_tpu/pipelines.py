@@ -479,6 +479,16 @@ class DewiPipeline:
             rerank_eta=cfg.rerank_eta,
             entropy_pref=cfg.entropy_pref,
         )
+        from .index.facade import IndexBackend
+
+        try:
+            resolved = IndexBackend.from_str(str(cfg.ann)).resolve().__name__
+        except ValueError:
+            resolved = "ExactIndex"
+        if resolved == "IVFIndex":
+            kwargs.update(nlist=cfg.nlist, nprobe=cfg.nprobe)
+        elif resolved == "QuantizedIndex":
+            kwargs.update(refine_factor=cfg.refine_factor)
         if self.config.mesh.dtype == "bfloat16":
             import jax.numpy as jnp
 

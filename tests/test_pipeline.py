@@ -221,3 +221,32 @@ class TestProcessStream:
     def test_empty(self):
         pipe = DewiPipeline(tiny_config())
         assert pipe.process_stream([]) == []
+
+
+class TestBuildIndexBackendKnobs:
+    def test_ivf_knobs_forwarded(self):
+        from dewi_tpu.index.ivf import IVFIndex
+
+        pipe = DewiPipeline(tiny_config(index={"ann": "ivf", "nlist": 7,
+                                               "nprobe": 3}))
+        docs = [create_document(f"d{i}", text=f"text number {i} here")
+                for i in range(5)]
+        docs = pipe.compute_signals(docs)
+        docs = pipe.compute_dewi_scores(docs)
+        index = pipe.build_index(docs)
+        assert isinstance(index._backend, IVFIndex)
+        assert index._backend.nlist == 7
+        assert index._backend.nprobe == 3
+
+    def test_quantized_knob_forwarded(self):
+        from dewi_tpu.index.quantized import QuantizedIndex
+
+        pipe = DewiPipeline(tiny_config(index={"ann": "quantized",
+                                               "refine_factor": 4}))
+        docs = [create_document(f"d{i}", text=f"words number {i}")
+                for i in range(4)]
+        docs = pipe.compute_signals(docs)
+        docs = pipe.compute_dewi_scores(docs)
+        index = pipe.build_index(docs)
+        assert isinstance(index._backend, QuantizedIndex)
+        assert index._backend.refine_factor == 4
