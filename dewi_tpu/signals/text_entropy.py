@@ -348,8 +348,11 @@ class TextEntropyEstimator:
                 qs = np.asarray(qs)
                 rows = np.arange(len(chunk))
                 cidx = np.asarray(chunk)
+                q90_col = (
+                    self.quantiles.index(0.9) if 0.9 in self.quantiles else 0
+                )
                 means[cidx] = mean[rows]
-                q90s[cidx] = qs[rows, 0] if 0.9 in self.quantiles else qs[rows, 0]
+                q90s[cidx] = qs[rows, q90_col]
                 q99s[cidx] = qs[rows, -1]
         return means, q90s, q99s
 
