@@ -53,7 +53,7 @@ def main() -> int:
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--n-queries", type=int, default=1000)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--backend", default="exact", choices=["exact", "ivf"])
+    ap.add_argument("--backend", default="exact", choices=["exact", "ivf", "quantized"])
     ap.add_argument("--nlist", type=int, default=256)
     ap.add_argument("--nprobe", type=int, default=16)
     ap.add_argument("--eta", type=float, default=0.25)
@@ -132,7 +132,7 @@ def main() -> int:
         "p99_latency_ms": round(float(np.percentile(latencies, 99)), 4),
         "device": str(jax.devices()[0]),
     }
-    if args.backend == "ivf":
+    if args.backend in ("ivf", "quantized"):
         from dewi_tpu.metrics import recall_matrix
 
         exact = DewiIndex(dim=args.dim, backend="exact")
