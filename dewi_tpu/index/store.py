@@ -55,7 +55,7 @@ class DocStore:
         self.space = space
         self.normalize = space == "cosine"
         self.dtype = dtype
-        self.sharding = sharding
+        self._sharding = sharding
 
         cap = _next_capacity(capacity)
         self._emb = np.zeros((cap, self.dim), dtype=np.float32)
@@ -66,6 +66,21 @@ class DocStore:
         self._dirty = True
         self._device: Optional[tuple] = None
         self._host_stale = False
+
+    @property
+    def sharding(self):
+        return self._sharding
+
+    @sharding.setter
+    def sharding(self, value) -> None:
+        """Changing placement invalidates cached device arrays (they must be
+        re-placed under the new sharding on the next sync)."""
+        if value is not self._sharding:
+            self._sharding = value
+            if self._device is not None:
+                self._sync_host()  # preserve data attached device-side
+                self._device = None
+                self._dirty = True
 
     # ---- introspection ---------------------------------------------------
 

@@ -109,3 +109,32 @@ class TestShardedQuantized:
         _, ei = exact.search_batch(q, eta=0.25, entropy_pref=0.1)
         _, qi = quant.search_batch(q, eta=0.25, entropy_pref=0.1)
         assert recall_matrix(np.asarray(qi), np.asarray(ei)) >= 0.99
+
+
+class TestShardingAfterAttach:
+    def test_attach_then_shard(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from dewi_tpu.index.store import DocStore
+        from dewi_tpu.parallel import ShardedExactSearcher, make_mesh
+
+        rng = np.random.default_rng(0)
+        n, d = 8 * 16, 16
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pay = np.abs(rng.normal(size=(n, 8))).astype(np.float32)
+        store = DocStore(dim=d)
+        # Device-attached first, sharded after (the bug: stale placement).
+        store.attach_device([str(i) for i in range(n)], jnp.asarray(emb),
+                            jnp.asarray(pay))
+        mesh = make_mesh(n_data=8, n_model=1)
+        searcher = ShardedExactSearcher(store, mesh, k=5)
+        q = rng.normal(size=(2, d)).astype(np.float32)
+        scores, idx = searcher.search_batch(q, eta=0.0, entropy_pref=0.0)
+        # Compare against single-device exact search.
+        from dewi_tpu.index import ExactIndex
+
+        ref = ExactIndex(dim=d)
+        ref.add_batch([str(i) for i in range(n)], emb, pay)
+        ref.build()
+        _, ridx = ref.search_batch(q, k=5, eta=0.0, entropy_pref=0.0)
+        assert set(np.asarray(idx)[0].tolist()) == set(np.asarray(ridx)[0].tolist())
