@@ -154,15 +154,37 @@ def init_clip(cfg: CLIPConfig, seed: int = 0):
 
 
 def save_params(params, path: PathLike) -> None:
-    """Write a param pytree as a msgpack checkpoint."""
+    """Write a param pytree checkpoint.
+
+    Paths ending in ``/`` or with no suffix use orbax (sharded, async-safe —
+    the production format for large param trees); otherwise flax msgpack
+    (single file, good for small backbones).
+    """
     path = Path(path)
+    if _is_orbax_path(path):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path.resolve(), params, force=True)
+        return
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_bytes(serialization.to_bytes(params))
 
 
 def load_params(template, path: PathLike):
-    """Read a msgpack checkpoint into the structure of ``template``."""
-    return serialization.from_bytes(template, Path(path).read_bytes())
+    """Read a checkpoint into the structure of ``template`` (orbax dirs or
+    msgpack files — see :func:`save_params`)."""
+    path = Path(path)
+    if _is_orbax_path(path) or path.is_dir():
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(path.resolve(), template)
+    return serialization.from_bytes(template, path.read_bytes())
+
+
+def _is_orbax_path(path: Path) -> bool:
+    return path.suffix == "" or str(path).endswith("/")
 
 
 def maybe_load(params, checkpoint: Optional[PathLike]):

@@ -149,3 +149,21 @@ class TestCheckpoints:
 
     def test_param_count_positive(self, lm):
         assert param_count(lm[2]) > 10_000
+
+
+class TestOrbaxCheckpoints:
+    def test_orbax_roundtrip(self, tmp_path, lm):
+        cfg, model, params = lm
+        path = tmp_path / "lm_orbax"   # no suffix -> orbax format
+        save_params(params, path)
+        assert path.is_dir()
+        _, fresh = init_lm(cfg, seed=123)
+        loaded = load_params(fresh, path)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_msgpack_still_default_for_suffixed(self, tmp_path, lm):
+        cfg, model, params = lm
+        path = tmp_path / "lm.msgpack"
+        save_params(params, path)
+        assert path.is_file()
