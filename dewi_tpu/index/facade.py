@@ -129,6 +129,15 @@ class DewiIndex:
         self._backend.build()
         self._built = True
 
+    def set_dewi_scores(self, scores) -> None:
+        """Write freshly computed DEWI scores into every payload (column 0).
+
+        The bulk re-score path: fit+score the corpus with
+        :meth:`DewiScorer.fit_and_score`, then push the result here in one
+        call — no per-document payload mutation."""
+        self._backend.store.set_dewi_scores(scores)
+        self._built = False  # quantized/IVF tiers must re-sync payloads
+
     # -- search ----------------------------------------------------------------
 
     def search(

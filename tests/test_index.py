@@ -397,3 +397,22 @@ class TestBF16Storage:
         _, i16 = bf16.search_batch(q, k=5, eta=0.25, entropy_pref=0.1)
         import numpy as np
         assert recall_matrix(np.asarray(i16), np.asarray(i32)) >= 0.9
+
+
+class TestSetDewiScores:
+    def test_facade_rescore_changes_ranking(self, rng, dummy_embeddings,
+                                            dummy_payloads):
+        from dewi_tpu import DewiIndex
+        from dewi_tpu.types import payloads_to_matrix
+
+        pay = payloads_to_matrix(dummy_payloads)
+        index = DewiIndex(dim=32)
+        index.add_batch([str(i) for i in range(64)], dummy_embeddings, pay)
+        index.build()
+        q = rng.normal(size=32).astype("float32")
+        # eta=1: ranking is purely by dewi -> planting a max wins rank 1.
+        scores = np.zeros(64, np.float32)
+        scores[41] = 1.0
+        index.set_dewi_scores(scores)
+        res = index.search(q, k=1, eta=1.0, entropy_pref=0.0)
+        assert res[0][0] == "41"
