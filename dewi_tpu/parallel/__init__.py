@@ -6,6 +6,7 @@ from .distributed import (
     make_sharded_quantized_search,
     make_sharded_search,
 )
+from .sp import sequence_sharded_nll, shard_tokens
 from .runtime import (
     default_mesh,
     device_summary,
@@ -36,4 +37,6 @@ __all__ = [
     "device_summary",
     "shard_batch",
     "default_mesh",
+    "shard_tokens",
+    "sequence_sharded_nll",
 ]
