@@ -110,6 +110,17 @@ class ImageEntropyEstimator:
 
         self._stats = _stats
 
+        # Superbatch: S batches per dispatch (see text_entropy — host
+        # launches per corpus drop by S).
+        @jax.jit
+        def _stats_super(params, images4, rngs):
+            return jax.lax.map(
+                lambda xr: _stats(params, xr[0], xr[1]), (images4, rngs)
+            )
+
+        self._stats_super = _stats_super
+        self.superbatch = 8
+
     # -- public API ---------------------------------------------------------
 
     def score(self, image: ImageLike, seed: int = 0) -> float:
@@ -172,16 +183,37 @@ class ImageEntropyEstimator:
             )
         means: List[float] = []
         q90s: List[float] = []
-        for start in range(0, len(arrays), bs):
+
+        def padded(start):
             chunk = arrays[start : start + bs]
             pad = bs - len(chunk)
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
                 )
+            return chunk, pad
+
+        starts = list(range(0, len(arrays), bs))
+        S = max(1, int(self.superbatch))
+        pos = 0
+        base_key = jax.random.PRNGKey(seed)
+        while len(starts) - pos >= S:
+            group = starts[pos : pos + S]
+            stacks = [padded(s) for s in group]
+            images4 = np.stack([c for c, _ in stacks])
+            rngs = jnp.stack([jax.random.fold_in(base_key, s) for s in group])
+            m3, q3 = self._stats_super(self.params, jnp.asarray(images4), rngs)
+            m3 = np.asarray(m3)
+            q3 = np.asarray(q3)
+            for i, (_, pad) in enumerate(stacks):
+                means.extend(m3[i][: bs - pad].tolist())
+                q90s.extend(q3[i][: bs - pad].tolist())
+            pos += S
+        for start in starts[pos:]:
+            chunk, pad = padded(start)
             m, q = self._stats(
                 self.params, jnp.asarray(chunk),
-                jax.random.fold_in(jax.random.PRNGKey(seed), start),
+                jax.random.fold_in(base_key, start),
             )
             means.extend(np.asarray(m)[: bs - pad].tolist())
             q90s.extend(np.asarray(q)[: bs - pad].tolist())

@@ -319,3 +319,17 @@ class TestBatchStats:
                                    max_length=32)
         m, a, b = est.batch_compute_stats([])
         assert len(m) == 0
+
+
+class TestImageSuperbatch:
+    def test_superbatch_matches_single_path(self):
+        est = ImageEntropyEstimator(model_name="tiny", batch_size=2)
+        rng = np.random.default_rng(0)
+        imgs = [rng.random((32, 32, 3)).astype(np.float32) for _ in range(20)]
+        m_all, q_all = est.batch_compute_stats(imgs, seed=5)  # 10 batches: 8 super + 2 single
+        assert len(m_all) == 20
+        # Determinism across calls.
+        m2, q2 = est.batch_compute_stats(imgs, seed=5)
+        np.testing.assert_allclose(m_all, m2, rtol=1e-6)
+        np.testing.assert_allclose(q_all, q2, rtol=1e-6)
+        assert np.all(m_all > 0)
