@@ -64,36 +64,104 @@ class CrossModalDependency:
                 params, images, method=self.model.encode_image
             )
 
+        # Superbatch variants: S chunks per dispatch (see text_entropy).
+        @jax.jit
+        def _encode_text_super(params, ids3, mask3):
+            return jax.lax.map(
+                lambda xm: _encode_text(params, xm[0], xm[1]), (ids3, mask3)
+            )
+
+        @jax.jit
+        def _encode_image_super(params, images4):
+            return jax.lax.map(
+                lambda im: _encode_image(params, im), images4
+            )
+
         self._encode_text = _encode_text
         self._encode_image = _encode_image
+        self._encode_text_super = _encode_text_super
+        self._encode_image_super = _encode_image_super
+        self.superbatch = 8
 
     # -- encoders (shared with search + redundancy) ---------------------------
 
     def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
         """L2-normalized text embeddings ``[N, d_embed]``."""
+        if not len(texts):
+            return np.zeros((0, self.cfg.d_embed), np.float32)
+        bs = self.batch_size
+        tl = self.cfg.text_len
+
+        def padded(start):
+            chunk = list(texts[start : start + bs])
+            ids, mask = self.tokenizer.encode_batch(chunk, tl, pad_to=tl)
+            pad = bs - len(chunk)
+            if pad:
+                ids = np.concatenate(
+                    [ids, np.full((pad, tl), self.tokenizer.pad_id, np.int32)]
+                )
+                mask = np.concatenate([mask, np.zeros((pad, tl), np.float32)])
+            return ids, mask, pad
+
         out = []
-        for start in range(0, len(texts), self.batch_size):
-            chunk = list(texts[start : start + self.batch_size])
-            ids, mask = self.tokenizer.encode_batch(
-                chunk, self.cfg.text_len, pad_to=self.cfg.text_len
+        starts = list(range(0, len(texts), bs))
+        S = max(1, int(self.superbatch))
+        pos = 0
+        while len(starts) - pos >= S:
+            group = [padded(s) for s in starts[pos : pos + S]]
+            e3 = self._encode_text_super(
+                self.params,
+                jnp.asarray(np.stack([g[0] for g in group])),
+                jnp.asarray(np.stack([g[1] for g in group])),
             )
-            out.append(np.asarray(
-                self._encode_text(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            e3 = np.asarray(e3)
+            for i, (_, _, pad) in enumerate(group):
+                out.append(e3[i][: bs - pad])
+            pos += S
+        for s in starts[pos:]:
+            ids, mask, pad = padded(s)
+            e = np.asarray(self._encode_text(
+                self.params, jnp.asarray(ids), jnp.asarray(mask)
             ))
-        return np.concatenate(out) if out else np.zeros((0, self.cfg.d_embed))
+            out.append(e[: bs - pad])
+        return np.concatenate(out)
 
     def encode_images(self, images: Sequence[ImageLike]) -> np.ndarray:
         """L2-normalized image embeddings ``[N, d_embed]``."""
-        out = []
-        for start in range(0, len(images), self.batch_size):
+        if not len(images):
+            return np.zeros((0, self.cfg.d_embed), np.float32)
+        bs = self.batch_size
+        sz = self.cfg.image_size
+
+        def padded(start):
             chunk = np.stack([
-                to_image_array(im, self.cfg.image_size)
-                for im in images[start : start + self.batch_size]
+                to_image_array(im, sz)
+                for im in images[start : start + bs]
             ])
-            out.append(np.asarray(
-                self._encode_image(self.params, jnp.asarray(chunk))
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, sz, sz, 3), np.float32)]
+                )
+            return chunk, pad
+
+        out = []
+        starts = list(range(0, len(images), bs))
+        S = max(1, int(self.superbatch))
+        pos = 0
+        while len(starts) - pos >= S:
+            group = [padded(s) for s in starts[pos : pos + S]]
+            e3 = np.asarray(self._encode_image_super(
+                self.params, jnp.asarray(np.stack([g[0] for g in group]))
             ))
-        return np.concatenate(out) if out else np.zeros((0, self.cfg.d_embed))
+            for i, (_, pad) in enumerate(group):
+                out.append(e3[i][: bs - pad])
+            pos += S
+        for s in starts[pos:]:
+            chunk, pad = padded(s)
+            e = np.asarray(self._encode_image(self.params, jnp.asarray(chunk)))
+            out.append(e[: bs - pad])
+        return np.concatenate(out)
 
     # -- public API -----------------------------------------------------------
 

@@ -333,3 +333,23 @@ class TestImageSuperbatch:
         np.testing.assert_allclose(m_all, m2, rtol=1e-6)
         np.testing.assert_allclose(q_all, q2, rtol=1e-6)
         assert np.all(m_all > 0)
+
+
+class TestCLIPSuperbatch:
+    def test_encode_texts_many_chunks(self, clip_est):
+        # 40 texts at batch_size=4 -> 10 chunks: 8 superbatched + 2 single.
+        texts = [f"caption number {i}" for i in range(40)]
+        e = clip_est.encode_texts(texts)
+        assert e.shape == (40, clip_est.cfg.d_embed)
+        np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, atol=1e-4)
+        # Per-text embeddings must not depend on chunking.
+        single = clip_est.encode_texts(texts[7:8])
+        np.testing.assert_allclose(e[7], single[0], atol=1e-5)
+
+    def test_encode_images_many_chunks(self, clip_est):
+        rng = np.random.default_rng(0)
+        imgs = [rng.random((32, 32, 3)).astype(np.float32) for _ in range(40)]
+        e = clip_est.encode_images(imgs)
+        assert e.shape == (40, clip_est.cfg.d_embed)
+        single = clip_est.encode_images(imgs[13:14])
+        np.testing.assert_allclose(e[13], single[0], atol=1e-5)
