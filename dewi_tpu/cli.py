@@ -292,6 +292,68 @@ def _encode_query_text(query: str, dim: int):
 
 
 # ---------------------------------------------------------------------------
+# sample
+# ---------------------------------------------------------------------------
+
+
+@cli.command(name="sample")
+@click.argument("processed_dir", type=click.Path(exists=True, file_okay=False))
+@click.argument("k", type=int)
+@click.option("--tau", type=float, default=1.0,
+              help="DEWI^tau temperature (0 = uniform)")
+@click.option("--submodular", is_flag=True,
+              help="Facility-location coverage pick instead of sampling")
+@click.option("--seed", type=int, default=0)
+@click.option("--output", "-o", type=click.Path(),
+              help="Write selected doc ids (one per line)")
+def sample_cmd(processed_dir, k, tau, submodular, seed, output):
+    """Select K training docs from a ``dewi-tpu process`` output directory.
+
+    Implements the TrainingSamplingConfig capability (p(doc) ∝ DEWI^tau, or
+    submodular coverage when --submodular) over the saved signals summary
+    and embeddings.
+    """
+    import numpy as np
+
+    from .sampling import training_sample
+
+    pdir = Path(processed_dir)
+    summary_path = pdir / "signals_summary.json"
+    if not summary_path.exists():
+        raise click.ClickException(f"No signals_summary.json in {pdir}")
+    summary = json.loads(summary_path.read_text(encoding="utf-8"))
+    ids = [str(r["id"]) for r in summary]
+    dewi = np.array(
+        [float(r.get("dewi_score") or 0.0) for r in summary], np.float32
+    )
+
+    embeddings = None
+    if submodular:
+        by_id = {}
+        for npz in sorted(pdir.glob("embeddings*.npz")):
+            data = np.load(npz, allow_pickle=True)
+            for d, e in zip(data["doc_ids"], data["embeddings"]):
+                by_id[str(d)] = np.asarray(e, np.float32)
+        missing = [i for i in ids if i not in by_id]
+        if missing:
+            raise click.ClickException(
+                f"--submodular needs embeddings for every doc "
+                f"({len(missing)} missing)"
+            )
+        embeddings = np.stack([by_id[i] for i in ids])
+
+    picks = training_sample(dewi, embeddings, k=min(k, len(ids)), tau=tau,
+                            use_submodular=submodular, seed=seed)
+    selected = [ids[int(i)] for i in picks]
+    if output:
+        Path(output).write_text("\n".join(selected) + "\n", encoding="utf-8")
+        click.echo(f"✓ {len(selected)} doc ids saved to {output}")
+    else:
+        for doc_id in selected:
+            click.echo(doc_id)
+
+
+# ---------------------------------------------------------------------------
 # eval
 # ---------------------------------------------------------------------------
 

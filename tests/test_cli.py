@@ -216,3 +216,34 @@ class TestEvalCommand:
         report = json.loads((tmp_path / "report.json").read_text())
         assert report["recall@1"] == 1.0
         assert report["mrr"] == 1.0
+
+
+class TestSampleCommand:
+    def test_sample_from_test_mode_output(self, runner, tmp_path):
+        cfg = tmp_path / "cfg.yaml"
+        runner.invoke(cli, ["config", "-o", str(cfg)])
+        out = tmp_path / "out"
+        runner.invoke(cli, ["process", str(cfg), str(out)])
+        res = runner.invoke(cli, ["sample", str(out), "3",
+                                  "--tau", "2.0", "--seed", "1"])
+        assert res.exit_code == 0, res.output
+        picked = [l for l in res.output.splitlines() if l.startswith("doc_")]
+        assert len(picked) == 3
+        assert len(set(picked)) == 3
+
+    def test_sample_submodular(self, runner, tmp_path):
+        cfg = tmp_path / "cfg.yaml"
+        runner.invoke(cli, ["config", "-o", str(cfg)])
+        out = tmp_path / "out"
+        runner.invoke(cli, ["process", str(cfg), str(out)])
+        dst = tmp_path / "picked.txt"
+        res = runner.invoke(cli, ["sample", str(out), "2", "--submodular",
+                                  "-o", str(dst)])
+        assert res.exit_code == 0, res.output
+        assert len(dst.read_text().split()) == 2
+
+    def test_sample_missing_summary(self, runner, tmp_path):
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        res = runner.invoke(cli, ["sample", str(empty), "2"])
+        assert res.exit_code != 0
