@@ -10,7 +10,7 @@ re-rank is exact over every document, not just a 2k over-fetch.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ query is ``O(n_devices * k)`` floats — independent of corpus size.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -19,7 +19,7 @@ module makes the capability real, TPU-native:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ into one class supporting both ``fit(rows)`` and ``from_payloads(payloads)``.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Mapping, Optional, Sequence, Union
+from typing import Dict, Mapping, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
