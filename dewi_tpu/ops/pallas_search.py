@@ -175,6 +175,118 @@ def pallas_fused_search(
     )
 
 
+def _int8_search_kernel(
+    n_valid_ref,      # SMEM [1, 1] int32
+    eta_ref,          # SMEM [1, 1] f32
+    ep_ref,           # SMEM [1, 1] f32
+    q_ref,            # VMEM [Q, D] bf16 (whole array each step)
+    emb_ref,          # VMEM [BLOCK, D] int8 tile
+    scale_ref,        # VMEM [BLOCK] f32 tile (as [BLOCK, 1])
+    pay_ref,          # VMEM [BLOCK, 8] tile
+    out_scores_ref,   # VMEM [Q, k]
+    out_idx_ref,      # VMEM [Q, k]
+    run_scores,       # scratch VMEM [Q, k]
+    run_idx,          # scratch VMEM [Q, k]
+    *,
+    k: int,
+):
+    """int8 streaming variant: tiles move HBM->VMEM at a quarter of the f32
+    traffic; dequant happens in-register (int8 -> bf16 before the MXU dot)."""
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        run_scores[:] = jnp.full_like(run_scores, NEG_INF)
+        run_idx[:] = jnp.zeros_like(run_idx)
+
+    q = q_ref[:]                                            # [Q, D] bf16
+    emb = emb_ref[:].astype(jnp.bfloat16)                   # [B, D]
+    sim = jax.lax.dot_general(
+        q, emb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale_ref[:][:, 0][None, :]                         # [Q, B]
+    pay = pay_ref[:]
+    eta = eta_ref[0, 0]
+    ep = ep_ref[0, 0]
+    adj = (
+        (1.0 - eta) * sim
+        + eta * pay[:, 0][None, :]
+        + ep * 0.5 * (pay[:, 1] + pay[:, 3])[None, :]
+    )
+    row0 = step * emb.shape[0]
+    col = row0 + jax.lax.broadcasted_iota(jnp.int32, adj.shape, 1)
+    adj = jnp.where(col < n_valid_ref[0, 0], adj, NEG_INF)
+
+    b_scores, b_idx = _topk_via_max(adj, col, k)
+    cat_s = jnp.concatenate([run_scores[:], b_scores], axis=1)
+    cat_i = jnp.concatenate([run_idx[:], b_idx], axis=1)
+    m_scores, m_idx = _topk_via_max(cat_s, cat_i, k)
+    run_scores[:] = m_scores
+    run_idx[:] = m_idx
+
+    @pl.when(step == n_steps - 1)
+    def _emit():
+        out_scores_ref[:] = run_scores[:]
+        out_idx_ref[:] = run_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "interpret"))
+def pallas_int8_search(
+    emb_i8: jax.Array,       # [cap, D] int8, cap % block == 0
+    scales: jax.Array,       # [cap] f32 per-row scales
+    payloads: jax.Array,     # [cap, 8]
+    queries: jax.Array,      # [Q, D] pre-normalized f32
+    n_valid: jax.Array,
+    eta: jax.Array,
+    entropy_pref: jax.Array,
+    k: int = 10,
+    block: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Streaming int8 DEWI search (approximate sim; pair with f32 refine)."""
+    cap, d = emb_i8.shape
+    nq = queries.shape[0]
+    assert cap % block == 0, f"capacity {cap} must be a multiple of {block}"
+    grid = (cap // block,)
+    kernel = functools.partial(_int8_search_kernel, k=k)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nq, k), jnp.float32),
+            pltpu.VMEM((nq, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(n_valid, jnp.int32).reshape(1, 1),
+        jnp.asarray(eta, jnp.float32).reshape(1, 1),
+        jnp.asarray(entropy_pref, jnp.float32).reshape(1, 1),
+        queries.astype(jnp.bfloat16),
+        emb_i8,
+        scales.reshape(-1, 1).astype(jnp.float32),
+        payloads,
+    )
+
+
 def pallas_available() -> bool:
     """True when the Pallas TPU lowering can be used on this backend."""
     if not _HAS_PALLAS:
@@ -185,4 +297,4 @@ def pallas_available() -> bool:
         return False
 
 
-__all__ = ["pallas_fused_search", "pallas_available", "BLOCK"]
+__all__ = ["pallas_fused_search", "pallas_int8_search", "pallas_available", "BLOCK"]

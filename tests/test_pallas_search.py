@@ -70,3 +70,25 @@ class TestPallasSearch:
                 emb, pay, q, jnp.int32(10), jnp.float32(0.5),
                 jnp.float32(0.0), k=5, block=3000, interpret=True,
             )
+
+
+class TestPallasInt8:
+    def test_matches_numpy_oracle(self):
+        from dewi_tpu.ops.pallas_search import pallas_int8_search
+        from dewi_tpu.ops.similarity import rerank_scores
+
+        emb, pay, q = setup_arrays(cap=2048, d=64, q=3, seed=11)
+        e8 = np.clip(np.round(np.asarray(emb) * 127), -127, 127).astype(np.int8)
+        sc = (np.abs(np.asarray(emb)).max(axis=1) / 127.0).astype(np.float32)
+        s, i = pallas_int8_search(
+            jnp.asarray(e8), jnp.asarray(sc), pay, q,
+            jnp.int32(2000), jnp.float32(0.3), jnp.float32(0.1),
+            k=10, block=512, interpret=True,
+        )
+        sim = (np.asarray(q) @ e8.astype(np.float32).T) * sc[None, :]
+        adj = np.array(rerank_scores(jnp.asarray(sim), pay,
+                                     jnp.float32(0.3), jnp.float32(0.1)))
+        adj[:, 2000:] = -np.inf
+        ref = np.argsort(-adj, axis=1)[:, :10]
+        for a, b in zip(np.asarray(i), ref):
+            assert len(set(a.tolist()) & set(b.tolist())) >= 9  # bf16 cast slack
