@@ -224,3 +224,41 @@ class TestMaskedQuantileOp:
         )
         assert float(mean[0]) == 0.0
         assert float(q[0, 0]) == 0.0
+
+
+def test_reference_quickstart_verbatim(rng):
+    """The reference README's quick start (README.md:63-135) must run as a
+    drop-in with only import paths changed — including the `Signals`
+    introspection and in-place payload mutation it uses."""
+    from dewi_tpu.index import DewiIndex, Payload
+    from dewi_tpu.scorer import DewiScorer, Signals, Weights
+
+    ids = ["doc1", "doc2", "doc3"]
+    embeddings = [rng.random(768) for _ in range(3)]
+    index = DewiIndex(dim=768, space="cosine")
+    rows = []
+    for i, doc_id in enumerate(ids):
+        signals = Signals(
+            ht_mean=rng.uniform(0, 10), ht_q90=rng.uniform(0, 15),
+            hi_mean=rng.uniform(0, 5), hi_q90=rng.uniform(0, 8),
+            I_hat=rng.uniform(0, 1), redundancy=rng.uniform(0, 1),
+            noise=rng.uniform(0, 0.2),
+        )
+        rows.append(signals)
+        index.add(doc_id, embeddings[i], Payload(dewi=0.0, **signals.__dict__))
+
+    scorer = DewiScorer(Weights())
+    scorer.fit_stats(rows)
+    for doc_id in ids:
+        payload = index.get_payload(doc_id)
+        if payload:
+            signals = Signals(
+                **{k: getattr(payload, k) for k in Signals.__annotations__}
+            )
+            payload.dewi = scorer.score(signals)
+    index.build()
+
+    results = index.search(rng.random(768), k=5, entropy_pref=0.5, eta=0.3)
+    assert len(results) == 3
+    for doc_id, score, payload in results:
+        assert 0.0 <= payload.dewi <= 1.0
