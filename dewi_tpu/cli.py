@@ -157,6 +157,10 @@ def process(
             return
 
         pipeline = DewiPipeline(cfg)
+        # Shard automatically when the corpus exceeds the configured shard
+        # size (runtime.shard_size), or when explicitly requested.
+        if not shard_size and len(documents) > cfg.runtime.shard_size:
+            shard_size = cfg.runtime.shard_size
         if shard_size:
             docs = pipeline.process_stream(
                 documents, shard_size=shard_size, progress=True,
