@@ -247,3 +247,43 @@ class TestSampleCommand:
         empty.mkdir()
         res = runner.invoke(cli, ["sample", str(empty), "2"])
         assert res.exit_code != 0
+
+
+class TestImagesEndToEnd:
+    def test_process_with_images_dir(self, runner, tmp_path, monkeypatch):
+        monkeypatch.setenv("DEWI_TEST_MODE", "0")
+        pytest.importorskip("PIL")
+        import yaml
+        from PIL import Image
+
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(yaml.dump({
+            "text": {"model": "tiny", "batch_size": 2, "max_length": 64},
+            "image": {"model": "tiny", "batch_size": 2, "image_size": 32,
+                      "patch_size": 8},
+            "cross_modal": {"model": "tiny", "batch_size": 2},
+            "redundancy": {"block_size": 4},
+        }))
+        imgs = tmp_path / "imgs"
+        imgs.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            arr = (rng.random((32, 32, 3)) * 255).astype("uint8")
+            Image.fromarray(arr).save(imgs / f"im{i}.png")
+        texts = tmp_path / "texts"
+        texts.mkdir()
+        (texts / "t.txt").write_text("one text document")
+        out = tmp_path / "out"
+        res = runner.invoke(cli, ["process", str(cfg_path), str(out),
+                                  "--texts", str(texts),
+                                  "--images", str(imgs)])
+        assert res.exit_code == 0, res.output
+        rows = [json.loads(l) for l in
+                (out / "documents_batch_0001.jsonl").read_text().splitlines()]
+        assert len(rows) == 4
+        # Image docs got image-entropy signals; the text doc did not.
+        img_rows = [r for r in rows
+                    if r["metadata"].get("type") == "image"]
+        assert len(img_rows) == 3
+        assert all(r["signals"]["hi_mean"] > 0 for r in img_rows)
+        assert all(0.0 <= r["dewi_score"] <= 1.0 for r in rows)
