@@ -416,3 +416,41 @@ class TestSetDewiScores:
         index.set_dewi_scores(scores)
         res = index.search(q, k=1, eta=1.0, entropy_pref=0.0)
         assert res[0][0] == "41"
+
+
+class TestReferenceFormatMigration:
+    def test_load_reference_written_index(self, tmp_path, rng):
+        """An index directory in the reference's on-disk layout
+        (metadata.json + payloads.jsonl with {"id": ...} + embeddings.npy,
+        reference backends.py:104-163, 483-556) loads directly — the
+        migration path for users switching frameworks."""
+        import json as _json
+
+        from dewi_tpu.index import BaseIndex, ExactIndex
+
+        n, d = 12, 16
+        emb = rng.normal(size=(n, d)).astype("float32")
+        ids = [f"ref{i}" for i in range(n)]
+        refdir = tmp_path / "ref_index"
+        refdir.mkdir()
+        (refdir / "metadata.json").write_text(_json.dumps({
+            "dim": d, "space": "cosine", "doc_ids": ids,
+            "is_trained": True, "type": "ExactIndex",
+        }))
+        with open(refdir / "payloads.jsonl", "w") as f:
+            for i, doc_id in enumerate(ids):
+                f.write(_json.dumps({
+                    "id": doc_id,   # the reference's key name
+                    "payload": {"dewi": i / n, "ht_mean": 1.0 + i,
+                                "hi_mean": 0.5},
+                }) + "\n")
+        np.save(refdir / "embeddings.npy", emb)
+
+        index = BaseIndex.load(refdir)
+        assert isinstance(index, ExactIndex)
+        assert len(index) == n
+        p = index.get_payload("ref3")
+        assert p.dewi == pytest.approx(3 / n)
+        assert p.ht_mean == pytest.approx(4.0)
+        res = index.search(emb[5], k=1, eta=0.0, entropy_pref=0.0)
+        assert res[0][0] == "ref5"
