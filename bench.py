@@ -177,6 +177,14 @@ def main() -> None:
                     "index_docs_per_sec": round(docs_per_sec, 1),
                     "build_vs_baseline": round(BASELINE_BUILD_S / build_s, 1),
                     "recall_vs_exact": 1.0,  # the index IS exact
+                    # Device memory for the live index arrays (the
+                    # reference's table reports 12.4 GB host RSS at 1M docs).
+                    "index_hbm_gb_f32": round(
+                        (emb_d.nbytes + sqn_d.nbytes + pay_d.nbytes) / 2**30, 3
+                    ),
+                    "index_hbm_gb_bf16": round(
+                        (emb16.nbytes + sqn_d.nbytes + pay_d.nbytes) / 2**30, 3
+                    ),
                     "n_docs": N_DOCS,
                     "dim": DIM,
                     "device": str(jax.devices()[0]),
