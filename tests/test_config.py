@@ -83,3 +83,22 @@ def test_nested_weights_from_dict():
     cfg = DewiConfig.from_dict({"scoring": {"weights": {"alpha_n": 0.2}}})
     assert cfg.scoring.weights.alpha_n == 0.2
     assert cfg.scoring.weights.alpha_t == 1.0
+
+
+def test_lazy_package_root():
+    """Package root resolves exports lazily (reference README.md:16 lazy
+    loading) — importing dewi_tpu must not import any submodule."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; import dewi_tpu; "
+        "eager = [m for m in sys.modules if m.startswith('dewi_tpu.')]; "
+        "assert not eager, eager; "
+        "from dewi_tpu import Payload; "
+        "assert Payload().dewi == 0.0; print('ok')"
+    )
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=240)
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
