@@ -287,3 +287,33 @@ class TestImagesEndToEnd:
         assert len(img_rows) == 3
         assert all(r["signals"]["hi_mean"] > 0 for r in img_rows)
         assert all(0.0 <= r["dewi_score"] <= 1.0 for r in rows)
+
+
+class TestEmbeddingsLoader:
+    def test_process_with_precomputed_embeddings(self, runner, tmp_path,
+                                                 monkeypatch):
+        monkeypatch.setenv("DEWI_TEST_MODE", "0")
+        import yaml
+
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(yaml.dump({
+            "text": {"model": "tiny", "batch_size": 2, "max_length": 64},
+            "cross_modal": {"model": "tiny", "batch_size": 2},
+            "redundancy": {"block_size": 4},
+        }))
+        rng = np.random.default_rng(0)
+        emb = rng.normal(size=(5, 24)).astype(np.float32)
+        emb[3] = emb[1]  # planted near-dup pair
+        np.savez(tmp_path / "emb.npz",
+                 doc_ids=[f"e{i}" for i in range(5)], embeddings=emb)
+        out = tmp_path / "out"
+        res = runner.invoke(cli, ["process", str(cfg_path), str(out),
+                                  "--embeddings", str(tmp_path / "emb.npz")])
+        assert res.exit_code == 0, res.output
+        rows = [json.loads(l) for l in
+                (out / "documents_batch_0001.jsonl").read_text().splitlines()]
+        assert len(rows) == 5
+        # The duplicate embedding pair must show maximal redundancy.
+        by_src = {r["metadata"]["source"]: r for r in rows}
+        assert by_src["e1"]["signals"]["redundancy"] == pytest.approx(1.0, abs=1e-3)
+        assert by_src["e3"]["signals"]["redundancy"] == pytest.approx(1.0, abs=1e-3)
