@@ -29,11 +29,24 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def generate_synthetic_data(n_docs: int, dim: int, seed: int = 42):
+def generate_synthetic_data(n_docs: int, dim: int, seed: int = 42,
+                            clustered: bool = False, n_clusters: int = 256):
     """Seeded synthetic corpus: unit-ish embeddings + gamma/beta payloads
-    (distribution parity: reference profile_index.py:34-72)."""
+    (distribution parity: reference profile_index.py:34-72).
+
+    ``clustered=True`` draws a mixture of Gaussians instead of isotropic
+    noise — isotropic random vectors have near-uniform pairwise cosine, the
+    pathological case for any IVF (recall ~ nprobe/nlist); real embedding
+    corpora are clustered, which is what IVF exploits."""
     rng = np.random.default_rng(seed)
-    embeddings = rng.normal(size=(n_docs, dim)).astype(np.float32)
+    if clustered:
+        centers = rng.normal(size=(n_clusters, dim)).astype(np.float32) * 3.0
+        assign = rng.integers(0, n_clusters, n_docs)
+        embeddings = (
+            centers[assign] + rng.normal(size=(n_docs, dim))
+        ).astype(np.float32)
+    else:
+        embeddings = rng.normal(size=(n_docs, dim)).astype(np.float32)
     payloads = np.empty((n_docs, 8), dtype=np.float32)
     payloads[:, 0] = rng.beta(2, 2, n_docs)          # dewi
     payloads[:, 1] = rng.gamma(2.0, 1.5, n_docs)     # ht_mean
@@ -62,6 +75,8 @@ def main() -> int:
     ap.add_argument("--output", default="profile_metrics.json")
     ap.add_argument("--trace-dir", default=None,
                     help="Write a jax.profiler trace here (TensorBoard format)")
+    ap.add_argument("--clustered", action="store_true",
+                    help="Mixture-of-Gaussians corpus (realistic for IVF)")
     args = ap.parse_args()
 
     import jax
@@ -70,10 +85,21 @@ def main() -> int:
 
     print(f"Device: {jax.devices()[0]}")
     print(f"Generating {args.n_docs} docs (dim={args.dim})...")
-    doc_ids, emb, pay = generate_synthetic_data(args.n_docs, args.dim)
-    queries = np.random.default_rng(7).normal(
-        size=(args.n_queries, args.dim)
-    ).astype(np.float32)
+    doc_ids, emb, pay = generate_synthetic_data(
+        args.n_docs, args.dim, clustered=args.clustered
+    )
+    qrng = np.random.default_rng(7)
+    if args.clustered:
+        # Realistic queries resemble corpus points (noisy copies), not
+        # isotropic noise landing between clusters.
+        picks = qrng.integers(0, args.n_docs, args.n_queries)
+        queries = (
+            emb[picks] + 0.3 * qrng.normal(size=(args.n_queries, args.dim))
+        ).astype(np.float32)
+    else:
+        queries = qrng.normal(
+            size=(args.n_queries, args.dim)
+        ).astype(np.float32)
 
     kwargs = {}
     if args.backend == "ivf":
@@ -120,6 +146,7 @@ def main() -> int:
 
     metrics = {
         "backend": args.backend,
+        "clustered_corpus": bool(args.clustered),
         "n_docs": args.n_docs,
         "dim": args.dim,
         "n_queries": args.n_queries,
