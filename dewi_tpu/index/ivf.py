@@ -114,6 +114,7 @@ class IVFIndex(BaseIndex):
         bucket_load_factor: float = 1.5,
         kmeans_iters: int = 10,
         train_sample: int = 100_000,
+        dewi_tier: int = 1024,
         seed: int = 0,
         **kwargs,
     ):
@@ -123,6 +124,15 @@ class IVFIndex(BaseIndex):
         self.bucket_load_factor = float(bucket_load_factor)
         self.kmeans_iters = int(kmeans_iters)
         self.train_sample = int(train_sample)
+        # DEWI-specific recall guard: the adjusted score mixes in eta*dewi,
+        # so at high eta the global ranking is dominated by documents the
+        # coarse quantizer has no reason to probe.  The ``dewi_tier`` docs
+        # with the highest DEWI scores are therefore routed to the exact
+        # overflow scan (always searched), bounding the eta-induced recall
+        # loss regardless of nprobe.  No reference counterpart — FAISS/HNSW
+        # in the reference re-rank only retrieved candidates and silently
+        # miss global DEWI leaders (backends.py:217-240, 326-355).
+        self.dewi_tier = int(dewi_tier)
         self.seed = int(seed)
         self._dev = None
 
@@ -161,6 +171,14 @@ class IVFIndex(BaseIndex):
         rank = np.arange(n, dtype=np.int64) - starts[sorted_assign]
 
         in_bucket = rank < cap
+        # High-DEWI tier: force the top-dewi docs into the always-scanned
+        # overflow arrays (see ctor comment).
+        tier_n = min(self.dewi_tier, n)
+        if tier_n > 0:
+            pay_np = np.asarray(pay, dtype=np.float32)
+            is_tier = np.zeros(n, dtype=bool)
+            is_tier[np.argpartition(-pay_np[:, 0], tier_n - 1)[:tier_n]] = True
+            in_bucket &= ~is_tier[order]
         b_docidx = np.full((nlist, cap), -1, dtype=np.int32)
         b_docidx[sorted_assign[in_bucket], rank[in_bucket]] = order[in_bucket].astype(np.int32)
         overflow_idx = order[~in_bucket].astype(np.int32)

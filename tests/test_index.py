@@ -454,3 +454,57 @@ class TestReferenceFormatMigration:
         assert p.ht_mean == pytest.approx(4.0)
         res = index.search(emb[5], k=1, eta=0.0, entropy_pref=0.0)
         assert res[0][0] == "ref5"
+
+
+class TestIVFDewiTier:
+    def test_high_eta_recall_with_tier(self, rng):
+        """At eta=1 the ranking is global-by-dewi; the high-DEWI tier must
+        keep IVF recall perfect even though buckets are probed by sim."""
+        from dewi_tpu.index import ExactIndex, IVFIndex
+        from dewi_tpu.metrics import recall_matrix
+
+        n, d = 4000, 32
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pay = np.abs(rng.normal(size=(n, 8))).astype(np.float32)
+        pay[:, 0] = rng.beta(2, 2, n)
+        ids = [str(i) for i in range(n)]
+        exact = ExactIndex(dim=d)
+        exact.add_batch(ids, emb, pay)
+        exact.build()
+        q = rng.normal(size=(16, d)).astype(np.float32)
+
+        withtier = IVFIndex(dim=d, nlist=64, nprobe=4, dewi_tier=256)
+        withtier.add_batch(ids, emb, pay)
+        withtier.build()
+        _, ei = exact.search_batch(q, k=10, eta=1.0, entropy_pref=0.0)
+        _, ti = withtier.search_batch(q, k=10, eta=1.0, entropy_pref=0.0)
+        assert recall_matrix(np.asarray(ti), np.asarray(ei)) == pytest.approx(1.0)
+
+        notier = IVFIndex(dim=d, nlist=64, nprobe=4, dewi_tier=0)
+        notier.add_batch(ids, emb, pay)
+        notier.build()
+        _, ni = notier.search_batch(q, k=10, eta=1.0, entropy_pref=0.0)
+        # Without the tier, probing by sim misses most global dewi leaders.
+        assert recall_matrix(np.asarray(ni), np.asarray(ei)) < 0.9
+
+    def test_tier_does_not_hurt_pure_sim(self, rng):
+        from dewi_tpu.index import ExactIndex, IVFIndex
+        from dewi_tpu.metrics import recall_matrix
+
+        n, d, c = 2000, 32, 32
+        centers = rng.normal(size=(c, d)).astype(np.float32) * 3
+        emb = (centers[rng.integers(0, c, n)]
+               + rng.normal(size=(n, d))).astype(np.float32)
+        pay = np.abs(rng.normal(size=(n, 8))).astype(np.float32)
+        ids = [str(i) for i in range(n)]
+        exact = ExactIndex(dim=d)
+        exact.add_batch(ids, emb, pay)
+        exact.build()
+        ivf = IVFIndex(dim=d, nlist=32, nprobe=8, dewi_tier=128)
+        ivf.add_batch(ids, emb, pay)
+        ivf.build()
+        q = (emb[rng.integers(0, n, 16)]
+             + 0.1 * rng.normal(size=(16, d))).astype(np.float32)
+        _, ei = exact.search_batch(q, k=10, eta=0.0, entropy_pref=0.0)
+        _, ii = ivf.search_batch(q, k=10, eta=0.0, entropy_pref=0.0)
+        assert recall_matrix(np.asarray(ii), np.asarray(ei)) >= 0.9
