@@ -108,6 +108,7 @@ class IndexConfig:
     entropy_pref: float = 0.0
     nlist: int = 1024
     nprobe: int = 32
+    dewi_tier: int = 1024   # IVF: top-dewi docs always scanned exactly
     refine_factor: int = 8  # quantized backend: top-(refine_factor*k) refine
 
 

@@ -486,7 +486,8 @@ class DewiPipeline:
         except ValueError:
             resolved = "ExactIndex"
         if resolved == "IVFIndex":
-            kwargs.update(nlist=cfg.nlist, nprobe=cfg.nprobe)
+            kwargs.update(nlist=cfg.nlist, nprobe=cfg.nprobe,
+                          dewi_tier=cfg.dewi_tier)
         elif resolved == "QuantizedIndex":
             kwargs.update(refine_factor=cfg.refine_factor)
         if self.config.mesh.dtype == "bfloat16":
