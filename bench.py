@@ -19,22 +19,31 @@ vs_baseline is the speedup over the reference's 22 ms 1M-doc query latency.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-N_DOCS = 1_000_000
-DIM = 256
-N_QUERIES = 1_000
+# Env overrides keep the benchmark CI-smokeable (tiny shapes on CPU);
+# the driver runs the defaults on the real chip.
+N_DOCS = int(os.environ.get("DEWI_BENCH_N_DOCS", 1_000_000))
+DIM = int(os.environ.get("DEWI_BENCH_DIM", 256))
+N_QUERIES = int(os.environ.get("DEWI_BENCH_N_QUERIES", 1_000))
 K = 10
-CHAIN = 128                      # searches per chained device loop
+CHAIN = int(os.environ.get("DEWI_BENCH_CHAIN", 128))
 BASELINE_QUERY_MS = 22.0         # reference README.md:163
 BASELINE_BUILD_S = 2.1 * 3600.0  # reference README.md:163
 
 
 def main() -> None:
     import jax
+
+    # Platform override for CI smoke runs (must precede backend init; the
+    # axon site hook ignores the JAX_PLATFORMS env var).
+    plat = os.environ.get("DEWI_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from dewi_tpu.index import ExactIndex
@@ -95,7 +104,7 @@ def main() -> None:
     q0 = queries_h[:1]
     jax.block_until_ready(chained(emb_d, sqn_d, pay_d, n_d, q0))  # compile
     chain_ms = []
-    for i in range(8):
+    for i in range(min(8, N_QUERIES)):
         t = time.perf_counter()
         jax.block_until_ready(
             chained(emb_d, sqn_d, pay_d, n_d, queries_h[i : i + 1])
@@ -107,7 +116,7 @@ def main() -> None:
     emb16 = emb_d.astype(jnp.bfloat16)
     jax.block_until_ready(chained(emb16, sqn_d, pay_d, n_d, q0))
     bf16_ms = []
-    for i in range(6):
+    for i in range(min(6, N_QUERIES)):
         t = time.perf_counter()
         jax.block_until_ready(
             chained(emb16, sqn_d, pay_d, n_d, queries_h[i : i + 1])
@@ -119,10 +128,10 @@ def main() -> None:
     from dewi_tpu.metrics import recall_matrix
 
     _, idx_f32 = fused_search(
-        emb_d, sqn_d, pay_d, queries_h[:64], n_d, eta, ep, k=K, normalize=True
+        emb_d, sqn_d, pay_d, queries_h[: min(64, N_QUERIES)], n_d, eta, ep, k=K, normalize=True
     )
     _, idx_bf16 = fused_search(
-        emb16, sqn_d, pay_d, queries_h[:64], n_d, eta, ep, k=K, normalize=True
+        emb16, sqn_d, pay_d, queries_h[: min(64, N_QUERIES)], n_d, eta, ep, k=K, normalize=True
     )
     bf16_recall = recall_matrix(np.asarray(idx_bf16), np.asarray(idx_f32))
 
@@ -131,7 +140,7 @@ def main() -> None:
         index.search_batch(q0, k=K, eta=0.25, entropy_pref=0.1)[0]
     )
     raw_ms = []
-    for i in range(50):
+    for i in range(min(50, N_QUERIES)):
         t = time.perf_counter()
         s, _ = index.search_batch(queries_h[i : i + 1], k=K, eta=0.25,
                                   entropy_pref=0.1)

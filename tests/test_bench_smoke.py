@@ -1,0 +1,33 @@
+"""Smoke test for the driver's benchmark entry point (tiny shapes, CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_emits_one_json_line():
+    env = dict(os.environ)
+    env.update(
+        DEWI_BENCH_N_DOCS="3000",
+        DEWI_BENCH_DIM="32",
+        DEWI_BENCH_N_QUERIES="16",
+        DEWI_BENCH_CHAIN="4",
+        DEWI_BENCH_PLATFORM="cpu",
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True, text=True, timeout=480, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    record = json.loads(lines[0])
+    assert record["metric"] == "p50_query_latency_1M_docs_k10"
+    assert record["value"] > 0
+    assert "vs_baseline" in record and "unit" in record
+    assert record["extras"]["recall_vs_exact"] == 1.0
+    assert 0.0 < record["extras"]["bf16_recall_vs_f32_at_k10"] <= 1.0
