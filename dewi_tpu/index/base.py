@@ -62,6 +62,14 @@ class BaseIndex:
     def get_payload(self, doc_id: str) -> Optional[Payload]:
         return self.store.get_payload(doc_id)
 
+    def _hyperparams(self) -> dict:
+        """Backend-specific constructor kwargs to persist across save/load.
+
+        Subclasses with tuning knobs (IVF nlist/nprobe, Quantized
+        refine_factor, ...) override this so a saved index reloads with the
+        hyperparameters it was built with rather than constructor defaults."""
+        return {}
+
     # -- persistence -----------------------------------------------------------
 
     def save(self, path: PathLike, write_jsonl: bool = True) -> None:
@@ -75,6 +83,7 @@ class BaseIndex:
             "is_trained": self._is_trained,
             "num_embeddings": len(self.store),
             "type": self.__class__.__name__,
+            "hyperparams": self._hyperparams(),
         }
         with open(path / "metadata.json", "w") as f:
             json.dump(metadata, f)
@@ -102,7 +111,12 @@ class BaseIndex:
             from .exact import ExactIndex
 
             index_cls = ExactIndex
-        index = index_cls(dim=metadata["dim"], space=metadata["space"], **kwargs)
+        # Saved hyperparameters are restored unless explicitly overridden by
+        # the caller, so an IVF index built with nlist=1024/nprobe=32 reloads
+        # with those values, not constructor defaults.
+        hyper = dict(metadata.get("hyperparams", {}))
+        hyper.update(kwargs)
+        index = index_cls(dim=metadata["dim"], space=metadata["space"], **hyper)
 
         doc_ids = metadata["doc_ids"]
         emb_path = path / "embeddings.npy"

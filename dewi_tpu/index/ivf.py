@@ -136,6 +136,17 @@ class IVFIndex(BaseIndex):
         self.seed = int(seed)
         self._dev = None
 
+    def _hyperparams(self) -> dict:
+        return {
+            "nlist": self.nlist,
+            "nprobe": self.nprobe,
+            "bucket_load_factor": self.bucket_load_factor,
+            "kmeans_iters": self.kmeans_iters,
+            "train_sample": self.train_sample,
+            "dewi_tier": self.dewi_tier,
+            "seed": self.seed,
+        }
+
     # -- build -------------------------------------------------------------
 
     def build(self, **kwargs) -> None:

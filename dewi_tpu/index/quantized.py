@@ -40,6 +40,12 @@ class QuantizedIndex(BaseIndex):
         self._q_emb: Optional[jax.Array] = None
         self._q_scales: Optional[jax.Array] = None
 
+    def _hyperparams(self) -> dict:
+        return {
+            "refine_factor": self.refine_factor,
+            "approx_select": self.approx_select,
+        }
+
     def build(self, **kwargs) -> None:
         if len(self.store) == 0:
             raise ValueError("No embeddings to build index from")

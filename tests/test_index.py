@@ -232,6 +232,36 @@ class TestPersistence:
         loaded = DewiIndex.load(tmp_path / "m")
         assert loaded.get_metadata("a") == {"k": 1}
 
+    def test_hyperparams_roundtrip(self, tmp_path, rng):
+        # A saved IVF/Quantized index must reload with the hyperparameters it
+        # was built with, not constructor defaults (ADVICE.md round 1).
+        n, d = 200, 8
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pays = make_payloads(rng, n)
+        ids = [f"d{i}" for i in range(n)]
+
+        ivf = IVFIndex(dim=d, nlist=11, nprobe=7, dewi_tier=33, kmeans_iters=3,
+                       bucket_load_factor=2.0, train_sample=150, seed=5)
+        ivf.add_batch(ids, emb, pays)
+        ivf.build()
+        ivf.save(tmp_path / "ivf_hp")
+        loaded = IVFIndex.load(tmp_path / "ivf_hp")
+        assert (loaded.nlist, loaded.nprobe, loaded.dewi_tier) == (11, 7, 33)
+        assert loaded.kmeans_iters == 3 and loaded.train_sample == 150
+        assert loaded.bucket_load_factor == 2.0 and loaded.seed == 5
+
+        from dewi_tpu.index.quantized import QuantizedIndex
+
+        qi = QuantizedIndex(dim=d, refine_factor=17, approx_select=False)
+        qi.add_batch(ids, emb, pays)
+        qi.build()
+        qi.save(tmp_path / "q_hp")
+        qloaded = QuantizedIndex.load(tmp_path / "q_hp")
+        assert qloaded.refine_factor == 17 and qloaded.approx_select is False
+        # Explicit caller overrides still win over saved values.
+        qover = QuantizedIndex.load(tmp_path / "q_hp", refine_factor=3)
+        assert qover.refine_factor == 3
+
     def test_jsonl_payload_format(self, tmp_path, rng, dummy_payloads):
         import json
 
