@@ -238,7 +238,7 @@ def search(
             if query.endswith(".npy") and Path(query).exists():
                 qvec = np.load(query).astype(np.float32).reshape(-1)
             else:
-                qvec = _encode_query_text(query, index.dim)
+                qvec = _encode_query_text(query, index)
             results = index.search(qvec, k=k, eta=eta,
                                    entropy_pref=entropy_pref)
 
@@ -281,17 +281,66 @@ def search(
         sys.exit(1)
 
 
-def _encode_query_text(query: str, dim: int):
-    """Text -> query embedding via the CLIP text tower (fixes §2.4 item 6)."""
-    from .models.registry import CLIP_PRESETS
+_QUERY_ENCODERS: Dict[str, Any] = {}  # provenance-keyed cache (eval reuse)
+
+
+def _encode_query_text(query: str, index):
+    """Text -> query embedding via the CLIP text tower (fixes §2.4 item 6).
+
+    The encoder is reconstructed from the provenance the index recorded at
+    build time (model preset, tokenizer, seed, checkpoint) so query vectors
+    live in the same space as the corpus embeddings.  Indexes without a
+    provenance record (pre-provenance saves, or hand-built) fall back to the
+    old dim-matching heuristic with a warning.
+    """
     from .signals.cross_modal import CrossModalDependency
 
+    prov = getattr(index, "encoder", None)
+    if prov:
+        ckpt = prov.get("checkpoint")
+        if ckpt and not Path(ckpt).exists():
+            raise click.ClickException(
+                f"Index was embedded with checkpoint {ckpt!r}, which does not "
+                "exist here; restore it (or pass a .npy query vector)."
+            )
+        if ckpt:
+            from .models.registry import checkpoint_fingerprint
+
+            want = prov.get("checkpoint_fingerprint")
+            have = checkpoint_fingerprint(ckpt)
+            if want and have and want != have:
+                click.echo(
+                    f"Warning: checkpoint {ckpt} changed since the index was "
+                    f"built (fingerprint {have} != recorded {want}); query "
+                    "embeddings may not match the corpus.",
+                    err=True,
+                )
+        key = json.dumps(prov, sort_keys=True, default=str)
+        enc = _QUERY_ENCODERS.get(key)
+        if enc is None:
+            enc = CrossModalDependency(
+                model_name=prov.get("model", "small"),
+                tokenizer=prov.get("tokenizer", "byte"),
+                seed=int(prov.get("seed", 0)),
+                checkpoint=ckpt,
+            )
+            _QUERY_ENCODERS[key] = enc
+        return enc.encode_texts([query])[0]
+
+    from .models.registry import CLIP_PRESETS
+
+    click.echo(
+        "Warning: index has no encoder provenance record; guessing the "
+        "query encoder from the embedding dim (rebuild the index with "
+        "`dewi-tpu process` to record provenance).",
+        err=True,
+    )
     for preset in ("tiny", "small", "base"):
-        if CLIP_PRESETS[preset]["d_embed"] == dim:
+        if CLIP_PRESETS[preset]["d_embed"] == index.dim:
             return CrossModalDependency(model_name=preset).encode_texts([query])[0]
     raise click.ClickException(
-        f"Index dim {dim} matches no CLIP text-tower preset; pass a .npy "
-        "query vector instead."
+        f"Index dim {index.dim} matches no CLIP text-tower preset; pass a "
+        ".npy query vector instead."
     )
 
 
@@ -395,7 +444,7 @@ def eval_cmd(index_dir, queries, qrels, config_path, eta, entropy_pref,
         qvecs = np.asarray(data["embeddings"], np.float32)
     elif "texts" in data:
         qvecs = np.stack(
-            [_encode_query_text(str(t), index.dim) for t in data["texts"]]
+            [_encode_query_text(str(t), index) for t in data["texts"]]
         )
     else:
         raise click.ClickException("queries npz needs embeddings or texts")

@@ -20,7 +20,12 @@ import yaml
 
 @dataclass
 class TextConfig:
-    """Text signal computation (reference config.py:8-13)."""
+    """Text signal computation (reference config.py:8-13).
+
+    ``checkpoint``/``domain_checkpoint`` point at trained LM weights
+    (msgpack file or orbax dir — :func:`dewi_tpu.models.registry.save_params`);
+    without them the backbone initializes deterministically from ``seed``.
+    """
 
     model: str = "gpt2"
     quantiles: List[float] = field(default_factory=lambda: [0.9, 0.99])
@@ -28,6 +33,9 @@ class TextConfig:
     max_length: int = 512
     domain_model: Optional[str] = None
     tokenizer: str = "byte"  # "byte" (hermetic) or an HF tokenizer name
+    checkpoint: Optional[str] = None
+    domain_checkpoint: Optional[str] = None
+    seed: int = 0
 
 
 @dataclass
@@ -39,14 +47,23 @@ class ImageConfig:
     batch_size: int = 64
     image_size: int = 224
     mask_ratio: float = 0.75
+    checkpoint: Optional[str] = None
+    seed: int = 0
 
 
 @dataclass
 class CrossModalConfig:
-    """Cross-modal signal computation (reference config.py:22-26)."""
+    """Cross-modal signal computation (reference config.py:22-26).
+
+    The CLIP towers double as the corpus/query embedding source, so
+    ``checkpoint``/``seed`` are also recorded as embedding provenance in any
+    index built from this config (search refuses mismatched encoders).
+    """
 
     model: str = "clip-vit-base-patch32"
     batch_size: int = 128
+    checkpoint: Optional[str] = None
+    seed: int = 0
 
 
 @dataclass

@@ -88,6 +88,10 @@ class DewiIndex:
         self.ef_query = ef_query
         self.rerank_eta = float(rerank_eta)
         self.entropy_pref = float(entropy_pref)
+        # Embedding provenance (encoder preset/tokenizer/seed/checkpoint) —
+        # set by DewiPipeline.build_index, persisted in config.json, and
+        # consumed by CLI search/eval to reconstruct a matching query encoder.
+        self.encoder: Optional[Dict[str, Any]] = None
         self._built = False
         self._use_ann = bool(use_ann)
 
@@ -209,6 +213,7 @@ class DewiIndex:
                     "entropy_pref": self.entropy_pref,
                     "built": self._built,
                     "backend_type": self._backend.__class__.__name__,
+                    "encoder": self.encoder,
                 },
                 f,
             )
@@ -238,6 +243,7 @@ class DewiIndex:
         )
         inst._backend = ann
         inst._built = bool(cfg.get("built", False))
+        inst.encoder = cfg.get("encoder")
         meta_path = p / "meta.json"
         if meta_path.exists():
             with open(meta_path, "r", encoding="utf-8") as f:

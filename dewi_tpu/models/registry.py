@@ -197,6 +197,34 @@ def param_count(params) -> int:
     return int(sum(math.prod(np.shape(x)) for x in jax.tree.leaves(params)))
 
 
+def checkpoint_fingerprint(path: Optional[PathLike]) -> Optional[str]:
+    """Cheap stable fingerprint of a checkpoint for provenance records.
+
+    Files: sha256 of (size || first 8 MiB).  Orbax dirs: sha256 of the sorted
+    (relative-name, size) manifest.  Returns None for a missing/None path —
+    callers record the path regardless and treat a None fingerprint as
+    "unverifiable", not as a mismatch.
+    """
+    if path is None:
+        return None
+    import hashlib
+
+    p = Path(path)
+    h = hashlib.sha256()
+    if p.is_file():
+        h.update(str(p.stat().st_size).encode())
+        with open(p, "rb") as f:
+            h.update(f.read(8 << 20))
+        return h.hexdigest()[:16]
+    if p.is_dir():
+        for sub in sorted(p.rglob("*")):
+            if sub.is_file():
+                h.update(str(sub.relative_to(p)).encode())
+                h.update(str(sub.stat().st_size).encode())
+        return h.hexdigest()[:16]
+    return None
+
+
 __all__ = [
     "LM_PRESETS",
     "MAE_PRESETS",
@@ -211,4 +239,5 @@ __all__ = [
     "load_params",
     "maybe_load",
     "param_count",
+    "checkpoint_fingerprint",
 ]

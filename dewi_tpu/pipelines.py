@@ -137,6 +137,9 @@ class DewiPipeline:
                 max_length=c.max_length,
                 tokenizer=c.tokenizer,
                 domain_model_name=c.domain_model,
+                checkpoint=c.checkpoint,
+                domain_checkpoint=c.domain_checkpoint,
+                seed=c.seed,
             )
         return self._text_entropy
 
@@ -152,6 +155,8 @@ class DewiPipeline:
                 image_size=c.image_size,
                 mask_ratio=c.mask_ratio,
                 batch_size=c.batch_size,
+                checkpoint=c.checkpoint,
+                seed=c.seed,
             )
         return self._image_entropy
 
@@ -165,6 +170,8 @@ class DewiPipeline:
                 model_name=c.model,
                 batch_size=c.batch_size,
                 tokenizer=self.config.text.tokenizer,
+                checkpoint=c.checkpoint,
+                seed=c.seed,
             )
         return self._cross_modal
 
@@ -381,6 +388,28 @@ class DewiPipeline:
         """Text -> embedding for search (resolves SURVEY.md §2.4 item 6)."""
         return self.cross_modal.encode_texts([text])[0]
 
+    def encoder_provenance(self) -> Dict[str, object]:
+        """Identity of the embedding encoder (CLIP towers) for this pipeline.
+
+        Recorded into any index built from these embeddings so search/eval
+        can reconstruct the SAME query encoder (preset + tokenizer + seed +
+        checkpoint) instead of guessing by embedding dim — a mismatched
+        encoder silently returns meaningless rankings (ADVICE.md round 1).
+        """
+        from .models.registry import checkpoint_fingerprint
+
+        c = self.config.cross_modal
+        return {
+            "model": c.model,
+            "tokenizer": self.config.text.tokenizer,
+            "seed": int(c.seed),
+            "checkpoint": c.checkpoint,
+            "checkpoint_fingerprint": checkpoint_fingerprint(c.checkpoint),
+            "d_embed": int(self.cross_modal.cfg.d_embed)
+            if self._cross_modal is not None
+            else None,
+        }
+
     # -- scoring ----------------------------------------------------------------
 
     def compute_dewi_scores(
@@ -496,6 +525,7 @@ class DewiPipeline:
             kwargs["dtype"] = jnp.bfloat16  # halve index HBM traffic
         kwargs.update(index_kwargs)
         index = DewiIndex(dim=dim, **kwargs)
+        index.encoder = self.encoder_provenance()
         emb = np.stack([d.embedding for d in documents]).astype(np.float32)
         pay = np.stack([d.payload().to_array() for d in documents])
         index.add_batch([d.doc_id for d in documents], emb, pay)

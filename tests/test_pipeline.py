@@ -238,6 +238,58 @@ class TestBuildIndexBackendKnobs:
         assert index._backend.nlist == 7
         assert index._backend.nprobe == 3
 
+    def test_checkpoint_fields_reach_estimators(self, tmp_path):
+        """TextConfig/ImageConfig/CrossModalConfig checkpoint+seed plumb into
+        the lazy estimator constructors (VERDICT round 1 item 2)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dewi_tpu.models.registry import (
+            clip_config, init_clip, init_lm, lm_config, save_params,
+        )
+
+        lm_ckpt = tmp_path / "lm.msgpack"
+        _, lm_params = init_lm(lm_config("tiny", vocab_size=258), seed=3)
+        lm_params = jax.tree.map(lambda x: x * 2.0, lm_params)
+        save_params(lm_params, lm_ckpt)
+
+        clip_ckpt = tmp_path / "clip.msgpack"
+        _, clip_params = init_clip(clip_config("tiny"), seed=3)
+        clip_params = jax.tree.map(lambda x: x * 3.0, clip_params)
+        save_params(clip_params, clip_ckpt)
+
+        cfg = tiny_config()
+        cfg.text.checkpoint = str(lm_ckpt)
+        cfg.text.seed = 3
+        cfg.cross_modal.checkpoint = str(clip_ckpt)
+        cfg.cross_modal.seed = 3
+        pipe = DewiPipeline(cfg)
+
+        got = jax.tree.leaves(pipe.text_entropy.params)
+        want = jax.tree.leaves(lm_params)
+        assert all(jnp.allclose(g, w) for g, w in zip(got, want))
+        got = jax.tree.leaves(pipe.cross_modal.params)
+        want = jax.tree.leaves(clip_params)
+        assert all(jnp.allclose(g, w) for g, w in zip(got, want))
+
+        prov = pipe.encoder_provenance()
+        assert prov["checkpoint"] == str(clip_ckpt)
+        assert prov["seed"] == 3 and prov["checkpoint_fingerprint"]
+
+    def test_config_checkpoint_yaml_roundtrip(self, tmp_path):
+        cfg = tiny_config()
+        cfg.text.checkpoint = "/ckpts/lm.msgpack"
+        cfg.image.checkpoint = "/ckpts/mae.msgpack"
+        cfg.cross_modal.checkpoint = "/ckpts/clip.msgpack"
+        cfg.cross_modal.seed = 11
+        path = tmp_path / "cfg.yaml"
+        cfg.to_yaml(path)
+        back = DewiConfig.from_yaml(path)
+        assert back.text.checkpoint == "/ckpts/lm.msgpack"
+        assert back.image.checkpoint == "/ckpts/mae.msgpack"
+        assert back.cross_modal.checkpoint == "/ckpts/clip.msgpack"
+        assert back.cross_modal.seed == 11
+
     def test_quantized_knob_forwarded(self):
         from dewi_tpu.index.quantized import QuantizedIndex
 
