@@ -345,6 +345,35 @@ def _encode_query_text(query: str, index):
 
 
 # ---------------------------------------------------------------------------
+# import-weights
+# ---------------------------------------------------------------------------
+
+
+@cli.command(name="import-weights")
+@click.argument("source")
+@click.argument("out_path", type=click.Path())
+@click.option("--kind", type=click.Choice(["gpt2", "clip", "vit-mae"]),
+              required=True, help="Architecture family of the HF checkpoint")
+def import_weights(source: str, out_path: str, kind: str) -> None:
+    """Convert an HF checkpoint (local dir or cached hub name) to a
+    DEWI-TPU checkpoint loadable via the config ``checkpoint:`` fields.
+
+    Example:  dewi-tpu import-weights gpt2 gpt2.msgpack --kind gpt2
+    then set  text: {model: gpt2, tokenizer: gpt2, checkpoint: gpt2.msgpack}
+    """
+    from .models.import_hf import convert_pretrained
+
+    try:
+        info = convert_pretrained(source, kind, out_path)
+    except ImportError as e:
+        raise click.ClickException(f"torch/transformers required: {e}")
+    except Exception as e:  # noqa: BLE001
+        raise click.ClickException(f"Conversion failed: {e}")
+    click.echo(f"✓ Imported {kind} weights from {source} -> {out_path}")
+    click.echo(json.dumps(info))
+
+
+# ---------------------------------------------------------------------------
 # sample
 # ---------------------------------------------------------------------------
 

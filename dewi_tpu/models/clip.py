@@ -31,6 +31,14 @@ class CLIPConfig:
     image_layers: int = 4
     d_embed: int = 256
     dtype: str = "bfloat16"
+    # Import-parity knobs (dewi_tpu.models.import_hf): OpenAI CLIP uses
+    # quick_gelu, ln_eps=1e-5, a pre-encoder LayerNorm on the vision tower,
+    # and explicit FF widths.  Defaults preserve native behavior (0 = 4*d).
+    ln_eps: float = 1e-6
+    activation: str = "gelu"
+    image_pre_ln: bool = False
+    text_ff: int = 0
+    image_ff: int = 0
 
     def text_cfg(self) -> TransformerConfig:
         return TransformerConfig(
@@ -38,10 +46,12 @@ class CLIPConfig:
             d_model=self.d_text,
             n_heads=self.text_heads,
             n_layers=self.text_layers,
-            d_ff=4 * self.d_text,
+            d_ff=self.text_ff or 4 * self.d_text,
             max_len=self.text_len,
             causal=True,  # CLIP text towers are causal
             dtype=self.dtype,
+            ln_eps=self.ln_eps,
+            activation=self.activation,
         )
 
     def image_cfg(self) -> TransformerConfig:
@@ -51,10 +61,12 @@ class CLIPConfig:
             d_model=self.d_image,
             n_heads=self.image_heads,
             n_layers=self.image_layers,
-            d_ff=4 * self.d_image,
+            d_ff=self.image_ff or 4 * self.d_image,
             max_len=p + 1,
             causal=False,
             dtype=self.dtype,
+            ln_eps=self.ln_eps,
+            activation=self.activation,
         )
 
 
@@ -106,6 +118,10 @@ class CLIPImageTower(nn.Module):
             jnp.float32,
         )
         x = x + pos[None, :, :].astype(x.dtype)
+        if cfg.image_pre_ln:
+            # HF CLIP vision towers LayerNorm embeddings before the encoder.
+            x = nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps,
+                             name="pre_ln")(x)
         x = Encoder(ic, name="encoder")(x)
         out = nn.Dense(cfg.d_embed, use_bias=False, dtype=jnp.float32,
                        name="image_proj")(x[:, 0, :])

@@ -11,6 +11,7 @@ trace serves every image batch (no recompiles, no dynamic gathers).
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,12 @@ class MAEConfig:
     mask_ratio: float = 0.75
     norm_pix: bool = True
     dtype: str = "bfloat16"
+    # Import-parity knobs (dewi_tpu.models.import_hf): HF ViT-MAE prepends a
+    # CLS token in both encoder and decoder, uses exact gelu and ln_eps=1e-12.
+    # Defaults preserve native behavior.
+    ln_eps: float = 1e-6
+    activation: str = "gelu"
+    use_cls: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -53,6 +60,8 @@ class MAEConfig:
             max_len=self.num_patches + 1,
             causal=False,
             dtype=self.dtype,
+            ln_eps=self.ln_eps,
+            activation=self.activation,
         )
 
     def decoder_cfg(self) -> TransformerConfig:
@@ -62,9 +71,11 @@ class MAEConfig:
             n_heads=self.dec_n_heads,
             n_layers=self.dec_n_layers,
             d_ff=self.dec_d_ff,
-            max_len=self.num_patches,
+            max_len=self.num_patches + 1,
             causal=False,
             dtype=self.dtype,
+            ln_eps=self.ln_eps,
+            activation=self.activation,
         )
 
 
@@ -91,16 +102,26 @@ class ViTMAE(nn.Module):
 
     cfg: MAEConfig
 
-    def __call__(self, images: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-        per_patch, mask = self.patch_losses(images, rng)
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        per_patch, mask = self.patch_losses(images, rng, noise)
         return jnp.sum(per_patch * mask, axis=1) / jnp.maximum(
             jnp.sum(mask, axis=1), 1.0
         )
 
     @nn.compact
     def patch_losses(
-        self, images: jnp.ndarray, rng: jax.Array
+        self,
+        images: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+        noise: Optional[jnp.ndarray] = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """``noise`` overrides the masking randomness (shape ``[B, P]``) —
+        used for HF import-parity tests and deterministic replays."""
         cfg = self.cfg
         dt = cfg.encoder_cfg().compute_dtype
         p = cfg.num_patches
@@ -110,21 +131,38 @@ class ViTMAE(nn.Module):
         target = patches
         if cfg.norm_pix:
             mu = patches.mean(axis=-1, keepdims=True)
-            var = patches.var(axis=-1, keepdims=True)
+            # Unbiased variance (ddof=1) matches HF ViT-MAE's torch.var
+            # normalization exactly (modeling_vit_mae forward_loss).
+            var = patches.var(axis=-1, keepdims=True, ddof=1)
             target = (patches - mu) / jnp.sqrt(var + 1e-6)
 
         # Random masking with static counts (fixed V visible, P-V masked).
-        noise = jax.random.uniform(rng, (images.shape[0], p))
+        if noise is None:
+            noise = jax.random.uniform(rng, (images.shape[0], p))
         ids_shuffle = jnp.argsort(noise, axis=1)          # [B, P]
         ids_restore = jnp.argsort(ids_shuffle, axis=1)    # [B, P]
         ids_keep = ids_shuffle[:, :v]
 
         x = nn.Dense(cfg.d_model, dtype=dt, name="patch_embed")(patches)
         enc_pos = self.param(
-            "enc_pos", nn.initializers.normal(0.02), (p, cfg.d_model), jnp.float32
+            "enc_pos", nn.initializers.normal(0.02),
+            (p + 1 if cfg.use_cls else p, cfg.d_model), jnp.float32,
         )
-        x = x + enc_pos[None, :, :].astype(dt)
+        grid_pos = enc_pos[1:] if cfg.use_cls else enc_pos
+        x = x + grid_pos[None, :, :].astype(dt)
         x_vis = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)  # [B, V, D]
+        if cfg.use_cls:
+            # HF ViT-MAE: CLS token (+ its position) prepended to the visible
+            # set after masking (modeling_vit_mae ViTMAEEmbeddings.forward).
+            cls = self.param(
+                "cls", nn.initializers.normal(0.02), (1, 1, cfg.d_model),
+                jnp.float32,
+            )
+            cls_tok = (cls + enc_pos[None, :1, :]).astype(x_vis.dtype)
+            x_vis = jnp.concatenate(
+                [jnp.broadcast_to(cls_tok, (x_vis.shape[0], 1, cfg.d_model)),
+                 x_vis], axis=1,
+            )
         x_vis = Encoder(cfg.encoder_cfg(), name="encoder")(x_vis)
 
         # Decoder: visible tokens + learned mask tokens, unshuffled to grid order.
@@ -136,15 +174,22 @@ class ViTMAE(nn.Module):
         masked = jnp.broadcast_to(
             mask_tok.astype(y.dtype), (y.shape[0], p - v, cfg.dec_d_model)
         )
+        y_cls = None
+        if cfg.use_cls:
+            y_cls, y = y[:, :1, :], y[:, 1:, :]
         y_full = jnp.concatenate([y, masked], axis=1)                  # [B, P, Dd]
         y_full = jnp.take_along_axis(y_full, ids_restore[:, :, None], axis=1)
         dec_pos = self.param(
-            "dec_pos", nn.initializers.normal(0.02), (p, cfg.dec_d_model),
-            jnp.float32,
+            "dec_pos", nn.initializers.normal(0.02),
+            (p + 1 if cfg.use_cls else p, cfg.dec_d_model), jnp.float32,
         )
+        if cfg.use_cls:
+            y_full = jnp.concatenate([y_cls, y_full], axis=1)          # [B, P+1, Dd]
         y_full = y_full + dec_pos[None, :, :].astype(y_full.dtype)
         y_full = Encoder(cfg.decoder_cfg(), name="decoder")(y_full)
         pred = nn.Dense(target.shape[-1], dtype=jnp.float32, name="dec_pred")(y_full)
+        if cfg.use_cls:
+            pred = pred[:, 1:, :]
 
         # Per-image MSE over masked patches only (reference loss semantics).
         mask = jnp.take_along_axis(

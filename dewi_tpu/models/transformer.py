@@ -28,10 +28,25 @@ class TransformerConfig:
     dropout: float = 0.0  # inference-only framework: kept for completeness
     causal: bool = True
     dtype: str = "bfloat16"  # compute dtype; params stay float32
+    # Numerics knobs for weight-import parity with external checkpoints
+    # (GPT-2: ln_eps=1e-5; CLIP: quick_gelu + 1e-5; ViT: gelu_exact + 1e-12).
+    # Defaults reproduce this framework's native behavior exactly.
+    ln_eps: float = 1e-6
+    activation: str = "gelu"  # "gelu" (tanh approx) | "gelu_exact" | "quick_gelu"
 
     @property
     def compute_dtype(self):
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+def activation_fn(name: str):
+    if name == "gelu":
+        return nn.gelu  # tanh approximation (GPT-2's gelu_new)
+    if name == "gelu_exact":
+        return lambda x: nn.gelu(x, approximate=False)
+    if name == "quick_gelu":
+        return lambda x: x * nn.sigmoid(1.702 * x)
+    raise ValueError(f"Unknown activation {name!r}")
 
 
 class MLP(nn.Module):
@@ -41,7 +56,7 @@ class MLP(nn.Module):
     def __call__(self, x):
         dt = self.cfg.compute_dtype
         x = nn.Dense(self.cfg.d_ff, dtype=dt, name="fc_in")(x)
-        x = nn.gelu(x)
+        x = activation_fn(self.cfg.activation)(x)
         return nn.Dense(self.cfg.d_model, dtype=dt, name="fc_out")(x)
 
 
@@ -54,7 +69,8 @@ class Block(nn.Module):
     def __call__(self, x, attn_mask: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         dt = cfg.compute_dtype
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_attn")(x)
+        h = nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps,
+                         name="ln_attn")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=cfg.n_heads,
             dtype=dt,
@@ -63,7 +79,8 @@ class Block(nn.Module):
             name="attn",
         )(h, h, mask=attn_mask)
         x = x + h
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_mlp")(x)
+        h = nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps,
+                         name="ln_mlp")(x)
         return x + MLP(cfg, name="mlp")(h)
 
 
@@ -94,7 +111,15 @@ class Encoder(nn.Module):
             attn_mask = make_attention_mask(pad_mask.astype(bool), cfg.causal)
         for i in range(cfg.n_layers):
             x = Block(cfg, name=f"block_{i}")(x, attn_mask)
-        return nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        return nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps,
+                            name="ln_final")(x)
 
 
-__all__ = ["TransformerConfig", "Encoder", "Block", "MLP", "make_attention_mask"]
+__all__ = [
+    "TransformerConfig",
+    "Encoder",
+    "Block",
+    "MLP",
+    "make_attention_mask",
+    "activation_fn",
+]

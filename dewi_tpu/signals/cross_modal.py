@@ -48,7 +48,26 @@ class CrossModalDependency:
         del device
         self.batch_size = int(batch_size)
         self.tokenizer = get_tokenizer(tokenizer)
-        self.cfg = clip_config(model_name, vocab_size=self.tokenizer.vocab_size)
+        from ..models.import_hf import sidecar_config
+
+        side = sidecar_config(checkpoint)
+        if side is not None:
+            from ..models.clip import CLIPConfig
+
+            self.cfg = CLIPConfig(**side["config"])
+            if self.cfg.vocab_size != self.tokenizer.vocab_size:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "CLIP checkpoint vocab (%d) != tokenizer %r vocab (%d); "
+                    "configure the matching tokenizer for meaningful "
+                    "similarities.", self.cfg.vocab_size, tokenizer,
+                    self.tokenizer.vocab_size,
+                )
+        else:
+            self.cfg = clip_config(
+                model_name, vocab_size=self.tokenizer.vocab_size
+            )
         self.model, params = init_clip(self.cfg, seed=seed)
         self.params = maybe_load(params, checkpoint)
 

@@ -87,12 +87,25 @@ class ImageEntropyEstimator:
             self.cfg = None
             self.image_size = int(image_size or 224)
             return
-        over = {"mask_ratio": self.mask_ratio}
-        if patch_size:
-            over["patch_size"] = int(patch_size)
-        if image_size:
-            over["image_size"] = int(image_size)
-        self.cfg = mae_config(model_name, **over)
+        from ..models.import_hf import sidecar_config
+
+        side = sidecar_config(checkpoint)
+        if side is not None:
+            import dataclasses
+
+            from ..models.mae import MAEConfig
+
+            # Sidecar defines the architecture; mask_ratio stays tunable.
+            self.cfg = dataclasses.replace(
+                MAEConfig(**side["config"]), mask_ratio=self.mask_ratio
+            )
+        else:
+            over = {"mask_ratio": self.mask_ratio}
+            if patch_size:
+                over["patch_size"] = int(patch_size)
+            if image_size:
+                over["image_size"] = int(image_size)
+            self.cfg = mae_config(model_name, **over)
         self.image_size = self.cfg.image_size
         self.model, params = init_mae(self.cfg, seed=seed)
         self.params = maybe_load(params, checkpoint)

@@ -72,12 +72,31 @@ class TextEntropyEstimator:
         self.quantiles = tuple(float(q) for q in quantiles)
         self.batch_size = int(batch_size)
         self.tokenizer = get_tokenizer(tokenizer)
-        cfg = lm_config(model_name, vocab_size=self.tokenizer.vocab_size)
-        if max_length != cfg.max_len:
-            cfg = lm_config(
-                model_name, vocab_size=self.tokenizer.vocab_size,
-                max_len=int(max_length),
-            )
+        # Imported checkpoints carry a sidecar describing their exact
+        # architecture (dewi_tpu.models.import_hf) — it overrides the preset.
+        from ..models.import_hf import sidecar_config
+
+        side = sidecar_config(checkpoint)
+        if side is not None:
+            from ..models.transformer import TransformerConfig
+
+            cfg = TransformerConfig(**side["config"])
+            if cfg.vocab_size != self.tokenizer.vocab_size:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "Checkpoint vocab (%d) != tokenizer %r vocab (%d); "
+                    "surprisal will be meaningless unless the matching "
+                    "tokenizer is configured.",
+                    cfg.vocab_size, tokenizer, self.tokenizer.vocab_size,
+                )
+        else:
+            cfg = lm_config(model_name, vocab_size=self.tokenizer.vocab_size)
+            if max_length != cfg.max_len:
+                cfg = lm_config(
+                    model_name, vocab_size=self.tokenizer.vocab_size,
+                    max_len=int(max_length),
+                )
         self.cfg = cfg
         self.model, params = init_lm(cfg, seed=seed)
         self.params = maybe_load(params, checkpoint)
