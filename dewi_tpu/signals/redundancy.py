@@ -32,19 +32,40 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("block",), donate_argnums=())
-def _max_offdiag_block(emb_n: jax.Array, start: jax.Array, block: int) -> jax.Array:
-    """Max off-diagonal cosine of rows [start, start+block) vs the corpus."""
+@partial(jax.jit, static_argnames=("block", "chunk"))
+def _max_offdiag_block(
+    emb_n: jax.Array,       # [Np, D] normalized, zero-padded to chunk multiple
+    n_valid: jax.Array,     # scalar int32: real corpus size
+    start: jax.Array,
+    block: int,
+    chunk: int,
+) -> jax.Array:
+    """Max off-diagonal cosine of rows [start, start+block) vs the corpus.
+
+    The corpus axis is scanned in ``chunk``-column tiles with a running max,
+    so peak memory is ``block*chunk`` f32 — never ``block*N`` (a [4096, 1M]
+    tile would be 16 GB; chunked it stays ~1 GB regardless of N)."""
     rows = jax.lax.dynamic_slice_in_dim(emb_n, start, block, axis=0)
-    sim = jnp.dot(rows, emb_n.T, preferred_element_type=jnp.float32)  # [b, N]
-    col = jnp.arange(emb_n.shape[0])[None, :]
     self_col = (start + jnp.arange(block))[:, None]
-    sim = jnp.where(col == self_col, -jnp.inf, sim)
+    n_chunks = emb_n.shape[0] // chunk
+
+    def body(c, best):
+        cols = jax.lax.dynamic_slice_in_dim(emb_n, c * chunk, chunk, axis=0)
+        sim = jnp.dot(rows, cols.T, preferred_element_type=jnp.float32)
+        col = (c * chunk + jnp.arange(chunk))[None, :]
+        sim = jnp.where((col == self_col) | (col >= n_valid), -jnp.inf, sim)
+        return jnp.maximum(best, jnp.max(sim, axis=1))
+
+    best = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.full((block,), -jnp.inf, jnp.float32)
+    )
     # TPU f32 matmuls run in bf16 passes; clamp so cosines stay in [-1, 1].
-    return jnp.clip(jnp.max(sim, axis=1), -1.0, 1.0)
+    return jnp.clip(best, -1.0, 1.0)
 
 
-def max_offdiag_similarity(embeddings: np.ndarray, block: int = 4096) -> np.ndarray:
+def max_offdiag_similarity(
+    embeddings: np.ndarray, block: int = 4096, chunk: int = 65536
+) -> np.ndarray:
     """Per-row max cosine similarity to any *other* row, blockwise on device."""
     emb = jnp.asarray(embeddings, dtype=jnp.float32)
     norm = jnp.maximum(jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
@@ -53,10 +74,18 @@ def max_offdiag_similarity(embeddings: np.ndarray, block: int = 4096) -> np.ndar
     if n < 2:
         return np.zeros(n, dtype=np.float32)
     block = min(block, n)
+    chunk = min(chunk, max(block, 256))
+    pad = (-n) % chunk
+    if pad:
+        emb = jnp.concatenate(
+            [emb, jnp.zeros((pad, emb.shape[1]), emb.dtype)], axis=0
+        )
     out = np.empty(n, dtype=np.float32)
     for start in range(0, n, block):
         s = min(start, n - block)  # clamp last block; overlap rows recomputed
-        vals = np.asarray(_max_offdiag_block(emb, jnp.int32(s), block))
+        vals = np.asarray(
+            _max_offdiag_block(emb, jnp.int32(n), jnp.int32(s), block, chunk)
+        )
         out[s : s + block] = vals
     return out
 
