@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""DEWI-TPU benchmark: 1M-doc index+score build and k=10 query latency.
+"""DEWI-TPU benchmark: 1M-doc build, all index tiers, recall, and signals.
 
 Protocol follows the reference's measurement script defaults
 (reference scripts/profile_index.py:241-254: dim=256, n_queries=1000, k=10)
@@ -7,11 +7,22 @@ at the 1M-doc headline scale (reference README.md:163: 2.1 hr build, 22 ms
 query on 16-core CPU + V100).
 
 Latency methodology: the development TPU is reached through a tunnel whose
-host round-trip (~25-35 ms) dwarfs device time, so the headline p50 is
+host round-trip (~25-35 ms) dwarfs device time, so per-query p50s are
 measured with a chained on-device loop — R sequential searches inside ONE
 jitted program (each query perturbed by the previous result so XLA cannot
 batch or elide them), total time / R.  Raw single-dispatch latency
 (including host RTT) and fully-batched QPS are reported as extras.
+
+Sections (DEWI_BENCH_SECTIONS=comma list; default all at 1M scale,
+"core,recall" below 100k so the CI smoke stays fast):
+  core    — build + f32/bf16 chained p50 + batched QPS
+  int8    — quantized-tier chained p50
+  recall  — 1000-query recall vs f32 exact at k=10 and k=100 (bf16, int8)
+  ivf     — device-side 1M IVF build, batched latency + recall (random and
+            clustered corpora; random is IVF's worst case)
+  pallas  — Pallas streaming kernels vs the XLA fused path on real hardware
+  signals — small-preset signal backbones (device-resident docs/sec) + the
+            combined full-signal 1M single-chip estimate
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N, ...extras}
@@ -35,6 +46,14 @@ CHAIN = int(os.environ.get("DEWI_BENCH_CHAIN", 128))
 BASELINE_QUERY_MS = 22.0         # reference README.md:163
 BASELINE_BUILD_S = 2.1 * 3600.0  # reference README.md:163
 
+_default_sections = (
+    "core,int8,recall,ivf,pallas,signals" if N_DOCS >= 100_000
+    else "core,recall"
+)
+SECTIONS = set(
+    os.environ.get("DEWI_BENCH_SECTIONS", _default_sections).split(",")
+)
+
 
 def main() -> None:
     import jax
@@ -47,10 +66,13 @@ def main() -> None:
     import jax.numpy as jnp
 
     from dewi_tpu.index import ExactIndex
+    from dewi_tpu.metrics import recall_matrix
+    from dewi_tpu.ops.quantized import quantize_rows, quantized_search
     from dewi_tpu.ops.similarity import fused_search
     from dewi_tpu.scorer import DewiScorer
     from dewi_tpu.types import PAYLOAD_FIELDS
 
+    extras: dict = {}
     key = jax.random.PRNGKey(0)
     k_emb, k_sig, k_q = jax.random.split(key, 3)
 
@@ -77,7 +99,9 @@ def main() -> None:
     index.build()
     jax.block_until_ready(index.store.device_arrays()[0])
     build_s = time.perf_counter() - t0
-    docs_per_sec = N_DOCS / build_s
+    extras["index_score_build_s"] = round(build_s, 2)
+    extras["index_docs_per_sec"] = round(N_DOCS / build_s, 1)
+    extras["build_vs_baseline"] = round(BASELINE_BUILD_S / build_s, 1)
 
     emb_d, sqn_d, pay_d, n_d = index.store.device_arrays()
     eta = jnp.float32(0.25)
@@ -101,41 +125,90 @@ def main() -> None:
         q, acc = jax.lax.fori_loop(0, CHAIN, body, (q0, jnp.float32(0.0)))
         return acc
 
-    q0 = queries_h[:1]
-    jax.block_until_ready(chained(emb_d, sqn_d, pay_d, n_d, q0))  # compile
-    chain_ms = []
-    for i in range(min(8, N_QUERIES)):
-        t = time.perf_counter()
-        jax.block_until_ready(
-            chained(emb_d, sqn_d, pay_d, n_d, queries_h[i : i + 1])
-        )
-        chain_ms.append((time.perf_counter() - t) * 1e3 / CHAIN)
-    p50_device = float(np.percentile(chain_ms, 50))
+    def chained_p50(fn, *args, reps: int = 6) -> float:
+        jax.block_until_ready(fn(*args, queries_h[:1]))  # compile
+        ms = []
+        for i in range(min(reps, N_QUERIES)):
+            t = time.perf_counter()
+            jax.block_until_ready(fn(*args, queries_h[i : i + 1]))
+            ms.append((time.perf_counter() - t) * 1e3 / CHAIN)
+        return float(np.percentile(ms, 50))
+
+    p50_device = chained_p50(chained, emb_d, sqn_d, pay_d, n_d)
+    extras["f32_p50_ms"] = round(p50_device, 4)
 
     # ---- bf16 storage variant (the recommended serving config) -----------
     emb16 = emb_d.astype(jnp.bfloat16)
-    jax.block_until_ready(chained(emb16, sqn_d, pay_d, n_d, q0))
-    bf16_ms = []
-    for i in range(min(6, N_QUERIES)):
-        t = time.perf_counter()
-        jax.block_until_ready(
-            chained(emb16, sqn_d, pay_d, n_d, queries_h[i : i + 1])
+    p50_bf16 = chained_p50(chained, emb16, sqn_d, pay_d, n_d)
+    extras["bf16_store_p50_ms"] = round(p50_bf16, 4)
+
+    # ---- int8 quantized tier ----------------------------------------------
+    p50_int8 = None
+    q_emb = q_scales = None
+    if "int8" in SECTIONS:
+        q_emb, q_scales = quantize_rows(emb_d)
+        jax.block_until_ready(q_emb)
+        m = min(max(K * 8, 32), N_DOCS)
+
+        @jax.jit
+        def chained_int8(qe, qs, emb_a, sqn_a, pay_a, n_a, q0):
+            def body(_, carry):
+                q, acc = carry
+                scores, _ = quantized_search(
+                    qe, qs, emb_a, sqn_a, pay_a, q, n_a, eta, ep,
+                    k=K, m=m, normalize=True, approx_select=True,
+                )
+                q = q + 1e-12 * scores[0, 0]
+                return q, acc + scores[0, 0]
+
+            _, acc = jax.lax.fori_loop(0, CHAIN, body, (q0, jnp.float32(0.0)))
+            return acc
+
+        p50_int8 = chained_p50(
+            chained_int8, q_emb, q_scales, emb_d, sqn_d, pay_d, n_d
         )
-        bf16_ms.append((time.perf_counter() - t) * 1e3 / CHAIN)
-    p50_bf16 = float(np.percentile(bf16_ms, 50))
+        extras["int8_p50_ms"] = round(p50_int8, 4)
 
-    # Measured (not assumed) recall of the bf16 tier against f32 exact.
-    from dewi_tpu.metrics import recall_matrix
+    # ---- recall vs f32 exact: full query set, k=10 and k=100 ---------------
+    # Queries run in blocks: a single [1000, 1M] f32 score matrix is 4 GB of
+    # HBM; 128-query blocks keep the intermediate at 512 MB.
+    def blocked_idx(search_fn, kk, qblock=128):
+        outs = []
+        for s in range(0, N_QUERIES, qblock):
+            _, idx = search_fn(queries_h[s : s + qblock], kk)
+            outs.append(np.asarray(idx))
+        return np.concatenate(outs)
 
-    _, idx_f32 = fused_search(
-        emb_d, sqn_d, pay_d, queries_h[: min(64, N_QUERIES)], n_d, eta, ep, k=K, normalize=True
-    )
-    _, idx_bf16 = fused_search(
-        emb16, sqn_d, pay_d, queries_h[: min(64, N_QUERIES)], n_d, eta, ep, k=K, normalize=True
-    )
-    bf16_recall = recall_matrix(np.asarray(idx_bf16), np.asarray(idx_f32))
+    bf16_recall = 1.0
+    if "recall" in SECTIONS:
+        for kk in (10, min(100, N_DOCS)):
+            idx_f32 = blocked_idx(
+                lambda q, k: fused_search(emb_d, sqn_d, pay_d, q, n_d, eta,
+                                          ep, k=k, normalize=True), kk
+            )
+            idx_bf16 = blocked_idx(
+                lambda q, k: fused_search(emb16, sqn_d, pay_d, q, n_d, eta,
+                                          ep, k=k, normalize=True), kk
+            )
+            r = recall_matrix(idx_bf16, idx_f32)
+            extras[f"bf16_recall_vs_f32_at_k{kk}"] = round(float(r), 6)
+            if kk == 10:
+                bf16_recall = float(r)
+            if q_emb is not None:
+                m = min(max(kk * 8, 32), N_DOCS)
+                idx_i8 = blocked_idx(
+                    lambda q, k: quantized_search(
+                        q_emb, q_scales, emb_d, sqn_d, pay_d, q, n_d,
+                        eta, ep, k=k, m=m, normalize=True,
+                        approx_select=True), kk
+                )
+                extras[f"int8_recall_vs_f32_at_k{kk}"] = round(
+                    float(recall_matrix(idx_i8, idx_f32)), 6
+                )
+        extras["recall_queries"] = N_QUERIES
 
     # ---- raw single-dispatch latency (includes host<->device RTT) --------
+    q0 = queries_h[:1]
     jax.block_until_ready(
         index.search_batch(q0, k=K, eta=0.25, entropy_pref=0.1)[0]
     )
@@ -146,10 +219,13 @@ def main() -> None:
                                   entropy_pref=0.1)
         jax.block_until_ready(s)
         raw_ms.append((time.perf_counter() - t) * 1e3)
+    extras["raw_dispatch_p50_ms_incl_host_rtt"] = round(
+        float(np.percentile(raw_ms, 50)), 4
+    )
 
-    # ---- batched QPS (all 1000 queries in one fused call) -----------------
+    # ---- batched QPS (all queries in one fused call) -----------------------
     s, _ = index.search_batch(queries_h, k=K, eta=0.25, entropy_pref=0.1)
-    jax.block_until_ready(s)  # compile the [1000, D] shape
+    jax.block_until_ready(s)  # compile the [Q, D] shape
     batch_s = []
     for _ in range(3):
         t = time.perf_counter()
@@ -157,11 +233,175 @@ def main() -> None:
         jax.block_until_ready(s)
         batch_s.append(time.perf_counter() - t)
     batch_s = min(batch_s)
-    qps = N_QUERIES / batch_s
+    extras["batched_qps"] = round(N_QUERIES / batch_s, 1)
+    extras["batched_ms_per_query"] = round(batch_s / N_QUERIES * 1e3, 4)
+
+    # ---- memory footprint ---------------------------------------------------
+    extras["index_hbm_gb_f32"] = round(
+        (emb_d.nbytes + sqn_d.nbytes + pay_d.nbytes) / 2**30, 3
+    )
+    extras["index_hbm_gb_bf16"] = round(
+        (emb16.nbytes + sqn_d.nbytes + pay_d.nbytes) / 2**30, 3
+    )
+
+    # ---- IVF tier -------------------------------------------------------------
+    if "ivf" in SECTIONS:
+        from dewi_tpu.index.ivf import IVFIndex
+
+        ivf = IVFIndex(dim=DIM, nlist=1024, nprobe=32, dewi_tier=1024,
+                       kmeans_iters=8)
+        ivf.store.attach_device(doc_ids, emb, pay)  # exact-length arrays
+        t0 = time.perf_counter()
+        ivf.build()
+        jax.block_until_ready(ivf._dev[1])
+        extras["ivf_build_s_device_side"] = round(time.perf_counter() - t0, 1)
+
+        vi, ii = ivf.search_batch(queries_h, k=K, eta=0.25, entropy_pref=0.1)
+        jax.block_until_ready(vi)
+        t0 = time.perf_counter()
+        vi, ii = ivf.search_batch(queries_h, k=K, eta=0.25, entropy_pref=0.1)
+        jax.block_until_ready(vi)
+        extras["ivf_batched_ms_per_query"] = round(
+            (time.perf_counter() - t0) / N_QUERIES * 1e3, 4
+        )
+        idx_f32 = blocked_idx(
+            lambda q, k: fused_search(emb_d, sqn_d, pay_d, q, n_d, eta, ep,
+                                      k=k, normalize=True), K
+        )
+        extras["ivf_recall_at_k10_random_corpus"] = round(
+            float(recall_matrix(np.asarray(ii), idx_f32)), 4
+        )
+        del ivf  # free bucket arrays before the clustered run
+
+        # Clustered corpus (the realistic case for IVF): 512 Gaussian modes.
+        nc, n_sub = 512, min(200_000, N_DOCS)
+        kc1, kc2, kc3 = jax.random.split(jax.random.PRNGKey(7), 3)
+        centers = jax.random.normal(kc1, (nc, DIM), jnp.float32) * 3.0
+        labels = jax.random.randint(kc2, (n_sub,), 0, nc)
+        cemb = centers[labels] + jax.random.normal(
+            kc3, (n_sub, DIM), jnp.float32
+        )
+        cpay = pay_d[:n_sub]
+        ids_sub = doc_ids[:n_sub]
+        civf = IVFIndex(dim=DIM, nlist=512, nprobe=32, dewi_tier=1024,
+                        kmeans_iters=8)
+        civf.store.attach_device(ids_sub, cemb, cpay)
+        civf.build()
+        cexact = ExactIndex(dim=DIM)
+        cexact.store.attach_device(ids_sub, cemb, cpay)
+        cexact.build()
+        cq = np.asarray(
+            centers[jax.random.randint(kc1, (N_QUERIES,), 0, nc)]
+            + jax.random.normal(kc2, (N_QUERIES, DIM), jnp.float32)
+        )
+        _, ci = civf.search_batch(cq, k=K, eta=0.25, entropy_pref=0.1)
+        _, ce = cexact.search_batch(cq, k=K, eta=0.25, entropy_pref=0.1)
+        extras["ivf_recall_at_k10_clustered_200k"] = round(
+            float(recall_matrix(np.asarray(ci), np.asarray(ce))), 4
+        )
+        del civf, cexact, cemb
+
+    # ---- Pallas streaming kernels vs the XLA fused path ---------------------
+    if "pallas" in SECTIONS:
+        try:
+            from dewi_tpu.ops.pallas_search import (
+                pallas_fused_search, pallas_int8_search,
+            )
+            from dewi_tpu.ops.similarity import l2_normalize
+
+            emb_n = l2_normalize(emb_d)
+            block = 8192 if N_DOCS % 8192 == 0 else 1024
+            qn = np.asarray(l2_normalize(jnp.asarray(queries_h[:8])))
+
+            def rate_ms(fn, reps=8):
+                jax.block_until_ready(fn())
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    out = fn()
+                jax.block_until_ready(out)
+                return (time.perf_counter() - t0) / reps * 1e3
+
+            for nq in (1, 8):
+                qx = qn[:nq]
+                pal = rate_ms(lambda: pallas_fused_search(
+                    emb_n, pay_d, qx, n_d, eta, ep, k=K, block=block))
+                xla = rate_ms(lambda: fused_search(
+                    emb_n, sqn_d, pay_d, qx, n_d, eta, ep, k=K,
+                    normalize=False))
+                extras[f"pallas_f32_ms_q{nq}"] = round(pal, 3)
+                extras[f"xla_f32_ms_q{nq}"] = round(xla, 3)
+            if q_emb is not None:
+                pal = rate_ms(lambda: pallas_int8_search(
+                    q_emb, q_scales, pay_d, qn, n_d, eta, ep, k=K,
+                    block=block))
+                extras["pallas_int8_ms_q8"] = round(pal, 3)
+        except Exception as e:  # noqa: BLE001 — Pallas is an opt-in path
+            extras["pallas_error"] = str(e)[:200]
+
+    # ---- signal backbones (device-resident throughput, small preset) --------
+    if "signals" in SECTIONS:
+        del emb16
+        if q_emb is not None:
+            del q_emb, q_scales
+        from dewi_tpu.signals import TextEntropyEstimator
+        from dewi_tpu.signals.image_entropy import ImageEntropyEstimator
+        from dewi_tpu.signals.redundancy import max_offdiag_similarity
+
+        per_doc = 0.0
+        est = TextEntropyEstimator(model_name="small", batch_size=512)
+        S, bs = est.superbatch, est.batch_size
+        ids0 = np.full((bs, 256), 65, np.int32)
+        mask0 = np.ones((bs, 256), np.float32)
+        ids3 = jnp.asarray(np.broadcast_to(ids0, (S,) + ids0.shape))
+        mask3 = jnp.asarray(np.broadcast_to(mask0, (S,) + mask0.shape))
+        jax.block_until_ready(est._score_super(est.params, ids3, mask3))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out = est._score_super(est.params, ids3, mask3)
+        jax.block_until_ready(out)
+        dps = S * bs * 4 / (time.perf_counter() - t0)
+        extras["signals_text_docs_per_sec_device"] = round(dps, 1)
+        per_doc += 1.0 / dps
+
+        ie = ImageEntropyEstimator(model_name="small", batch_size=64)
+        img4 = jnp.zeros((ie.superbatch, 64, 224, 224, 3), jnp.float32)
+        rngs = jax.random.split(jax.random.PRNGKey(0), ie.superbatch)
+        jax.block_until_ready(ie._stats_super(ie.params, img4, rngs))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out = ie._stats_super(ie.params, img4, rngs)
+        jax.block_until_ready(out)
+        dps = ie.superbatch * 64 * 4 / (time.perf_counter() - t0)
+        extras["signals_image_docs_per_sec_device"] = round(dps, 1)
+        per_doc += 2.0 / dps  # MAE + ~CLIP-image-tower-equivalent cost
+
+        t0 = time.perf_counter()
+        max_offdiag_similarity(emb_d, block=4096)
+        red_s = (time.perf_counter() - t0) * (1_000_000 / N_DOCS) ** 2
+        extras["signals_redundancy_1M_s"] = round(red_s, 1)
+        per_doc += red_s / 1_000_000
+
+        extras["full_signals_1M_min_single_chip_est"] = round(
+            per_doc * 1_000_000 / 60, 2
+        )
+        extras["full_signals_detail"] = "see docs/perf/signals_{small,base}.json"
 
     # Headline: the recommended serving config (bf16 storage) when its
-    # measured recall vs f32 exact is perfect; otherwise the f32 tier.
-    headline = p50_bf16 if bf16_recall >= 1.0 else p50_device
+    # measured recall vs f32 exact is >=0.999 over the full query set;
+    # otherwise the f32 tier.
+    headline = p50_bf16 if bf16_recall >= 0.999 else p50_device
+    extras["latency_method"] = (
+        f"chained on-device loop ({CHAIN} serialized searches per dispatch)"
+    )
+    extras["headline_tier"] = (
+        "bf16-store exact" if headline == p50_bf16 else "f32 exact"
+    )
+    extras["recall_vs_exact"] = 1.0 if headline == p50_device else round(
+        bf16_recall, 6
+    )
+    extras["n_docs"] = N_DOCS
+    extras["dim"] = DIM
+    extras["device"] = str(jax.devices()[0])
     print(
         json.dumps(
             {
@@ -169,35 +409,7 @@ def main() -> None:
                 "value": round(headline, 4),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_QUERY_MS / headline, 2),
-                "extras": {
-                    "latency_method": "chained on-device loop (128 serialized "
-                                      "searches per dispatch)",
-                    "headline_tier": "bf16-store exact"
-                                     if headline == p50_bf16 else "f32 exact",
-                    "f32_p50_ms": round(p50_device, 4),
-                    "bf16_store_p50_ms": round(p50_bf16, 4),
-                    "bf16_recall_vs_f32_at_k10": round(bf16_recall, 6),
-                    "raw_dispatch_p50_ms_incl_host_rtt": round(
-                        float(np.percentile(raw_ms, 50)), 4
-                    ),
-                    "batched_qps": round(qps, 1),
-                    "batched_ms_per_query": round(batch_s / N_QUERIES * 1e3, 4),
-                    "index_score_build_s": round(build_s, 2),
-                    "index_docs_per_sec": round(docs_per_sec, 1),
-                    "build_vs_baseline": round(BASELINE_BUILD_S / build_s, 1),
-                    "recall_vs_exact": 1.0,  # the index IS exact
-                    # Device memory for the live index arrays (the
-                    # reference's table reports 12.4 GB host RSS at 1M docs).
-                    "index_hbm_gb_f32": round(
-                        (emb_d.nbytes + sqn_d.nbytes + pay_d.nbytes) / 2**30, 3
-                    ),
-                    "index_hbm_gb_bf16": round(
-                        (emb16.nbytes + sqn_d.nbytes + pay_d.nbytes) / 2**30, 3
-                    ),
-                    "n_docs": N_DOCS,
-                    "dim": DIM,
-                    "device": str(jax.devices()[0]),
-                },
+                "extras": extras,
             }
         )
     )

@@ -143,7 +143,9 @@ def process(
                 "the available accelerator."
             )
 
-        documents = _load_documents(texts, images, embeddings)
+        documents = _load_documents(
+            texts, images, embeddings, max_workers=cfg.runtime.io_threads
+        )
         if not documents:
             raise click.ClickException(
                 "No documents to process. Provide --texts and/or --images"
@@ -158,22 +160,41 @@ def process(
 
         pipeline = DewiPipeline(cfg)
         # Shard automatically when the corpus exceeds the configured shard
-        # size (runtime.shard_size), or when explicitly requested.
+        # size (runtime.shard_size), when periodic checkpointing is requested
+        # (runtime.checkpoint_every = docs between checkpoint flushes; each
+        # shard's signal stages checkpoint independently), or when explicitly
+        # asked for via --shard-size.
+        if not shard_size and cfg.runtime.checkpoint_every > 0:
+            shard_size = cfg.runtime.checkpoint_every
+            if checkpoint_dir is None:
+                checkpoint_dir = str(out / "checkpoints")
         if not shard_size and len(documents) > cfg.runtime.shard_size:
             shard_size = cfg.runtime.shard_size
-        if shard_size:
-            docs = pipeline.process_stream(
-                documents, shard_size=shard_size, progress=True,
-                checkpoint_dir=checkpoint_dir,
-                delta=cfg.scoring.delta, mode=cfg.scoring.mode,
-            )
-        else:
-            docs = pipeline.compute_signals(
-                documents, progress=True, checkpoint_dir=checkpoint_dir
-            )
-            docs = pipeline.compute_dewi_scores(
-                docs, delta=cfg.scoring.delta, mode=cfg.scoring.mode
-            )
+
+        from contextlib import nullcontext
+
+        from .utils.profiling import xla_trace
+
+        trace_ctx = (
+            xla_trace(str(out / "profile")) if cfg.runtime.profile
+            else nullcontext()
+        )
+        with trace_ctx:
+            if shard_size:
+                docs = pipeline.process_stream(
+                    documents, shard_size=shard_size, progress=True,
+                    checkpoint_dir=checkpoint_dir,
+                    delta=cfg.scoring.delta, mode=cfg.scoring.mode,
+                )
+            else:
+                docs = pipeline.compute_signals(
+                    documents, progress=True, checkpoint_dir=checkpoint_dir
+                )
+                docs = pipeline.compute_dewi_scores(
+                    docs, delta=cfg.scoring.delta, mode=cfg.scoring.mode
+                )
+        if cfg.runtime.profile:
+            click.echo(f"✓ XLA trace written to {out / 'profile'}")
         _save_results(docs, out)
         try:
             index = pipeline.build_index(docs)

@@ -76,7 +76,7 @@ class RedundancyConfig:
     """
 
     text_sim: str = "embedding"  # "embedding" | "minhash" | "simhash"
-    image_sim: str = "embedding"
+    image_sim: str = "embedding"  # "embedding" | "phash"
     cross_modal_density: bool = True
     block_size: int = 4096
     threshold: float = 0.9
@@ -158,11 +158,20 @@ class MeshConfig:
 
 @dataclass
 class RuntimeConfig:
-    """Host-side runtime knobs (ingest threading, checkpoint cadence)."""
+    """Host-side runtime knobs (all consumed by the CLI ``process`` path).
+
+    ``io_threads``: thread-pool width for corpus file reads.
+    ``shard_size``: corpora larger than this process in resumable shards.
+    ``checkpoint_every``: docs between checkpoint flushes (0 = off); forces
+    sharded processing with per-shard stage checkpoints under
+    ``<out>/checkpoints``.
+    ``profile``: wrap processing in a ``jax.profiler`` trace written to
+    ``<out>/profile``.
+    """
 
     io_threads: int = 4
     shard_size: int = 100_000
-    checkpoint_every: int = 0  # docs between pipeline checkpoints; 0 = off
+    checkpoint_every: int = 0
     profile: bool = False
 
 

@@ -67,7 +67,13 @@ class IndexBackend(Enum):
 
 
 class DewiIndex:
-    """Entropy-weighted index with DEWI re-ranked search."""
+    """Entropy-weighted index with DEWI re-ranked search.
+
+    ``ef``/``M`` are accepted for reference-API compatibility
+    (reference index.py:23-31) but intentionally inert: they tune HNSW graph
+    construction, and graph ANN is replaced by exact/quantized/IVF matmul
+    backends on TPU (the equivalent dials are ``refine_factor`` and
+    ``nlist``/``nprobe``)."""
 
     def __init__(
         self,

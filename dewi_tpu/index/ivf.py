@@ -26,10 +26,10 @@ import numpy as np
 
 from ..ops.kmeans import assign_clusters, kmeans
 from ..ops.similarity import l2_normalize, rerank_scores
-from ..types import PAYLOAD_FIELDS, Payload
+from ..types import Payload
 from .base import BaseIndex
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # python float: no backend init at import time
 QUERY_BLOCK = 64
 
 
@@ -102,6 +102,91 @@ def _ivf_search_kernel(
     return vals, jnp.take_along_axis(all_idx, pos, axis=1)
 
 
+@partial(jax.jit, static_argnames=("nlist", "cap", "tier_n"))
+def _ivf_plan(
+    assign: jax.Array,   # [N] int32 cluster ids
+    pay: jax.Array,      # [N, 8] payloads (col 0 = dewi)
+    nlist: int,
+    cap: int,
+    tier_n: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Device-side bucket planning: stable sort by cluster, within-cluster
+    rank, and the in-bucket mask (docs past ``cap`` or in the high-DEWI tier
+    go to the exact overflow scan)."""
+    n = assign.shape[0]
+    order = jnp.argsort(assign, stable=True)          # [N]
+    sorted_assign = assign[order]
+    counts = jnp.bincount(assign, length=nlist)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+    rank = jnp.arange(n) - starts[sorted_assign]      # [N] rank within cluster
+    in_bucket = rank < cap
+    if tier_n > 0:
+        # The query-independent part of the adjusted score is
+        # eta*dewi + entropy_pref*0.5*(ht_mean + hi_mean); eta/entropy_pref
+        # are query-time knobs, so the tier must cover the leaders of BOTH
+        # components — docs extreme in either can leapfrog into the global
+        # top-k without similarity, and the coarse quantizer has no reason
+        # to probe them.
+        _, dewi_idx = jax.lax.top_k(pay[:, 0], tier_n)
+        _, ent_idx = jax.lax.top_k(0.5 * (pay[:, 1] + pay[:, 3]), tier_n)
+        is_tier = (
+            jnp.zeros((n,), bool).at[dewi_idx].set(True).at[ent_idx].set(True)
+        )
+        in_bucket &= ~is_tier[order]
+    return order, rank, in_bucket
+
+
+@partial(jax.jit, static_argnames=("nlist", "cap", "o_cap"))
+def _ivf_materialize(
+    emb: jax.Array,
+    sqn: jax.Array,
+    pay: jax.Array,
+    order: jax.Array,
+    rank: jax.Array,
+    in_bucket: jax.Array,
+    assign: jax.Array,
+    nlist: int,
+    cap: int,
+    o_cap: int,
+):
+    """Scatter the planned layout into fixed-shape bucket + overflow arrays,
+    all on device (scatters route rejected docs to a trash row/slot that is
+    sliced away)."""
+    sorted_assign = assign[order]
+    dest_row = jnp.where(in_bucket, sorted_assign, nlist)
+    dest_col = jnp.where(in_bucket, jnp.minimum(rank, cap - 1), 0)
+    b_docidx = (
+        jnp.full((nlist + 1, cap), -1, jnp.int32)
+        .at[dest_row, dest_col].set(order.astype(jnp.int32))
+    )[:nlist]
+
+    # Pack overflow docs densely: position = running count of overflow rows.
+    is_over = ~in_bucket
+    pos = jnp.cumsum(is_over) - 1
+    o_dest = jnp.where(is_over, pos, o_cap)
+    o_docidx = (
+        jnp.full((o_cap + 1,), -1, jnp.int32)
+        .at[o_dest].set(order.astype(jnp.int32))
+    )[:o_cap]
+
+    b_valid = b_docidx >= 0
+    gather = jnp.clip(b_docidx, 0, None)
+    b_emb = jnp.where(b_valid[..., None], emb[gather], 0.0)
+    b_pay = jnp.where(b_valid[..., None], pay[gather], 0.0)
+    b_sqn = jnp.where(b_valid, sqn[gather], 0.0)
+
+    o_valid = o_docidx >= 0
+    og = jnp.clip(o_docidx, 0, None)
+    o_emb = jnp.where(o_valid[..., None], emb[og], 0.0)
+    o_pay = jnp.where(o_valid[..., None], pay[og], 0.0)
+    o_sqn = jnp.where(o_valid, sqn[og], 0.0)
+    return (b_emb, b_pay, b_valid, b_docidx, b_sqn), (
+        o_emb, o_pay, o_docidx, o_sqn,
+    )
+
+
 class IVFIndex(BaseIndex):
     """Inverted-file index over k-means buckets with an exact overflow tier."""
 
@@ -150,6 +235,15 @@ class IVFIndex(BaseIndex):
     # -- build -------------------------------------------------------------
 
     def build(self, **kwargs) -> None:
+        """Bucketize the corpus entirely on device.
+
+        k-means, cluster assignment, stable sort, per-cluster ranking, the
+        high-DEWI tier pick, and all bucket/overflow gathers are jitted XLA
+        scatter/gather programs; the only host sync is the scalar overflow
+        count (needed to pick a static overflow capacity).  Nothing corpus-
+        sized crosses the host boundary — the reference's FAISS train path
+        (backends.py:287-293) and round-1's numpy bucketization both pulled
+        the full corpus to host RAM (~1 GB at 1M x 256)."""
         n = len(self.store)
         if n == 0:
             raise ValueError("No embeddings to build index from")
@@ -169,60 +263,28 @@ class IVFIndex(BaseIndex):
             train, key, n_clusters=nlist, n_iters=self.kmeans_iters,
             spherical=self.store.normalize,
         )
-        assign = np.asarray(assign_clusters(emb, centroids))
+        assign = assign_clusters(emb, centroids)  # [N] int32, device
 
-        # Host-side bucketization (one pass of numpy; O(N) and build-time only).
-        counts = np.bincount(assign, minlength=nlist)
         cap = max(8, int(np.ceil(self.bucket_load_factor * max(1, n / nlist) / 8.0)) * 8)
-        order = np.argsort(assign, kind="stable")
-        sorted_assign = assign[order]
-        # Rank of each doc within its cluster.
-        starts = np.zeros(nlist + 1, dtype=np.int64)
-        np.cumsum(counts, out=starts[1:])
-        rank = np.arange(n, dtype=np.int64) - starts[sorted_assign]
-
-        in_bucket = rank < cap
-        # High-DEWI tier: force the top-dewi docs into the always-scanned
-        # overflow arrays (see ctor comment).
         tier_n = min(self.dewi_tier, n)
-        if tier_n > 0:
-            pay_np = np.asarray(pay, dtype=np.float32)
-            is_tier = np.zeros(n, dtype=bool)
-            is_tier[np.argpartition(-pay_np[:, 0], tier_n - 1)[:tier_n]] = True
-            in_bucket &= ~is_tier[order]
-        b_docidx = np.full((nlist, cap), -1, dtype=np.int32)
-        b_docidx[sorted_assign[in_bucket], rank[in_bucket]] = order[in_bucket].astype(np.int32)
-        overflow_idx = order[~in_bucket].astype(np.int32)
 
-        gather = np.clip(b_docidx, 0, None)
-        emb_h = np.asarray(emb, dtype=np.float32)
-        pay_h = np.asarray(pay, dtype=np.float32)
-        sqn_h = np.asarray(sqn, dtype=np.float32)
-        b_valid = b_docidx >= 0
-        b_emb = np.where(b_valid[..., None], emb_h[gather], 0.0)
-        b_pay = np.where(b_valid[..., None], pay_h[gather], 0.0)
-        b_sqn = np.where(b_valid, sqn_h[gather], 0.0)
+        order, rank, in_bucket = _ivf_plan(
+            assign, pay, nlist=nlist, cap=cap, tier_n=tier_n
+        )
+        # The one host sync: overflow count -> static overflow capacity.
+        o_n = int(jnp.sum(~in_bucket))
+        o_cap = max(8, -(-max(o_n, 1) // 8) * 8)
 
-        o_n = overflow_idx.shape[0]
-        o_cap = max(8, int(np.ceil(max(o_n, 1) / 8.0)) * 8)
-        o_emb = np.zeros((o_cap, self.dim), dtype=np.float32)
-        o_pay = np.zeros((o_cap, len(PAYLOAD_FIELDS)), dtype=np.float32)
-        o_docidx = np.full((o_cap,), -1, dtype=np.int32)
-        o_sqn = np.zeros((o_cap,), dtype=np.float32)
-        if o_n:
-            o_emb[:o_n] = emb_h[overflow_idx]
-            o_pay[:o_n] = pay_h[overflow_idx]
-            o_docidx[:o_n] = overflow_idx
-            o_sqn[:o_n] = sqn_h[overflow_idx]
-
-        self._dev = tuple(
-            jnp.asarray(a)
-            for a in (
-                np.asarray(centroids, dtype=np.float32),
-                b_emb, b_pay, b_valid, b_docidx, b_sqn,
-                o_emb, o_pay, o_docidx, o_sqn,
-            )
-        ) + (jnp.int32(o_n),)
+        b_arrays, o_arrays = _ivf_materialize(
+            emb, sqn, pay, order, rank, in_bucket, assign,
+            nlist=nlist, cap=cap, o_cap=o_cap,
+        )
+        self._dev = (
+            centroids.astype(jnp.float32),
+            *b_arrays,
+            *o_arrays,
+            jnp.int32(o_n),
+        )
         self._is_trained = True
 
     # -- search ---------------------------------------------------------------

@@ -122,7 +122,7 @@ def read_payloads_jsonl(path) -> Tuple[List[str], np.ndarray]:
     """Read back (doc_ids, [N, 8] matrix); tolerant of missing/extra keys."""
     path = Path(path)
     lib = _load()
-    if lib is not None:
+    if lib is not None and _native_read_safe(path):
         # Upper-bound row count by line count of the file.
         data_len = path.stat().st_size
         max_rows = max(1, data_len // 16)
@@ -155,6 +155,24 @@ def read_payloads_jsonl(path) -> Tuple[List[str], np.ndarray]:
 # ---------------------------------------------------------------------------
 # minhash
 # ---------------------------------------------------------------------------
+
+
+def _native_read_safe(path: Path) -> bool:
+    """Mirror of the writer's newline guard, for the READ side.
+
+    The Python fallback writer legally JSON-escapes ids containing newlines
+    (``\\n``) or NULs (``\\u0000``); the C parser unescapes them, which would
+    shift the '\\n'-joined ids buffer (newline) or truncate it (NUL).  Any
+    such escape in the file routes the read to the Python JSON parser.
+    Payload keys/values are fixed identifiers and floats, so these escape
+    sequences can only originate from id strings (a literal backslash-n in an
+    id arrives double-escaped and merely causes a harmless fallback too).
+    """
+    try:
+        data = path.read_bytes()
+    except OSError:
+        return False
+    return b"\\n" not in data and b"\\u0000" not in data
 
 
 def minhash_signatures_native(

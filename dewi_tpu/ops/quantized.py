@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .similarity import l2_normalize, rerank_scores
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # python float: no backend init at import time
 
 
 @jax.jit

@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # python float: no backend init at import time
 
 
 def l2_normalize(x: jax.Array, eps: float = 0.0) -> jax.Array:

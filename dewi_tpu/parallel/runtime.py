@@ -23,6 +23,28 @@ logger = logging.getLogger(__name__)
 _initialized = False
 
 
+_COORDINATOR_ENV_VARS = (
+    # Set by Cloud TPU / GKE / launchers when a job spans processes; any of
+    # these makes the no-arg auto-detection path worth attempting.
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
+def _multi_host_env() -> bool:
+    import os
+
+    if any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS):
+        return True
+    # TPU_WORKER_HOSTNAMES counts only when it names MORE than one worker
+    # (single-host setups legitimately set it to "localhost").
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
+    return int(os.environ.get("DEWI_NUM_PROCESSES", "1")) > 1
+
+
 def initialize_runtime(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -30,9 +52,13 @@ def initialize_runtime(
 ) -> None:
     """Bootstrap multi-host JAX (no-op when single-process).
 
-    With no arguments, relies on the TPU environment's auto-detection
-    (``jax.distributed.initialize()`` discovers the coordinator on Cloud
-    TPU).  Safe to call more than once.
+    Called with explicit arguments, passes them to
+    ``jax.distributed.initialize``.  Called with no arguments, it invokes
+    auto-detection **when a multi-host environment is detected** (coordinator
+    env vars set by Cloud TPU launchers — see ``_MULTIHOST_ENV_VARS``);
+    otherwise it is a deliberate no-op, so single-process programs never pay
+    a coordinator timeout.  Safe to call more than once; failures degrade to
+    single-process with a warning.
     """
     global _initialized
     if _initialized:
@@ -44,6 +70,9 @@ def initialize_runtime(
                 num_processes=num_processes,
                 process_id=process_id,
             )
+            _initialized = True
+        elif _multi_host_env():
+            jax.distributed.initialize()  # full auto-detection
             _initialized = True
         # Single-process: nothing to do; jax.devices() is already live.
     except Exception as e:  # noqa: BLE001 — degrade to single-process

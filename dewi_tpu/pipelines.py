@@ -83,13 +83,35 @@ def create_document(
 
 
 class _StageCheckpoint:
-    """Per-stage npz checkpoints: ``<dir>/<stage>.npz`` + manifest."""
+    """Per-stage npz checkpoints: ``<dir>/<stage>.npz`` + corpus digest.
 
-    def __init__(self, directory: Optional[PathLike], n_docs: int):
+    Besides the doc count, each checkpoint records a digest of the corpus
+    identity (doc ids + content lengths), so resuming against a *different*
+    same-length corpus (edited docs, reordered ids) discards the stale cache
+    instead of silently applying cached signals to the wrong documents
+    (ADVICE.md round 1)."""
+
+    def __init__(self, directory: Optional[PathLike], documents) -> None:
         self.dir = Path(directory) if directory else None
-        self.n_docs = n_docs
+        if isinstance(documents, int):  # legacy: count only, no digest
+            self.n_docs = documents
+            self.digest = ""
+        else:
+            self.n_docs = len(documents)
+            self.digest = self._digest(documents)
         if self.dir:
             self.dir.mkdir(parents=True, exist_ok=True)
+
+    @staticmethod
+    def _digest(documents) -> str:
+        import hashlib
+
+        h = hashlib.sha256()
+        for d in documents:
+            h.update(d.doc_id.encode())
+            h.update(str(len(d.text or "")).encode())
+            h.update(b"\0")
+        return h.hexdigest()[:16]
 
     def load(self, stage: str) -> Optional[Dict[str, np.ndarray]]:
         if not self.dir:
@@ -102,12 +124,22 @@ class _StageCheckpoint:
             logger.warning("Checkpoint %s is for %d docs (have %d); ignoring.",
                            path, int(data["n_docs"]), self.n_docs)
             return None
-        return {k: data[k] for k in data.files if k != "n_docs"}
+        saved_digest = str(data["digest"]) if "digest" in data.files else ""
+        if self.digest and saved_digest and saved_digest != self.digest:
+            logger.warning(
+                "Checkpoint %s was computed for a different corpus "
+                "(digest %s != %s); ignoring.", path, saved_digest, self.digest
+            )
+            return None
+        return {
+            k: data[k] for k in data.files if k not in ("n_docs", "digest")
+        }
 
     def save(self, stage: str, **arrays: np.ndarray) -> None:
         if not self.dir:
             return
-        np.savez(self.dir / f"{stage}.npz", n_docs=self.n_docs, **arrays)
+        np.savez(self.dir / f"{stage}.npz", n_docs=self.n_docs,
+                 digest=self.digest, **arrays)
 
 
 class DewiPipeline:
@@ -224,7 +256,7 @@ class DewiPipeline:
         """
         if not documents:
             return []
-        ckpt = _StageCheckpoint(checkpoint_dir, len(documents))
+        ckpt = _StageCheckpoint(checkpoint_dir, documents)
 
         def log_stage(name: str) -> None:
             if progress:
@@ -320,26 +352,55 @@ class DewiPipeline:
     def _redundancy_stage(
         self, documents: List[Document], ckpt: "_StageCheckpoint"
     ) -> List[Document]:
-        """Global redundancy over an already-embedded document list."""
+        """Global redundancy over an already-embedded document list.
+
+        Modes (config.redundancy): ``text_sim: minhash|simhash`` hashes text
+        docs; ``image_sim: phash`` perceptual-hashes image docs; anything
+        else scores docs by embedding-space max-offdiag similarity.  When
+        hash modes cover only one modality, the remaining docs fall back to
+        the embedding mode, and a doc covered by several modes keeps its max.
+        """
         cached = ckpt.load("redundancy")
         if cached is None:
-            if self.config.redundancy.text_sim in ("minhash", "simhash"):
-                scores = np.zeros(len(documents), np.float32)
+            scores = np.zeros(len(documents), np.float32)
+            hash_covered: set = set()
+            text_hash = self.config.redundancy.text_sim in ("minhash", "simhash")
+            image_hash = self.config.redundancy.image_sim == "phash"
+            if text_hash:
                 text_idx = [i for i, d in enumerate(documents) if d.text]
                 if text_idx:
                     scores[np.array(text_idx)] = self.redundancy.score_texts(
                         [documents[i].text for i in text_idx]
                     )
-            else:
-                scores = np.zeros(len(documents), np.float32)
-                by_dim: Dict[int, List[int]] = {}
-                for i, d in enumerate(documents):
-                    by_dim.setdefault(len(d.embedding), []).append(i)
-                for idxs in by_dim.values():
-                    if len(idxs) < 2:
-                        continue
-                    emb = np.stack([documents[i].embedding for i in idxs])
-                    scores[np.array(idxs)] = self.redundancy.score(emb)
+                hash_covered.update(text_idx)
+            if image_hash:
+                img_idx = [
+                    i for i, d in enumerate(documents)
+                    if d.image_source() is not None
+                ]
+                if img_idx:
+                    ph = self.redundancy.score_images(
+                        [documents[i].image_source() for i in img_idx]
+                    )
+                    scores[np.array(img_idx)] = np.maximum(
+                        scores[np.array(img_idx)], ph
+                    )
+                hash_covered.update(img_idx)
+            rest = (
+                [i for i in range(len(documents)) if i not in hash_covered]
+                if (text_hash or image_hash)
+                else list(range(len(documents)))
+            )
+            by_dim: Dict[int, List[int]] = {}
+            for i in rest:
+                by_dim.setdefault(len(documents[i].embedding), []).append(i)
+            for idxs in by_dim.values():
+                if len(idxs) < 2:
+                    continue
+                emb = np.stack([documents[i].embedding for i in idxs])
+                scores[np.array(idxs)] = np.maximum(
+                    scores[np.array(idxs)], self.redundancy.score(emb)
+                )
             ckpt.save("redundancy", scores=np.asarray(scores, np.float32))
         else:
             scores = cached["scores"]
@@ -482,7 +543,7 @@ class DewiPipeline:
         # Redundancy is cross-document: run it globally over all shards so
         # sharding never changes scores.
         self._redundancy_stage(
-            documents, _StageCheckpoint(ckpt_root, len(documents))
+            documents, _StageCheckpoint(ckpt_root, documents)
         )
         # Global fit+score across every shard in one fused call.
         return self.compute_dewi_scores(documents, weights=weights,

@@ -41,6 +41,28 @@ def _try_tesseract():
         return None
 
 
+def skin_fraction_risk(image) -> float:
+    """Lite NSFW risk proxy: fraction of skin-toned pixels (YCbCr gate).
+
+    The honest in-repo baseline behind ``nsfw_filter: "lite"`` — a
+    deterministic, dependency-free stand-in for the reference's hub
+    classifier (reference noise.py:11-18).  Risk ramps from 0 at <30% skin
+    pixels to 1 at >80%; inject ``nsfw_fn=`` for a trained classifier.
+    """
+    from .image_entropy import to_image_array
+
+    arr = to_image_array(image, 64)  # [64, 64, 3] floats in [0, 1]
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 0.564 * (b - y) + 0.5
+    cr = 0.713 * (r - y) + 0.5
+    skin = (
+        (cb > 0.30) & (cb < 0.50) & (cr > 0.52) & (cr < 0.68) & (y > 0.15)
+    )
+    frac = float(skin.mean())
+    return float(np.clip((frac - 0.3) / 0.5, 0.0, 1.0))
+
+
 class NoiseEstimator:
     """Text-quality + image-noise heuristics with neutral fallbacks.
 
@@ -67,7 +89,23 @@ class NoiseEstimator:
         self.blur_threshold = float(blur_threshold)
         self.ocr_min_coverage = float(ocr_min_coverage)
         self.nsfw_filter = nsfw_filter
-        self.nsfw_fn = nsfw_fn if (enable_nsfw and nsfw_filter != "none") else None
+        if not enable_nsfw or nsfw_filter == "none":
+            self.nsfw_fn = None
+        elif nsfw_fn is not None:
+            self.nsfw_fn = nsfw_fn
+        elif nsfw_filter in ("lite", "strict"):
+            # Built-in lite scorer (skin-fraction heuristic) so the config
+            # mode does something measurable without an injected classifier;
+            # "strict" additionally warns that a real classifier is advised.
+            self.nsfw_fn = skin_fraction_risk
+            if nsfw_filter == "strict":
+                logger.warning(
+                    "nsfw_filter='strict' with no injected classifier; using "
+                    "the lite skin-fraction heuristic (pass nsfw_fn= for a "
+                    "real model)."
+                )
+        else:
+            self.nsfw_fn = None
         self.ocr = _try_tesseract()
         self._lang_detect = _try_langdetect()
 
@@ -134,6 +172,23 @@ class NoiseEstimator:
         )
         return float(lap.var() * 1e3)  # rescaled so ~0.25 separates blurry
 
+    def ocr_coverage_penalty(self, image) -> float:
+        """Penalty in [0, 0.3] for images whose embedded text OCRs badly.
+
+        When tesseract is available and an image yields OCR text, the text's
+        alnum/symbol quality below ``ocr_min_coverage`` marks a garbled scan
+        (the reference accepted the knob but never consumed it — reference
+        noise.py:91-97).  Images with no OCR text (or no tesseract) are
+        neutral: absence of text is not noise.
+        """
+        txt = self.ocr_text(image)
+        if not txt or not txt.strip():
+            return 0.0
+        quality = self.check_text_quality(txt)
+        if quality >= self.ocr_min_coverage:
+            return 0.0
+        return 0.3 * (1.0 - quality / max(self.ocr_min_coverage, 1e-6))
+
     # -- coherent combined contract -------------------------------------------
 
     def score(self, text: Optional[str] = None, image=None) -> float:
@@ -141,7 +196,7 @@ class NoiseEstimator:
 
         Deterministic blend of the available components:
         text: ``1 - (0.7*quality + 0.3*language)``;
-        image: ``max(nsfw_risk, blurry_indicator)``;
+        image: ``max(nsfw_risk, blurry_indicator, ocr_coverage_penalty)``;
         result = mean over present modalities.
         """
         parts: List[float] = []
@@ -152,7 +207,9 @@ class NoiseEstimator:
         if image is not None:
             nsfw = self.detect_nsfw(image)
             blurry = 1.0 if self.blur_score(image) < self.blur_threshold else 0.0
-            parts.append(max(nsfw, 0.5 * blurry))
+            parts.append(
+                max(nsfw, 0.5 * blurry, self.ocr_coverage_penalty(image))
+            )
         if not parts:
             return 0.0
         return float(np.clip(np.mean(parts), 0.0, 1.0))
@@ -168,4 +225,4 @@ class NoiseEstimator:
         return [self.score(t, im) for t, im in zip(texts, images)]
 
 
-__all__ = ["NoiseEstimator"]
+__all__ = ["NoiseEstimator", "skin_fraction_risk"]

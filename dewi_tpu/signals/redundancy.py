@@ -144,6 +144,48 @@ def minhash_signatures(
     return sigs
 
 
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        i = np.arange(n)
+        _DCT32 = np.sqrt(2.0 / n) * np.cos(
+            np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * n)
+        )
+        _DCT32[0] /= np.sqrt(2.0)
+    return _DCT32
+
+
+def phash64(image, hash_size: int = 8) -> np.uint64:
+    """DCT-based 64-bit perceptual hash (the ``image_sim: "phash"`` mode the
+    reference config promises at config.py:32 but never implements).
+
+    Classic pHash: 32x32 luma -> 2D DCT-II -> top-left 8x8 low-frequency
+    block (DC excluded from the median) -> bit i = coef_i > median.
+    """
+    from .image_entropy import to_image_array
+
+    arr = to_image_array(image, 32)
+    luma = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    d = _dct_matrix(32)
+    coefs = d @ luma @ d.T
+    block = coefs[:hash_size, :hash_size].ravel()
+    med = np.median(block[1:])  # exclude DC
+    bits = block > med
+    out = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def phash_similarity(a: np.uint64, b: np.uint64, bits: int = 64) -> float:
+    """1 - normalized Hamming distance of two perceptual hashes."""
+    return 1.0 - bin(int(a) ^ int(b)).count("1") / bits
+
+
 def simhash_bits(texts: Sequence[str], bits: int = 64, k: int = 3) -> np.ndarray:
     """``[N]`` uint64 simhash fingerprints over shingle hashes."""
     out = np.zeros(len(texts), dtype=np.uint64)
@@ -297,6 +339,28 @@ class RedundancyEstimator:
                 out[b] = max(out[b], sim)
         return out
 
+    def score_images(self, images: Sequence) -> np.ndarray:
+        """Per-image redundancy via perceptual hashing (``image_sim: "phash"``).
+
+        pHash each image, band the 64-bit fingerprints into 4 x 16-bit LSH
+        keys, and report each image's max hash similarity to any candidate —
+        the image analogue of :meth:`score_texts`'s simhash mode.
+        """
+        n = len(images)
+        out = np.zeros(n, dtype=np.float32)
+        if n < 2:
+            return out
+        fps = np.array([phash64(im) for im in images], dtype=np.uint64)
+        sigs = np.stack(
+            [(fps >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)],
+            axis=1,
+        ).astype(np.uint64)
+        for a, b in _lsh_candidate_pairs(sigs, bands=4):
+            sim = phash_similarity(fps[a], fps[b])
+            out[a] = max(out[a], sim)
+            out[b] = max(out[b], sim)
+        return out
+
     def near_duplicate_clusters(
         self,
         texts: Optional[Sequence[str]] = None,
@@ -347,4 +411,6 @@ __all__ = [
     "max_offdiag_similarity",
     "minhash_signatures",
     "simhash_bits",
+    "phash64",
+    "phash_similarity",
 ]

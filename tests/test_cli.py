@@ -265,6 +265,60 @@ class TestEndToEndRealMode:
         assert "checkpoint" in res.output
 
 
+class TestRuntimeKnobs:
+    def test_io_threads_reaches_loader(self, runner, tmp_path, monkeypatch):
+        import yaml
+
+        import dewi_tpu.cli as climod
+
+        seen = {}
+        orig = climod._load_documents
+
+        def spy(*a, **kw):
+            seen.update(kw)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(climod, "_load_documents", spy)
+        cfg_path = tmp_path / "c.yaml"
+        cfg_path.write_text(yaml.dump({"runtime": {"io_threads": 2}}))
+        runner.invoke(
+            climod.cli,
+            ["process", str(cfg_path), str(tmp_path / "o"),
+             "--texts", str(cfg_path)],
+        )
+        assert seen.get("max_workers") == 2
+
+    def test_checkpoint_every_and_profile(self, runner, tmp_path,
+                                          monkeypatch):
+        """runtime.checkpoint_every forces sharded checkpoints under
+        <out>/checkpoints; runtime.profile writes an XLA trace dir."""
+        monkeypatch.setenv("DEWI_TEST_MODE", "0")
+        import yaml
+
+        cfg = {
+            "text": {"model": "tiny", "batch_size": 2, "max_length": 64},
+            "image": {"model": "tiny"},
+            "cross_modal": {"model": "tiny", "batch_size": 2},
+            "redundancy": {"block_size": 4},
+            "runtime": {"checkpoint_every": 1, "profile": True},
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(yaml.dump(cfg))
+        texts = tmp_path / "texts"
+        texts.mkdir()
+        (texts / "a.txt").write_text("first document text")
+        (texts / "b.txt").write_text("second document text")
+        out = tmp_path / "out"
+        res = runner.invoke(
+            cli, ["process", str(cfg_path), str(out), "--texts", str(texts)]
+        )
+        assert res.exit_code == 0, res.output
+        shards = list((out / "checkpoints").glob("shard_*"))
+        assert len(shards) == 2  # checkpoint_every=1 -> one shard per doc
+        assert (out / "profile").exists()
+        assert any((out / "profile").rglob("*"))
+
+
 class TestEvalCommand:
     def test_eval_real_index(self, runner, tmp_path, monkeypatch):
         monkeypatch.setenv("DEWI_TEST_MODE", "0")

@@ -222,6 +222,26 @@ class TestProcessStream:
         pipe = DewiPipeline(tiny_config())
         assert pipe.process_stream([]) == []
 
+    def test_checkpoint_rejects_different_corpus(self, tmp_path):
+        """A same-length but different corpus must NOT reuse cached signals
+        (ADVICE r1: corpus digest in stage checkpoints)."""
+        pipe = DewiPipeline(tiny_config())
+        a = pipe.compute_signals(
+            [create_document("d0", text="the quick brown fox jumps")],
+            checkpoint_dir=tmp_path,
+        )
+        b = pipe.compute_signals(
+            [create_document("d0", text="completely different words!!")],
+            checkpoint_dir=tmp_path,
+        )
+        assert a[0].ht_mean != pytest.approx(b[0].ht_mean)
+        # Same corpus DOES reuse the cache (ht identical).
+        c = pipe.compute_signals(
+            [create_document("d0", text="completely different words!!")],
+            checkpoint_dir=tmp_path,
+        )
+        assert c[0].ht_mean == pytest.approx(b[0].ht_mean)
+
 
 class TestBuildIndexBackendKnobs:
     def test_ivf_knobs_forwarded(self):

@@ -258,6 +258,98 @@ class TestNoise:
         assert len(out) == 2
         assert all(0.0 <= v <= 1.0 for v in out)
 
+    def test_nsfw_lite_skin_heuristic(self):
+        """nsfw_filter='lite' does something measurable (VERDICT r1 item 7):
+        a skin-toned frame scores higher risk than a blue one."""
+        from dewi_tpu.signals.noise import skin_fraction_risk
+
+        skin = np.broadcast_to(
+            np.array([0.91, 0.65, 0.52], np.float32), (32, 32, 3)
+        ).copy()
+        blue = np.broadcast_to(
+            np.array([0.1, 0.2, 0.9], np.float32), (32, 32, 3)
+        ).copy()
+        assert skin_fraction_risk(skin) > 0.8
+        assert skin_fraction_risk(blue) == 0.0
+
+        est = NoiseEstimator(nsfw_filter="lite")
+        assert est.detect_nsfw(skin) > est.detect_nsfw(blue)
+        # none-mode stays inert; injected fn still wins over the heuristic.
+        assert NoiseEstimator(nsfw_filter="none").detect_nsfw(skin) == 0.0
+        assert NoiseEstimator(nsfw_fn=lambda im: 0.33).detect_nsfw(skin) == (
+            pytest.approx(0.33)
+        )
+
+    def test_ocr_coverage_penalty_wired(self, monkeypatch):
+        """ocr_min_coverage now gates a noise penalty for image docs whose
+        OCR text is garbled (VERDICT r1 item 6 / reference noise.py:91-97
+        dead-end resolved)."""
+        est = NoiseEstimator(ocr_min_coverage=0.9, nsfw_filter="none")
+        img = np.full((32, 32, 3), 0.5, np.float32)
+
+        monkeypatch.setattr(est, "ocr_text", lambda im: "")
+        assert est.ocr_coverage_penalty(img) == 0.0  # no text = neutral
+
+        monkeypatch.setattr(est, "ocr_text",
+                            lambda im: "A clean readable sentence.")
+        clean_pen = est.ocr_coverage_penalty(img)
+
+        monkeypatch.setattr(est, "ocr_text", lambda im: "#$%@!#" * 10)
+        garbled_pen = est.ocr_coverage_penalty(img)
+        assert garbled_pen > clean_pen >= 0.0
+        # and it reaches the combined score for image docs
+        noisy = est.score(image=img)
+        monkeypatch.setattr(est, "ocr_text", lambda im: "")
+        assert est.score(image=img) <= noisy
+
+
+class TestPerceptualHash:
+    def test_phash_invariant_to_small_noise(self):
+        from dewi_tpu.signals.redundancy import phash64, phash_similarity
+
+        rng = np.random.default_rng(0)
+        base = rng.random((64, 64, 3)).astype(np.float32)
+        near = np.clip(base + rng.normal(0, 0.01, base.shape), 0, 1).astype(
+            np.float32
+        )
+        other = rng.random((64, 64, 3)).astype(np.float32)
+        h0, h1, h2 = phash64(base), phash64(near), phash64(other)
+        assert phash_similarity(h0, h1) > 0.9
+        assert phash_similarity(h0, h2) < phash_similarity(h0, h1)
+
+    def test_score_images_flags_duplicates(self):
+        from dewi_tpu.signals.redundancy import RedundancyEstimator
+
+        rng = np.random.default_rng(1)
+        imgs = [rng.random((64, 64, 3)).astype(np.float32) for _ in range(5)]
+        imgs.append(imgs[0].copy())  # exact duplicate of image 0
+        est = RedundancyEstimator(image_sim="phash")
+        scores = est.score_images(imgs)
+        assert scores[0] == pytest.approx(1.0)
+        assert scores[5] == pytest.approx(1.0)
+        assert scores[1] < 1.0
+
+    def test_pipeline_phash_mode(self):
+        from dewi_tpu.pipelines import Document, DewiPipeline
+        from tests.test_pipeline import tiny_config
+
+        rng = np.random.default_rng(2)
+        img = rng.random((32, 32, 3)).astype(np.float32)
+        docs = [
+            Document(doc_id="i0", image=img),
+            Document(doc_id="i1", image=img.copy()),
+            Document(doc_id="i2",
+                     image=rng.random((32, 32, 3)).astype(np.float32)),
+            Document(doc_id="t0", text="some text document"),
+        ]
+        cfg = tiny_config(redundancy={"image_sim": "phash", "block_size": 4})
+        pipe = DewiPipeline(cfg)
+        pipe.compute_signals(docs)
+        assert docs[0].redundancy == pytest.approx(1.0)
+        assert docs[1].redundancy == pytest.approx(1.0)
+        assert docs[2].redundancy < 1.0
+        assert docs[3].redundancy is not None  # text fell back to embedding
+
 
 class TestLongDocuments:
     def test_window_merge_covers_all_tokens(self):
