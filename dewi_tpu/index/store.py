@@ -66,6 +66,11 @@ class DocStore:
         self._dirty = True
         self._device: Optional[tuple] = None
         self._host_stale = False
+        # Adds arriving while the store is device-resident buffer here and
+        # merge on device at the next device_arrays() — a per-add host pull
+        # of the whole corpus would be a perf trap at scale.
+        self._pending_emb: List[np.ndarray] = []
+        self._pending_pay: List[np.ndarray] = []
 
     @property
     def sharding(self):
@@ -114,13 +119,20 @@ class DocStore:
         self._dirty = True
 
     def add(self, doc_id: str, embedding: np.ndarray, payload: Payload) -> None:
-        self._sync_host()
         emb = np.asarray(embedding, dtype=np.float32)
         if emb.shape != (self.dim,):
             raise ValueError(
                 f"Expected embedding of shape {(self.dim,)}, got {emb.shape}"
             )
         idx = len(self)
+        if self._host_stale:
+            # Device-resident store: buffer the row; merged on device at the
+            # next device_arrays() (no corpus-sized host round trip).
+            self._pending_emb.append(emb)
+            self._pending_pay.append(np.asarray(payload.to_array(), np.float32))
+            self._ids.append(doc_id)
+            self._id_to_idx[doc_id] = idx
+            return
         self._ensure_capacity(idx + 1)
         self._emb[idx] = emb
         self._pay[idx] = payload.to_array()
@@ -135,7 +147,6 @@ class DocStore:
         payloads: Union[np.ndarray, Sequence[Payload]],
     ) -> None:
         """Bulk ingest: the TPU-native path (one memcpy, no per-doc Python)."""
-        self._sync_host()
         emb = np.asarray(embeddings, dtype=np.float32)
         if emb.ndim != 2 or emb.shape[1] != self.dim:
             raise ValueError(f"Expected [N, {self.dim}] embeddings, got {emb.shape}")
@@ -146,6 +157,13 @@ class DocStore:
         if len(doc_ids) != n_new or pay.shape != (n_new, len(PAYLOAD_FIELDS)):
             raise ValueError("doc_ids / embeddings / payloads length mismatch")
         start = len(self)
+        if self._host_stale:
+            self._pending_emb.extend(emb)
+            self._pending_pay.extend(pay)
+            for i, d in enumerate(doc_ids):
+                self._id_to_idx[str(d)] = start + i
+            self._ids.extend(str(d) for d in doc_ids)
+            return
         self._ensure_capacity(start + n_new)
         self._emb[start : start + n_new] = emb
         self._pay[start : start + n_new] = pay
@@ -205,13 +223,23 @@ class DocStore:
         self._pay = np.zeros((0, len(PAYLOAD_FIELDS)), dtype=np.float32)
 
     def _sync_host(self) -> None:
-        """Fetch host mirrors from device after :meth:`attach_device`."""
+        """Fetch host mirrors from device after :meth:`attach_device`,
+        folding in any still-buffered adds."""
         if not getattr(self, "_host_stale", False):
             return
-        emb, _, pay, _ = self._device
+        emb, _, pay, n = self._device
         self._emb = np.asarray(emb, dtype=np.float32)
         self._pay = np.asarray(pay, dtype=np.float32)
         self._host_stale = False
+        if self._pending_emb:
+            n_dev = int(n)
+            self._ensure_capacity(len(self._ids))
+            new_emb = np.stack(self._pending_emb)
+            new_pay = np.stack(self._pending_pay)
+            self._emb[n_dev : n_dev + len(new_emb)] = new_emb
+            self._pay[n_dev : n_dev + len(new_pay)] = new_pay
+            self._pending_emb, self._pending_pay = [], []
+            self._dirty = True
 
     def set_payload(self, doc_id: str, payload: Payload) -> None:
         self._sync_host()
@@ -272,6 +300,38 @@ class DocStore:
 
     # ---- device sync ---------------------------------------------------------
 
+    def _merge_pending_on_device(self) -> None:
+        emb_d, sqn_d, pay_d, n_d = self._device
+        n_old = int(n_d)
+        total = len(self._ids)
+        cap = _next_capacity(total)
+        if cap > emb_d.shape[0]:
+            grow = cap - emb_d.shape[0]
+            emb_d = jnp.concatenate(
+                [emb_d, jnp.zeros((grow, self.dim), emb_d.dtype)]
+            )
+            sqn_d = jnp.concatenate([sqn_d, jnp.zeros((grow,), sqn_d.dtype)])
+            pay_d = jnp.concatenate(
+                [pay_d, jnp.zeros((grow, pay_d.shape[1]), pay_d.dtype)]
+            )
+        new_emb = jnp.asarray(np.stack(self._pending_emb), jnp.float32)
+        if self.normalize:
+            from ..ops.similarity import l2_normalize
+
+            new_emb = l2_normalize(new_emb)
+        new_sqn = jnp.sum(jnp.square(new_emb), axis=-1)
+        new_pay = jnp.asarray(np.stack(self._pending_pay), jnp.float32)
+        emb_d = jax.lax.dynamic_update_slice(
+            emb_d, new_emb.astype(emb_d.dtype), (n_old, 0)
+        )
+        sqn_d = jax.lax.dynamic_update_slice(sqn_d, new_sqn, (n_old,))
+        pay_d = jax.lax.dynamic_update_slice(pay_d, new_pay, (n_old, 0))
+        if self.sharding is not None:
+            emb_d = jax.device_put(emb_d, self.sharding)
+            pay_d = jax.device_put(pay_d, self.sharding)
+        self._device = (emb_d, sqn_d, pay_d, jnp.int32(total))
+        self._pending_emb, self._pending_pay = [], []
+
     def _flush_live(self) -> None:
         """Write back any handed-out Payload objects the user may have mutated."""
         for idx, p in self._live.items():
@@ -289,6 +349,12 @@ class DocStore:
         when one is set (data-axis corpus sharding over the mesh).
         """
         self._flush_live()
+        if self._host_stale:
+            # Device-resident store: merge buffered adds on device (only the
+            # new rows cross the host boundary, never the corpus).
+            if self._pending_emb:
+                self._merge_pending_on_device()
+            return self._device
         if self._device is not None and not self._dirty:
             return self._device
 

@@ -232,6 +232,34 @@ class TestPersistence:
         loaded = DewiIndex.load(tmp_path / "m")
         assert loaded.get_metadata("a") == {"k": 1}
 
+    def test_add_after_attach_device_buffers_on_device(self, rng,
+                                                       dummy_payloads):
+        """Adds to a device-resident store buffer and merge on device — no
+        per-add host pull of the corpus (VERDICT r1 weak #7)."""
+        import jax.numpy as jnp
+
+        from dewi_tpu.types import Payload
+
+        emb = rng.normal(size=(64, 32)).astype(np.float32)
+        pay = np.stack([p.to_array() for p in dummy_payloads])
+        idx = ExactIndex(dim=32)
+        idx.store.attach_device(
+            [f"d{i}" for i in range(64)], jnp.asarray(emb), jnp.asarray(pay)
+        )
+        idx.build()
+
+        q = rng.normal(size=32).astype(np.float32)
+        new = (q / np.linalg.norm(q)).astype(np.float32)
+        idx.add("new", new, Payload(dewi=0.9))
+        assert idx.store._host_stale  # still device-resident, no host pull
+        idx.build()
+        res = idx.search(q, k=1, eta=0.0, entropy_pref=0.0)
+        assert res[0][0] == "new"  # exact-match embedding ranks first
+        assert len(idx) == 65
+        # Host accessors still work (sync folds the buffered row).
+        p = idx.get_payload("new")
+        assert p.dewi == pytest.approx(0.9, abs=1e-6)
+
     def test_hyperparams_roundtrip(self, tmp_path, rng):
         # A saved IVF/Quantized index must reload with the hyperparameters it
         # was built with, not constructor defaults (ADVICE.md round 1).
