@@ -91,7 +91,11 @@ def _ivf_search_kernel(
             - jnp.sum(q * q, axis=-1, keepdims=True)
         )
     oadj = rerank_scores(osim, o_pay, eta, entropy_pref)
-    ovalid = jnp.arange(o_emb.shape[0], dtype=jnp.int32)[None, :] < o_n
+    # Mask both by count and by docidx validity: sharded layouts pass padded
+    # overflow slices whose invalid slots are only marked by docidx == -1.
+    ovalid = (
+        jnp.arange(o_emb.shape[0], dtype=jnp.int32)[None, :] < o_n
+    ) & (o_docidx >= 0)[None, :]
     oadj = jnp.where(ovalid, oadj, NEG_INF)
 
     all_scores = jnp.concatenate([flat_scores, oadj], axis=1)

@@ -2,7 +2,9 @@
 
 from .distributed import (
     ShardedExactSearcher,
+    ShardedIVFSearcher,
     ShardedQuantizedSearcher,
+    make_sharded_ivf_search,
     make_sharded_quantized_search,
     make_sharded_search,
 )
@@ -32,7 +34,9 @@ __all__ = [
     "make_sharded_search",
     "ShardedExactSearcher",
     "ShardedQuantizedSearcher",
+    "ShardedIVFSearcher",
     "make_sharded_quantized_search",
+    "make_sharded_ivf_search",
     "initialize_runtime",
     "device_summary",
     "shard_batch",

@@ -120,6 +120,136 @@ class ShardedQuantizedSearcher:
         )
 
 
+def make_sharded_ivf_search(mesh: Mesh, k: int, nprobe_per_shard: int,
+                            normalize: bool = True):
+    """Sharded IVF search: buckets (and their centroids) are sharded over the
+    data axis; each device scores its local centroid shard, probes its local
+    top-``nprobe_per_shard`` buckets, scans its overflow slice exactly, and
+    the candidates merge with the usual all-gather + top-k.
+
+    Probing semantics are *per shard* (total probes = n_devices *
+    nprobe_per_shard, spread by where the clusters live) — the natural
+    distributed variant of nprobe; with ``nprobe_per_shard = local nlist``
+    it degenerates to exact search.
+    """
+    from ..index.ivf import _ivf_search_kernel
+
+    def local_search(centroids, b_emb, b_pay, b_valid, b_docidx, b_sqn,
+                     o_emb, o_pay, o_docidx, o_sqn, queries, eta,
+                     entropy_pref):
+        nprobe = min(nprobe_per_shard, centroids.shape[0])
+        k_local = min(k, b_docidx.size + o_docidx.shape[0])
+        vals, idx = _ivf_search_kernel(
+            centroids, b_emb, b_pay, b_valid, b_docidx, b_sqn,
+            o_emb, o_pay, o_docidx, o_sqn,
+            jnp.int32(o_emb.shape[0]),  # padded slots carry docidx == -1
+            queries, eta, entropy_pref,
+            k=k_local, nprobe=nprobe, normalize=normalize,
+        )
+        # b_docidx/o_docidx hold GLOBAL store row ids — no shard offset.
+        all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(idx, DATA_AXIS, axis=1, tiled=True)
+        return topk_merge(all_vals, all_idx, min(k, all_vals.shape[1]))
+
+    sharded = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None),                       # centroids
+            P(DATA_AXIS, None, None),                 # b_emb
+            P(DATA_AXIS, None, None),                 # b_pay
+            P(DATA_AXIS, None),                       # b_valid
+            P(DATA_AXIS, None),                       # b_docidx
+            P(DATA_AXIS, None),                       # b_sqn
+            P(DATA_AXIS, None),                       # o_emb
+            P(DATA_AXIS, None),                       # o_pay
+            P(DATA_AXIS),                             # o_docidx
+            P(DATA_AXIS),                             # o_sqn
+            P(), P(), P(),                            # queries, eta, ep
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+class ShardedIVFSearcher:
+    """Distributed counterpart of :class:`dewi_tpu.index.IVFIndex`.
+
+    Takes a built IVFIndex, pads its bucket/overflow arrays to the mesh's
+    data-axis size, and re-places them sharded; queries fan out once and
+    candidates merge over ICI (O(n_devices * k) floats per query).
+    """
+
+    def __init__(self, ivf_index, mesh: Mesh, k: int = 10,
+                 nprobe_per_shard: Optional[int] = None):
+        if ivf_index._dev is None:
+            ivf_index.build()
+        self.k = k
+        n_dev = mesh.shape[DATA_AXIS]
+        (centroids, b_emb, b_pay, b_valid, b_docidx, b_sqn,
+         o_emb, o_pay, o_docidx, o_sqn, o_n) = ivf_index._dev
+
+        def pad0(a, mult, fill=0):
+            pad = (-a.shape[0]) % mult
+            if not pad:
+                return a
+            filler = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+            return jnp.concatenate([a, filler])
+
+        # Pad the bucket axis (empty buckets: valid=False, docidx=-1) and the
+        # overflow axis (docidx=-1 marks padded slots) to shard evenly.
+        centroids = pad0(centroids, n_dev)
+        b_emb = pad0(b_emb, n_dev)
+        b_pay = pad0(b_pay, n_dev)
+        b_valid = pad0(b_valid, n_dev, fill=False)
+        b_docidx = pad0(b_docidx, n_dev, fill=-1)
+        b_sqn = pad0(b_sqn, n_dev)
+        # Truncate overflow to its live region first so padding is explicit.
+        o_live = int(o_n)
+        o_emb, o_pay = o_emb[:o_live], o_pay[:o_live]
+        o_docidx, o_sqn = o_docidx[:o_live], o_sqn[:o_live]
+        o_emb = pad0(o_emb, n_dev)
+        o_pay = pad0(o_pay, n_dev)
+        o_docidx = pad0(o_docidx, n_dev, fill=-1)
+        o_sqn = pad0(o_sqn, n_dev)
+        if o_emb.shape[0] == 0:  # keep shard shapes nonempty
+            o_emb = jnp.zeros((n_dev, o_emb.shape[1]), o_emb.dtype)
+            o_pay = jnp.zeros((n_dev, o_pay.shape[1]), o_pay.dtype)
+            o_docidx = jnp.full((n_dev,), -1, o_docidx.dtype)
+            o_sqn = jnp.zeros((n_dev,), o_sqn.dtype)
+
+        shard2 = data_sharding(mesh, rank=2)
+        shard1 = data_sharding(mesh, rank=1)
+        shard3 = data_sharding(mesh, rank=3)
+        self._dev = (
+            jax.device_put(centroids, shard2),
+            jax.device_put(b_emb, shard3),
+            jax.device_put(b_pay, shard3),
+            jax.device_put(b_valid, shard2),
+            jax.device_put(b_docidx, shard2),
+            jax.device_put(b_sqn, shard2),
+            jax.device_put(o_emb, shard2),
+            jax.device_put(o_pay, shard2),
+            jax.device_put(o_docidx, shard1),
+            jax.device_put(o_sqn, shard1),
+        )
+        local_nlist = centroids.shape[0] // n_dev
+        if nprobe_per_shard is None:
+            nprobe_per_shard = max(1, -(-ivf_index.nprobe // n_dev))
+        self._fn = make_sharded_ivf_search(
+            mesh, k, min(nprobe_per_shard, local_nlist),
+            normalize=ivf_index.store.normalize,
+        )
+
+    def search_batch(self, queries, eta: float = 0.5,
+                     entropy_pref: float = 0.0):
+        q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
+        return self._fn(
+            *self._dev, q, jnp.float32(eta), jnp.float32(entropy_pref)
+        )
+
+
 class ShardedExactSearcher:
     """Convenience wrapper: shard a DocStore over a mesh and serve queries."""
 

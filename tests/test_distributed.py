@@ -138,3 +138,56 @@ class TestShardingAfterAttach:
         ref.build()
         _, ridx = ref.search_batch(q, k=5, eta=0.0, entropy_pref=0.0)
         assert set(np.asarray(idx)[0].tolist()) == set(np.asarray(ridx)[0].tolist())
+
+
+class TestShardedIVF:
+    def test_full_probe_matches_exact(self, rng):
+        """nprobe_per_shard = local nlist probes every bucket -> exact."""
+        from dewi_tpu.index.ivf import IVFIndex
+        from dewi_tpu.parallel import ShardedIVFSearcher
+
+        n, d, k = 600, 16, 10
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pays = make_payloads(rng, n)
+        ids = [f"d{i}" for i in range(n)]
+
+        ivf = IVFIndex(dim=d, nlist=16, nprobe=16, kmeans_iters=4,
+                       dewi_tier=32)
+        ivf.add_batch(ids, emb, pays)
+        ivf.build()
+        exact = ExactIndex(dim=d)
+        exact.add_batch(ids, emb, pays)
+        exact.build()
+
+        mesh = make_mesh()
+        searcher = ShardedIVFSearcher(ivf, mesh, k=k, nprobe_per_shard=16)
+        q = rng.normal(size=(5, d)).astype(np.float32)
+        vals, idx = searcher.search_batch(q, eta=0.3, entropy_pref=0.1)
+        ev, ei = exact.search_batch(q, eta=0.3, entropy_pref=0.1, k=k)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ei))
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(ev),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_partial_probe_recall(self, rng):
+        from dewi_tpu.index.ivf import IVFIndex
+        from dewi_tpu.metrics import recall_matrix
+        from dewi_tpu.parallel import ShardedIVFSearcher
+
+        n, d, k = 2000, 16, 10
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pays = make_payloads(rng, n)
+        ids = [f"d{i}" for i in range(n)]
+        ivf = IVFIndex(dim=d, nlist=32, nprobe=8, kmeans_iters=4,
+                       dewi_tier=64)
+        ivf.add_batch(ids, emb, pays)
+        ivf.build()
+        exact = ExactIndex(dim=d)
+        exact.add_batch(ids, emb, pays)
+        exact.build()
+
+        mesh = make_mesh()
+        searcher = ShardedIVFSearcher(ivf, mesh, k=k)  # ceil(8/8)=1 per shard
+        q = rng.normal(size=(20, d)).astype(np.float32)
+        _, idx = searcher.search_batch(q, eta=0.0, entropy_pref=0.0)
+        _, ei = exact.search_batch(q, eta=0.0, entropy_pref=0.0, k=k)
+        assert recall_matrix(np.asarray(idx), np.asarray(ei)) >= 0.6
