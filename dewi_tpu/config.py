@@ -167,12 +167,17 @@ class RuntimeConfig:
     ``<out>/checkpoints``.
     ``profile``: wrap processing in a ``jax.profiler`` trace written to
     ``<out>/profile``.
+    ``decode_cache_mb``: RAM budget for the decode-once image cache (uint8,
+    shared by every signal stage — see :class:`dewi_tpu.io.ImageCache`);
+    corpora whose decoded size exceeds it stream through the prefetching
+    loader instead, re-decoding per stage.
     """
 
     io_threads: int = 4
     shard_size: int = 100_000
     checkpoint_every: int = 0
     profile: bool = False
+    decode_cache_mb: int = 4096
 
 
 @dataclass

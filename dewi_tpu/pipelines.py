@@ -142,6 +142,57 @@ class _StageCheckpoint:
                  digest=self.digest, **arrays)
 
 
+class _CorpusImages:
+    """Decode-once image cache for one ``compute_signals`` call.
+
+    The reference decodes every image once per consuming stage — MAE, CLIP,
+    blur/NSFW, (and now pHash), i.e. 3-4 full decode passes over the corpus
+    (reference image_entropy.py:39-49, cross_modal.py:55-60, noise.py:47-63).
+    Here the corpus is decoded ONCE at the largest resolution any stage
+    needs (threaded, JPEG draft mode, uint8 — :mod:`dewi_tpu.io`) and every
+    stage reads from RAM.  Corpora beyond ``runtime.decode_cache_mb`` fall
+    back to the estimators' own streaming prefetch decoders.
+    """
+
+    def __init__(self, documents, img_idx, base_size: int,
+                 threads: int, budget_mb: int) -> None:
+        from .io.images import ImageCache
+
+        self.pos = {i: j for j, i in enumerate(img_idx)}
+        self.sources = [documents[i].image_source() for i in img_idx]
+        self.cache = None
+        if self.sources and ImageCache.fits(
+            len(self.sources), base_size, budget_mb
+        ):
+            try:
+                self.cache = ImageCache(
+                    self.sources, base_size, threads=threads
+                )
+            except Exception as e:  # noqa: BLE001 — fall back to streaming
+                logger.warning("Image decode cache unavailable (%s); "
+                               "stages will decode independently.", e)
+
+    def rows(self, idx_list, size: int):
+        """Images for ``idx_list`` at ``size``: a ``[n, size, size, 3]``
+        uint8 array when cached, else the original sources (streamed)."""
+        if self.cache is None:
+            return [self.sources[self.pos[i]] for i in idx_list]
+        if size <= self.cache.base_size:
+            arr = self.cache.at(size)
+        else:  # stage wants more pixels than the cache holds: serve base
+            arr = self.cache.base
+        rows = [self.pos[i] for i in idx_list]
+        if rows == list(range(len(arr))):
+            return arr
+        return arr[np.asarray(rows, np.int64)]
+
+    def source(self, i: int):
+        """Single image for host-side per-doc loops (noise heuristics)."""
+        if self.cache is None:
+            return self.sources[self.pos[i]]
+        return self.cache.base[self.pos[i]]
+
+
 class DewiPipeline:
     """Signals + scoring orchestration (parity: reference pipelines.py:36-223)."""
 
@@ -189,6 +240,7 @@ class DewiPipeline:
                 batch_size=c.batch_size,
                 checkpoint=c.checkpoint,
                 seed=c.seed,
+                io_threads=self.config.runtime.io_threads,
             )
         return self._image_entropy
 
@@ -204,6 +256,7 @@ class DewiPipeline:
                 tokenizer=self.config.text.tokenizer,
                 checkpoint=c.checkpoint,
                 seed=c.seed,
+                io_threads=self.config.runtime.io_threads,
             )
         return self._cross_modal
 
@@ -284,12 +337,13 @@ class DewiPipeline:
         img_idx = [
             i for i, d in enumerate(documents) if d.image_source() is not None
         ]
+        images = self._decode_images(documents, img_idx) if img_idx else None
         if img_idx:
             cached = ckpt.load("image")
             if cached is None:
                 log_stage("image entropy")
                 means, q90s = self.image_entropy.batch_compute_stats(
-                    [documents[i].image_source() for i in img_idx]
+                    images.rows(img_idx, self.image_entropy.image_size)
                 )
                 ckpt.save("image", idx=np.array(img_idx), means=means, q90s=q90s)
             else:
@@ -309,7 +363,7 @@ class DewiPipeline:
                 log_stage("cross-modal dependency")
                 results = self.cross_modal.batch_compute(
                     [documents[i].text for i in pair_idx],
-                    [documents[i].image_source() for i in pair_idx],
+                    images.rows(pair_idx, self.cross_modal.cfg.image_size),
                 )
                 sims = np.array([r.info_nce_score for r in results], np.float32)
                 ckpt.save("cross_modal", idx=np.array(pair_idx), sims=sims)
@@ -320,25 +374,90 @@ class DewiPipeline:
 
         # Stage 4: embeddings for docs missing them (CLIP towers) —
         # prerequisite for redundancy and for indexing (§2.4 item 6).
-        self.ensure_embeddings(documents)
+        self.ensure_embeddings(documents, images=images)
 
         # Stage 5: redundancy (embedding-space max-offdiag, or hash mode;
         # cross-document, so process_stream defers it to a global pass).
         if include_redundancy:
             log_stage("redundancy")
-            self._redundancy_stage(documents, ckpt)
+            self._redundancy_stage(documents, ckpt, images=images)
 
-        return self._noise_stage(documents, ckpt, log_stage)
+        return self._noise_stage(documents, ckpt, log_stage, images=images)
 
-    def _noise_stage(self, documents, ckpt, log_stage) -> List[Document]:
+    def _decode_images(
+        self, documents: List[Document], img_idx: List[int]
+    ) -> _CorpusImages:
+        """Decode every image document once for all downstream stages."""
+        sizes = [self._mae_image_size(), self._clip_image_size()]
+        rt = self.config.runtime
+        return _CorpusImages(
+            documents, img_idx, base_size=max(sizes),
+            threads=rt.io_threads, budget_mb=rt.decode_cache_mb,
+        )
+
+    def _mae_image_size(self) -> int:
+        if self._image_entropy is not None:
+            return self._image_entropy.image_size
+        c = self.config.image
+        side = self._sidecar_size(c.checkpoint)
+        if side:
+            return side
+        if c.image_size:
+            return int(c.image_size)
+        if c.model in ("pixel", "none", "proxy"):
+            return 224
+        from .models.registry import mae_config
+
+        return mae_config(c.model).image_size
+
+    def _clip_image_size(self) -> int:
+        if self._cross_modal is not None:
+            return self._cross_modal.cfg.image_size
+        side = self._sidecar_size(self.config.cross_modal.checkpoint)
+        if side:
+            return side
+        from .models.registry import clip_config
+
+        return clip_config(self.config.cross_modal.model).image_size
+
+    @staticmethod
+    def _sidecar_size(checkpoint) -> Optional[int]:
+        """image_size from a checkpoint's architecture sidecar, if any."""
+        if not checkpoint:
+            return None
+        from .models.import_hf import sidecar_config
+
+        side = sidecar_config(checkpoint)
+        if side and side.get("config", {}).get("image_size"):
+            return int(side["config"]["image_size"])
+        return None
+
+    def _noise_stage(self, documents, ckpt, log_stage, images=None
+                     ) -> List[Document]:
         """Stage 6: noise (host-side heuristics)."""
         cached = ckpt.load("noise")
         if cached is None:
             log_stage("noise")
+            from .signals.noise import BLUR_SIZE
+
+            # The blur detector needs >= BLUR_SIZE pixels of fidelity; a
+            # smaller cache would shift its verdict, so fall back to the
+            # original sources in that (tiny-model) case.
+            if (
+                images is not None
+                and images.cache is not None
+                and images.cache.base_size >= BLUR_SIZE
+            ):
+                img_list = [
+                    images.source(i) if d.image_source() is not None else None
+                    for i, d in enumerate(documents)
+                ]
+            else:
+                img_list = [d.image_source() for d in documents]
             noise = np.array(
                 self.noise.batch_compute(
                     texts=[d.text for d in documents],
-                    images=[d.image_source() for d in documents],
+                    images=img_list,
                 ),
                 np.float32,
             )
@@ -350,7 +469,8 @@ class DewiPipeline:
         return documents
 
     def _redundancy_stage(
-        self, documents: List[Document], ckpt: "_StageCheckpoint"
+        self, documents: List[Document], ckpt: "_StageCheckpoint",
+        images: Optional[_CorpusImages] = None,
     ) -> List[Document]:
         """Global redundancy over an already-embedded document list.
 
@@ -379,9 +499,12 @@ class DewiPipeline:
                     if d.image_source() is not None
                 ]
                 if img_idx:
-                    ph = self.redundancy.score_images(
-                        [documents[i].image_source() for i in img_idx]
+                    srcs = (
+                        images.rows(img_idx, 32)  # pHash's DCT resolution
+                        if images is not None
+                        else [documents[i].image_source() for i in img_idx]
                     )
+                    ph = self.redundancy.score_images(srcs)
                     scores[np.array(img_idx)] = np.maximum(
                         scores[np.array(img_idx)], ph
                     )
@@ -408,7 +531,10 @@ class DewiPipeline:
             d.redundancy = float(scores[i])
         return documents
 
-    def ensure_embeddings(self, documents: List[Document]) -> List[Document]:
+    def ensure_embeddings(
+        self, documents: List[Document],
+        images: Optional[_CorpusImages] = None,
+    ) -> List[Document]:
         """Fill missing ``embedding`` fields from the CLIP towers.
 
         Text-only docs get text-tower embeddings, image-only docs image-tower
@@ -428,7 +554,9 @@ class DewiPipeline:
         )
         v_emb = (
             self.cross_modal.encode_images(
-                [documents[i].image_source() for i in v_idx]
+                images.rows(v_idx, self.cross_modal.cfg.image_size)
+                if images is not None
+                else [documents[i].image_source() for i in v_idx]
             )
             if v_idx else None
         )

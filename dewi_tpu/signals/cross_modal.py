@@ -19,8 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..io.images import iter_padded_batches
 from ..models.registry import clip_config, init_clip, maybe_load
-from .image_entropy import ImageLike, to_image_array
+from .image_entropy import ImageLike, normalize_images
 from .tokenizer import get_tokenizer
 
 
@@ -44,9 +45,11 @@ class CrossModalDependency:
         tokenizer: str = "byte",
         checkpoint: Optional[str] = None,
         seed: int = 0,
+        io_threads: int = 4,
     ):
         del device
         self.batch_size = int(batch_size)
+        self.io_threads = int(io_threads)
         self.tokenizer = get_tokenizer(tokenizer)
         from ..models.import_hf import sidecar_config
 
@@ -80,7 +83,8 @@ class CrossModalDependency:
         @jax.jit
         def _encode_image(params, images):
             return self.model.apply(
-                params, images, method=self.model.encode_image
+                params, normalize_images(images),
+                method=self.model.encode_image,
             )
 
         # Superbatch variants: S chunks per dispatch (see text_entropy).
@@ -145,41 +149,63 @@ class CrossModalDependency:
             out.append(e[: bs - pad])
         return np.concatenate(out)
 
+    def _padded_image_batches(self, images: Sequence[ImageLike], bs: int):
+        """``(batch [bs, S, S, 3], pad)`` stream: direct slices of a
+        pre-decoded corpus array, else prefetch-decoded uint8 batches
+        (host decode overlaps the previous batch's tower forward)."""
+        sz = self.cfg.image_size
+        if (
+            isinstance(images, np.ndarray)
+            and images.ndim == 4
+            and images.shape[1:3] == (sz, sz)
+        ):
+            for s in range(0, len(images), bs):
+                chunk = images[s : s + bs]
+                pad = bs - len(chunk)
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk,
+                         np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                    )
+                yield chunk, pad
+            return
+        yield from iter_padded_batches(
+            images, sz, bs,
+            threads=self.io_threads, depth=max(2, self.superbatch),
+        )
+
     def encode_images(self, images: Sequence[ImageLike]) -> np.ndarray:
         """L2-normalized image embeddings ``[N, d_embed]``."""
         if not len(images):
             return np.zeros((0, self.cfg.d_embed), np.float32)
         bs = self.batch_size
-        sz = self.cfg.image_size
-
-        def padded(start):
-            chunk = np.stack([
-                to_image_array(im, sz)
-                for im in images[start : start + bs]
-            ])
-            pad = bs - len(chunk)
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad, sz, sz, 3), np.float32)]
-                )
-            return chunk, pad
-
         out = []
-        starts = list(range(0, len(images), bs))
         S = max(1, int(self.superbatch))
-        pos = 0
-        while len(starts) - pos >= S:
-            group = [padded(s) for s in starts[pos : pos + S]]
-            e3 = np.asarray(self._encode_image_super(
-                self.params, jnp.asarray(np.stack([g[0] for g in group]))
-            ))
-            for i, (_, pad) in enumerate(group):
-                out.append(e3[i][: bs - pad])
-            pos += S
-        for s in starts[pos:]:
-            chunk, pad = padded(s)
-            e = np.asarray(self._encode_image(self.params, jnp.asarray(chunk)))
-            out.append(e[: bs - pad])
+        group = []
+
+        def flush_group():
+            if not group:
+                return
+            if len(group) == S:
+                e3 = np.asarray(self._encode_image_super(
+                    self.params,
+                    jnp.asarray(np.stack([c for c, _ in group])),
+                ))
+                for i, (_, pad) in enumerate(group):
+                    out.append(e3[i][: bs - pad])
+            else:
+                for chunk, pad in group:
+                    e = np.asarray(
+                        self._encode_image(self.params, jnp.asarray(chunk))
+                    )
+                    out.append(e[: bs - pad])
+            group.clear()
+
+        for chunk, pad in self._padded_image_batches(images, bs):
+            group.append((chunk, pad))
+            if len(group) == S:
+                flush_group()
+        flush_group()
         return np.concatenate(out)
 
     # -- public API -----------------------------------------------------------

@@ -5,19 +5,23 @@ API parity with the reference estimator (reference image_entropy.py:19-74):
 ``var/mean^2`` proxy fallback (image_entropy.py:51-54).  TPU-first additions:
 ``batch_compute`` scores whole padded ``[B, H, W, 3]`` batches in one jitted
 forward (the reference has no image batch path at all — SURVEY.md §2.4
-item 3), and masking uses static visible/masked counts so one trace serves
-every batch.
+item 3), masking uses static visible/masked counts so one trace serves every
+batch, and ingestion runs through the prefetching uint8 loader
+(:mod:`dewi_tpu.io`): host threads decode batch N+1 while the device scores
+batch N, images cross PCIe as uint8 (4× less transfer than f32), and the
+``/255`` normalization happens on device inside the jitted forward.
 """
 
 from __future__ import annotations
 
 import logging
-from typing import List, Optional, Sequence, Union
+from typing import Iterator, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..io.images import decode_image_uint8, iter_padded_batches
 from ..models.mae import pixel_entropy_proxy, pixel_patch_proxy
 from ..models.registry import init_mae, mae_config, maybe_load
 from ..ops.robust import masked_mean_and_quantiles
@@ -35,27 +39,35 @@ except Exception:  # pragma: no cover
 ImageLike = Union["Image.Image", np.ndarray, str]
 
 
+def normalize_images(images: jax.Array) -> jax.Array:
+    """uint8 → f32 in [0,1] inside jit; float inputs pass through.
+
+    The dtype branch resolves at trace time, so uint8 and f32 callers each
+    get their own compiled program with no runtime cost.
+    """
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) * (1.0 / 255.0)
+    return images.astype(jnp.float32)
+
+
 def to_image_array(image: ImageLike, size: int) -> np.ndarray:
-    """Decode/resize any supported input to ``[size, size, 3]`` f32 in [0,1]."""
-    if isinstance(image, str):
-        if not _HAS_PIL:
-            raise ImportError("PIL required to load images from paths")
-        image = Image.open(image)
-    if _HAS_PIL and Image is not None and isinstance(image, Image.Image):
-        arr = np.asarray(
-            image.convert("RGB").resize((size, size)), dtype=np.float32
-        ) / 255.0
+    """Decode/resize any supported input to ``[size, size, 3]`` f32 in [0,1].
+
+    Float arrays already at the target size pass through without a uint8
+    round-trip; everything else routes through the uint8 decoder (PIL draft
+    mode for JPEG paths, threadable, see :mod:`dewi_tpu.io.images`).
+    """
+    if (
+        isinstance(image, np.ndarray)
+        and image.ndim == 3
+        and image.shape[:2] == (size, size)
+        and image.dtype != np.uint8
+    ):
+        arr = image.astype(np.float32)
+        if arr.size and float(arr.max()) > 1.5:  # uint8-range floats
+            arr = arr / 255.0
         return arr
-    arr = np.asarray(image, dtype=np.float32)
-    if arr.ndim == 2:
-        arr = np.stack([arr] * 3, axis=-1)
-    if arr.max() > 1.5:  # uint8-range input
-        arr = arr / 255.0
-    if arr.shape[:2] != (size, size):
-        arr = np.asarray(
-            jax.image.resize(jnp.asarray(arr), (size, size, 3), method="bilinear")
-        )
-    return arr.astype(np.float32)
+    return decode_image_uint8(image, size).astype(np.float32) / 255.0
 
 
 class ImageEntropyEstimator:
@@ -64,6 +76,11 @@ class ImageEntropyEstimator:
     Accepts the union of the reference ctor (image_entropy.py:26-33) and the
     pipeline's kwargs (pipelines.py:56-61) — SURVEY.md §2.4 item 1.  Pass
     ``model_name="pixel"`` to force the variance-proxy fallback.
+
+    ``images`` arguments accept mixed path/PIL/array sequences (decoded by
+    the threaded loader) or a pre-decoded ``[N, H, W, 3]`` array at the
+    estimator's resolution (e.g. :meth:`dewi_tpu.io.ImageCache.at`), which
+    skips decoding entirely.
     """
 
     def __init__(
@@ -76,11 +93,14 @@ class ImageEntropyEstimator:
         batch_size: int = 64,
         checkpoint: Optional[str] = None,
         seed: int = 0,
+        io_threads: int = 4,
         **_: object,
     ):
         del device
         self.batch_size = int(batch_size)
         self.mask_ratio = float(mask_ratio)
+        self.io_threads = int(io_threads)
+        self.superbatch = 8
         if model_name in ("pixel", "none", "proxy"):
             self.model = None
             self.params = None
@@ -109,12 +129,18 @@ class ImageEntropyEstimator:
         self.image_size = self.cfg.image_size
         self.model, params = init_mae(self.cfg, seed=seed)
         self.params = maybe_load(params, checkpoint)
-        self._apply = jax.jit(self.model.apply)
+
+        @jax.jit
+        def _losses(params, images, rng):
+            return self.model.apply(params, normalize_images(images), rng)
+
+        self._apply = _losses
 
         @jax.jit
         def _stats(params, images, rng):
             per_patch, mask = self.model.apply(
-                params, images, rng, method=self.model.patch_losses
+                params, normalize_images(images), rng,
+                method=self.model.patch_losses,
             )
             mean, qs = masked_mean_and_quantiles(
                 per_patch, mask, jnp.asarray([0.9], jnp.float32)
@@ -132,7 +158,34 @@ class ImageEntropyEstimator:
             )
 
         self._stats_super = _stats_super
-        self.superbatch = 8
+
+    # -- input batching -------------------------------------------------------
+
+    def _padded_batches(
+        self, images: Sequence[ImageLike], bs: int
+    ) -> Iterator[Tuple[np.ndarray, int]]:
+        """Yield ``(batch [bs, S, S, 3], pad)``: slices of a pre-decoded
+        corpus array, or prefetch-decoded uint8 batches for everything else."""
+        sz = self.image_size
+        if (
+            isinstance(images, np.ndarray)
+            and images.ndim == 4
+            and images.shape[1:3] == (sz, sz)
+        ):
+            for s in range(0, len(images), bs):
+                chunk = images[s : s + bs]
+                pad = bs - len(chunk)
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk,
+                         np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                    )
+                yield chunk, pad
+            return
+        yield from iter_padded_batches(
+            images, sz, bs,
+            threads=self.io_threads, depth=max(2, self.superbatch),
+        )
 
     # -- public API ---------------------------------------------------------
 
@@ -152,22 +205,18 @@ class ImageEntropyEstimator:
         if not len(images):
             return []
         bs = int(batch_size or self.batch_size)
-        arrays = np.stack(
-            [to_image_array(im, self.image_size) for im in images]
-        )
-        if self.model is None:
-            return [float(v) for v in np.asarray(pixel_entropy_proxy(arrays))]
         out: List[float] = []
-        for start in range(0, len(arrays), bs):
-            chunk = arrays[start : start + bs]
-            pad = bs - len(chunk)
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
+        base_key = jax.random.PRNGKey(seed)
+        for b, (chunk, pad) in enumerate(self._padded_batches(images, bs)):
+            if self.model is None:
+                arr = to_f32_batch(chunk)[: bs - pad]
+                out.extend(
+                    float(v) for v in np.asarray(pixel_entropy_proxy(arr))
                 )
+                continue
             losses = self._apply(
                 self.params, jnp.asarray(chunk),
-                jax.random.fold_in(jax.random.PRNGKey(seed), start),
+                jax.random.fold_in(base_key, b * bs),
             )
             out.extend(float(v) for v in np.asarray(losses)[: bs - pad])
         return out
@@ -185,55 +234,78 @@ class ImageEntropyEstimator:
         if not len(images):
             return np.zeros(0, np.float32), np.zeros(0, np.float32)
         bs = int(batch_size or self.batch_size)
-        arrays = np.stack(
-            [to_image_array(im, self.image_size) for im in images]
-        )
-        if self.model is None:
-            per_patch = np.asarray(pixel_patch_proxy(jnp.asarray(arrays)))
-            return (
-                per_patch.mean(axis=1).astype(np.float32),
-                np.quantile(per_patch, 0.9, axis=1).astype(np.float32),
-            )
         means: List[float] = []
         q90s: List[float] = []
-
-        def padded(start):
-            chunk = arrays[start : start + bs]
-            pad = bs - len(chunk)
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
-                )
-            return chunk, pad
-
-        starts = list(range(0, len(arrays), bs))
-        S = max(1, int(self.superbatch))
-        pos = 0
         base_key = jax.random.PRNGKey(seed)
-        while len(starts) - pos >= S:
-            group = starts[pos : pos + S]
-            stacks = [padded(s) for s in group]
-            images4 = np.stack([c for c, _ in stacks])
-            rngs = jnp.stack([jax.random.fold_in(base_key, s) for s in group])
-            m3, q3 = self._stats_super(self.params, jnp.asarray(images4), rngs)
-            m3 = np.asarray(m3)
-            q3 = np.asarray(q3)
-            for i, (_, pad) in enumerate(stacks):
-                means.extend(m3[i][: bs - pad].tolist())
-                q90s.extend(q3[i][: bs - pad].tolist())
-            pos += S
-        for start in starts[pos:]:
-            chunk, pad = padded(start)
-            m, q = self._stats(
-                self.params, jnp.asarray(chunk),
-                jax.random.fold_in(base_key, start),
+
+        if self.model is None:
+            for chunk, pad in self._padded_batches(images, bs):
+                per_patch = np.asarray(
+                    pixel_patch_proxy(jnp.asarray(to_f32_batch(chunk)))
+                )[: bs - pad]
+                means.extend(per_patch.mean(axis=1).tolist())
+                q90s.extend(np.quantile(per_patch, 0.9, axis=1).tolist())
+            return (
+                np.asarray(means, np.float32), np.asarray(q90s, np.float32)
             )
-            means.extend(np.asarray(m)[: bs - pad].tolist())
-            q90s.extend(np.asarray(q)[: bs - pad].tolist())
+
+        # Group S prefetched batches per dispatch; the loader decodes ahead
+        # on host threads while the previous supergroup runs on device.
+        S = max(1, int(self.superbatch))
+        group: List[Tuple[np.ndarray, int]] = []
+        ordinal = 0
+
+        def flush_group() -> None:
+            nonlocal ordinal
+            if not group:
+                return
+            if len(group) == S:
+                images4 = np.stack([c for c, _ in group])
+                rngs = jnp.stack([
+                    jax.random.fold_in(base_key, (ordinal + i) * bs)
+                    for i in range(S)
+                ])
+                m3, q3 = self._stats_super(
+                    self.params, jnp.asarray(images4), rngs
+                )
+                m3 = np.asarray(m3)
+                q3 = np.asarray(q3)
+                for i, (_, pad) in enumerate(group):
+                    means.extend(m3[i][: bs - pad].tolist())
+                    q90s.extend(q3[i][: bs - pad].tolist())
+            else:
+                for i, (chunk, pad) in enumerate(group):
+                    m, q = self._stats(
+                        self.params, jnp.asarray(chunk),
+                        jax.random.fold_in(base_key, (ordinal + i) * bs),
+                    )
+                    means.extend(np.asarray(m)[: bs - pad].tolist())
+                    q90s.extend(np.asarray(q)[: bs - pad].tolist())
+            ordinal += len(group)
+            group.clear()
+
+        for chunk, pad in self._padded_batches(images, bs):
+            group.append((chunk, pad))
+            if len(group) == S:
+                flush_group()
+        flush_group()
         return np.asarray(means, np.float32), np.asarray(q90s, np.float32)
 
     def __call__(self, image: ImageLike, **kwargs) -> float:
         return self.score(image, **kwargs)
 
 
-__all__ = ["ImageEntropyEstimator", "to_image_array", "ImageLike"]
+def to_f32_batch(batch: np.ndarray) -> np.ndarray:
+    """Host-side uint8 → f32 [0,1] for the model-free proxy paths."""
+    if batch.dtype == np.uint8:
+        return batch.astype(np.float32) / 255.0
+    return batch.astype(np.float32)
+
+
+__all__ = [
+    "ImageEntropyEstimator",
+    "normalize_images",
+    "to_f32_batch",
+    "to_image_array",
+    "ImageLike",
+]

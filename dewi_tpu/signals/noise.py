@@ -22,6 +22,10 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+#: Native resolution of the Laplacian blur detector; pre-decoded images
+#: below this lose high-frequency content and shift the blur verdict.
+BLUR_SIZE = 224
+
 
 def _try_langdetect():
     try:  # optional dependency (parity: reference noise.py:21-27)
@@ -161,7 +165,7 @@ class NoiseEstimator:
         means blurry.  Scale-invariant via luma normalization to [0, 1]."""
         from .image_entropy import to_image_array
 
-        arr = to_image_array(image, 224)
+        arr = to_image_array(image, BLUR_SIZE)
         luma = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
         lap = (
             -4.0 * luma[1:-1, 1:-1]

@@ -63,7 +63,10 @@ def main() -> int:
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--skip", default="", help="comma list: text,image,clip,"
-                    "redundancy,noise")
+                    "redundancy,noise,ingest")
+    ap.add_argument("--io-threads", type=int, default=8)
+    ap.add_argument("--jpeg-size", type=int, default=512,
+                    help="stored resolution of the synthetic ingest JPEGs")
     ap.add_argument("--output", default="signals_metrics.json")
     args = ap.parse_args()
     skip = set(filter(None, args.skip.split(",")))
@@ -214,6 +217,79 @@ def main() -> int:
         per_doc_s += 1.0 / dps
         metrics["noise_docs_per_sec"] = round(dps, 1)
         print(f"noise: {dps:,.0f} docs/s -> 1M: {TARGET_N / dps:,.0f}s")
+
+    # ---- ingestion: the from-JPEG-files end-to-end image path ----------------
+    # The reference decodes inline per stage per image; this framework's
+    # loader (dewi_tpu/io) adds JPEG draft decode, threads, and prefetch
+    # overlapped with device compute.  Measured from real files on disk.
+    if "ingest" not in skip:
+        try:
+            import tempfile
+
+            from PIL import Image
+
+            from dewi_tpu.io import decode_batch
+
+            n_files = min(args.n_images, 512)
+            with tempfile.TemporaryDirectory() as td:
+                paths = []
+                for i in range(n_files):
+                    arr = (rng.random((args.jpeg_size, args.jpeg_size, 3))
+                           * 255).astype(np.uint8)
+                    p = Path(td) / f"{i:04d}.jpg"
+                    Image.fromarray(arr).save(p, quality=90)
+                    paths.append(str(p))
+
+                def naive_decode():  # reference-style: full decode + f32
+                    for p in paths:
+                        with Image.open(p) as img:
+                            np.asarray(
+                                img.convert("RGB").resize(
+                                    (args.image_size, args.image_size)
+                                ),
+                                dtype=np.float32,
+                            )
+
+                _, t_naive = timed(naive_decode)
+                _, t_draft1 = timed(
+                    decode_batch, paths, args.image_size, 1
+                )
+                _, t_draftN = timed(
+                    decode_batch, paths, args.image_size, args.io_threads
+                )
+                metrics["ingest_jpeg_px"] = args.jpeg_size
+                metrics["ingest_naive_imgs_per_sec"] = round(
+                    n_files / t_naive, 1
+                )
+                metrics["ingest_draft_imgs_per_sec_1thread"] = round(
+                    n_files / t_draft1, 1
+                )
+                metrics[
+                    f"ingest_draft_imgs_per_sec_{args.io_threads}threads"
+                ] = round(n_files / t_draftN, 1)
+                print(
+                    f"ingest ({args.jpeg_size}px JPEG -> {args.image_size}): "
+                    f"naive {n_files / t_naive:,.0f}/s, draft "
+                    f"{n_files / t_draft1:,.0f}/s, draft x"
+                    f"{args.io_threads} threads {n_files / t_draftN:,.0f}/s"
+                )
+
+                if "image" not in skip:
+                    # True end-to-end: files -> loader prefetch -> MAE stats.
+                    ie2 = ImageEntropyEstimator(
+                        model_name=args.model, batch_size=64,
+                        image_size=args.image_size,
+                        io_threads=args.io_threads,
+                    )
+                    ie2.batch_compute_stats(paths[:128])  # warm/compile
+                    _, t_e2e = timed(ie2.batch_compute_stats, paths)
+                    metrics["image_docs_per_sec_from_files"] = round(
+                        n_files / t_e2e, 1
+                    )
+                    print(f"image end-to-end from JPEG files: "
+                          f"{n_files / t_e2e:,.0f} docs/s")
+        except ImportError:
+            print("ingest: PIL unavailable, skipped")
 
     # ---- combined headline ---------------------------------------------------
     total_1m_s = per_doc_s * TARGET_N

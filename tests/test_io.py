@@ -1,0 +1,214 @@
+"""Image input pipeline: decode, prefetch ordering, cache, dtype flow.
+
+The loader (dewi_tpu/io/images.py) replaces the reference's inline
+per-stage, per-image decoding (reference image_entropy.py:39-49,
+cross_modal.py:55-60) with threaded decode + prefetched uint8 batches.
+"""
+
+import numpy as np
+import pytest
+
+from dewi_tpu.io import (
+    ImageCache,
+    decode_batch,
+    decode_image_uint8,
+    iter_padded_batches,
+    resize_uint8,
+)
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+
+def _write_images(tmp_path, n, size=96, fmt="PNG"):
+    paths = []
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        arr = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+        p = tmp_path / f"img_{i:03d}.{fmt.lower()}"
+        Image.fromarray(arr).save(p, format=fmt)
+        paths.append(str(p))
+    return paths
+
+
+class TestDecode:
+    def test_png_roundtrip_exact(self, tmp_path):
+        # PNG is lossless: decode at native size must be bit-exact.
+        arr = np.random.default_rng(1).integers(
+            0, 256, (64, 64, 3), dtype=np.uint8
+        )
+        p = tmp_path / "x.png"
+        Image.fromarray(arr).save(p)
+        out = decode_image_uint8(str(p), 64)
+        np.testing.assert_array_equal(out, arr)
+
+    def test_resize_shapes(self, tmp_path):
+        (p,) = _write_images(tmp_path, 1, size=100)
+        assert decode_image_uint8(p, 32).shape == (32, 32, 3)
+        assert decode_image_uint8(p, 224).shape == (224, 224, 3)
+
+    def test_jpeg_draft_close_to_full_decode(self, tmp_path):
+        # Draft-mode decode (DCT-space downscale) must stay visually close
+        # to the full decode + resize path.
+        rng = np.random.default_rng(2)
+        base = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        smooth = np.asarray(
+            Image.fromarray(base).resize((512, 512), Image.BILINEAR)
+        )
+        p = tmp_path / "big.jpg"
+        Image.fromarray(smooth).save(p, quality=92)
+        drafted = decode_image_uint8(str(p), 64).astype(np.float32)
+        with Image.open(p) as img:  # full decode, no draft
+            img.load()
+            full = np.asarray(
+                img.convert("RGB").resize((64, 64), Image.BILINEAR),
+                dtype=np.float32,
+            )
+        assert np.abs(drafted - full).mean() < 16.0
+
+    def test_array_inputs(self):
+        f01 = np.random.default_rng(3).random((40, 40, 3)).astype(np.float32)
+        out = decode_image_uint8(f01, 40)
+        np.testing.assert_allclose(
+            out.astype(np.float32) / 255.0, f01, atol=1 / 255.0 + 1e-6
+        )
+        u8 = (f01 * 255).astype(np.uint8)
+        np.testing.assert_array_equal(decode_image_uint8(u8, 40), u8)
+        gray = np.random.default_rng(4).random((16, 16)).astype(np.float32)
+        assert decode_image_uint8(gray, 16).shape == (16, 16, 3)
+
+    def test_resize_uint8_upsample(self):
+        arr = np.random.default_rng(5).integers(
+            0, 256, (8, 8, 3), dtype=np.uint8
+        )
+        assert resize_uint8(arr, 32).shape == (32, 32, 3)
+
+
+class TestBatchAndPrefetch:
+    def test_decode_batch_ordered(self, tmp_path):
+        paths = _write_images(tmp_path, 7, size=48)
+        got = decode_batch(paths, 48, threads=4)
+        assert got.shape == (7, 48, 48, 3) and got.dtype == np.uint8
+        for i, p in enumerate(paths):
+            np.testing.assert_array_equal(got[i], decode_image_uint8(p, 48))
+
+    @pytest.mark.parametrize("threads", [1, 4])
+    def test_iter_padded_batches(self, tmp_path, threads):
+        paths = _write_images(tmp_path, 10, size=32)
+        batches = list(
+            iter_padded_batches(paths, 32, batch_size=4, threads=threads)
+        )
+        assert [pad for _, pad in batches] == [0, 0, 2]
+        flat = np.concatenate([b[: 4 - pad] for b, pad in batches])
+        np.testing.assert_array_equal(flat, decode_batch(paths, 32, threads=1))
+        # Padding rows are zeros.
+        assert not batches[-1][0][2:].any()
+
+    def test_prefetch_error_surfaces(self, tmp_path):
+        paths = _write_images(tmp_path, 5, size=32) + ["/nonexistent.png"] * 3
+        with pytest.raises(Exception):
+            list(iter_padded_batches(paths, 32, batch_size=2, threads=4))
+
+    def test_early_break_does_not_hang(self, tmp_path):
+        paths = _write_images(tmp_path, 12, size=32)
+        it = iter_padded_batches(paths, 32, batch_size=2, threads=4, depth=1)
+        next(it)
+        it.close()  # generator closed mid-stream: producer must unwind
+
+
+class TestImageCache:
+    def test_cache_serves_all_sizes(self, tmp_path):
+        paths = _write_images(tmp_path, 6, size=64)
+        cache = ImageCache(paths, base_size=64, threads=2)
+        assert len(cache) == 6
+        np.testing.assert_array_equal(
+            cache.at(64), decode_batch(paths, 64, threads=1)
+        )
+        small = cache.at(32)
+        assert small.shape == (6, 32, 32, 3)
+        # Derived arrays are cached (same object on second call).
+        assert cache.at(32) is small
+        with pytest.raises(ValueError):
+            cache.at(128)
+
+    def test_fits_budget(self):
+        assert ImageCache.fits(10, 224, budget_mb=8)
+        assert not ImageCache.fits(100_000, 224, budget_mb=1024)
+
+
+class TestEstimatorIntegration:
+    def test_image_entropy_uint8_matches_f32(self):
+        from dewi_tpu.signals.image_entropy import ImageEntropyEstimator
+
+        est = ImageEntropyEstimator(model_name="tiny", batch_size=2)
+        sz = est.image_size
+        rng = np.random.default_rng(6)
+        u8 = rng.integers(0, 256, (3, sz, sz, 3), dtype=np.uint8)
+        f32 = u8.astype(np.float32) / 255.0
+        m_u8, q_u8 = est.batch_compute_stats(u8)
+        m_f32, q_f32 = est.batch_compute_stats(list(f32))
+        np.testing.assert_allclose(m_u8, m_f32, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(q_u8, q_f32, rtol=1e-4, atol=1e-5)
+
+    def test_clip_encode_uint8_matches_f32(self):
+        from dewi_tpu.signals.cross_modal import CrossModalDependency
+
+        est = CrossModalDependency(model_name="tiny", batch_size=2)
+        sz = est.cfg.image_size
+        rng = np.random.default_rng(7)
+        u8 = rng.integers(0, 256, (5, sz, sz, 3), dtype=np.uint8)
+        f32 = u8.astype(np.float32) / 255.0
+        e_u8 = est.encode_images(u8)
+        e_f32 = est.encode_images(list(f32))
+        np.testing.assert_allclose(e_u8, e_f32, rtol=1e-3, atol=1e-4)
+
+    def test_pipeline_uses_cache_paths(self, tmp_path):
+        from dewi_tpu.config import DewiConfig
+        from dewi_tpu.pipelines import DewiPipeline, create_document
+
+        paths = _write_images(tmp_path, 4, size=48)
+        cfg = DewiConfig.from_dict({
+            "text": {"model": "tiny", "batch_size": 2},
+            "image": {"model": "tiny", "batch_size": 2, "image_size": 32,
+                      "patch_size": 8},
+            "cross_modal": {"model": "tiny", "batch_size": 2},
+        })
+        pipe = DewiPipeline(cfg)
+        docs = [
+            create_document(f"d{i}", text=f"sample text {i}", image_path=p)
+            for i, p in enumerate(paths)
+        ]
+        pipe.compute_signals(docs)
+        for d in docs:
+            assert d.hi_mean is not None and d.hi_mean > 0
+            assert d.I_hat is not None
+            assert d.noise is not None
+
+    def test_pipeline_streaming_fallback_matches_cache(self, tmp_path):
+        from dewi_tpu.config import DewiConfig
+        from dewi_tpu.pipelines import DewiPipeline, create_document
+
+        paths = _write_images(tmp_path, 4, size=48)
+
+        def run(decode_cache_mb):
+            cfg = DewiConfig.from_dict({
+                "text": {"model": "tiny", "batch_size": 2},
+                "image": {"model": "tiny", "batch_size": 2, "image_size": 32,
+                          "patch_size": 8},
+                "cross_modal": {"model": "tiny", "batch_size": 2},
+                "runtime": {"decode_cache_mb": decode_cache_mb},
+            })
+            pipe = DewiPipeline(cfg)
+            docs = [
+                create_document(f"d{i}", text=f"t {i}", image_path=p)
+                for i, p in enumerate(paths)
+            ]
+            pipe.compute_signals(docs)
+            return docs
+
+        cached = run(decode_cache_mb=64)
+        streamed = run(decode_cache_mb=0)  # cache never fits -> streaming
+        for a, b in zip(cached, streamed):
+            assert a.hi_mean == pytest.approx(b.hi_mean, rel=1e-5)
+            assert a.I_hat == pytest.approx(b.I_hat, rel=1e-4, abs=1e-5)
+            assert a.noise == pytest.approx(b.noise, rel=1e-5)
