@@ -171,6 +171,15 @@ class TextEntropyEstimator:
 
     # -- public API ---------------------------------------------------------
 
+    def _token_count(self, text: str, max_len: int) -> int:
+        """Tokenized length, without materializing ids when the tokenizer
+        supports it (the byte tokenizer answers from the UTF-8 byte count —
+        this probe runs once per corpus document)."""
+        fast = getattr(self.tokenizer, "encode_length", None)
+        if fast is not None:
+            return fast(text, max_len)
+        return len(self.tokenizer.encode(text, max_len))
+
     def compute_entropy(
         self, text: str, relative_to_domain: bool = False
     ) -> TextEntropyResult:
@@ -197,7 +206,7 @@ class TextEntropyEstimator:
 
         long_idx = [
             i for i, t in enumerate(texts)
-            if len(self.tokenizer.encode(t, 1 << 30)) > self.cfg.max_len
+            if self._token_count(t, 1 << 30) > self.cfg.max_len
         ]
         results_long: Dict[int, TextEntropyResult] = {
             i: self._compute_long(texts[i], relative_to_domain, bs)
@@ -207,10 +216,9 @@ class TextEntropyEstimator:
 
         # Group doc indices by padded bucket length.
         buckets: Dict[int, List[int]] = {}
-        enc = {i: self.tokenizer.encode(texts[i], self.cfg.max_len)
-               for i in short}
         for i in short:
-            b = bucket_length(max(len(enc[i]), 2), max_len=self.cfg.max_len)
+            n = self._token_count(texts[i], self.cfg.max_len)
+            b = bucket_length(max(n, 2), max_len=self.cfg.max_len)
             buckets.setdefault(b, []).append(i)
 
         results: List[Optional[TextEntropyResult]] = [None] * len(texts)
@@ -355,14 +363,12 @@ class TextEntropyEstimator:
 
         buckets: Dict[int, List[int]] = {}
         long_idx = []
-        enc: Dict[int, List[int]] = {}
         for i, t in enumerate(texts):
-            e = self.tokenizer.encode(t, self.cfg.max_len + 1)
-            if len(e) > self.cfg.max_len:
+            n = self._token_count(t, self.cfg.max_len + 1)
+            if n > self.cfg.max_len:
                 long_idx.append(i)
                 continue
-            enc[i] = e
-            b = bucket_length(max(len(e), 2), max_len=self.cfg.max_len)
+            b = bucket_length(max(n, 2), max_len=self.cfg.max_len)
             buckets.setdefault(b, []).append(i)
 
         for i in long_idx:
@@ -398,6 +404,10 @@ class TextEntropyEstimator:
             batches = [idxs[s : s + bs] for s in range(0, len(idxs), bs)]
             pos = 0
             # Full superbatches: S padded batches scored per dispatch.
+            # Double-buffered: JAX dispatch is async, so the host tokenizes
+            # and launches supergroup k+1 BEFORE blocking on supergroup k's
+            # results — tokenization overlaps device compute.
+            pending = None  # (group, device mean3, device qs3)
             while len(batches) - pos >= S:
                 group = batches[pos : pos + S]
                 enc3 = [encode_padded(c, blen) for c in group]
@@ -412,11 +422,20 @@ class TextEntropyEstimator:
                     mean3, qs3 = self._score_super(
                         self.params, jnp.asarray(ids3), jnp.asarray(mask3)
                     )
-                mean3 = np.asarray(mean3)
-                qs3 = np.asarray(qs3)
-                for s, chunk in enumerate(group):
-                    write_back(chunk, mean3[s], qs3[s])
+                if pending is not None:
+                    pgroup, pmean, pqs = pending
+                    pmean = np.asarray(pmean)
+                    pqs = np.asarray(pqs)
+                    for s, chunk in enumerate(pgroup):
+                        write_back(chunk, pmean[s], pqs[s])
+                pending = (group, mean3, qs3)
                 pos += S
+            if pending is not None:
+                pgroup, pmean, pqs = pending
+                pmean = np.asarray(pmean)
+                pqs = np.asarray(pqs)
+                for s, chunk in enumerate(pgroup):
+                    write_back(chunk, pmean[s], pqs[s])
             # Remainder: per-batch dispatches (same trace as compute_entropy).
             for chunk in batches[pos:]:
                 ids, mask = encode_padded(chunk, blen)
