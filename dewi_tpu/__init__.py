@@ -35,6 +35,8 @@ _EXPORTS = {
     "DewiPipeline": ("dewi_tpu.pipelines", "DewiPipeline"),
     "Document": ("dewi_tpu.pipelines", "Document"),
     "create_document": ("dewi_tpu.pipelines", "create_document"),
+    "MicroBatcher": ("dewi_tpu.serve", "MicroBatcher"),
+    "SearchServer": ("dewi_tpu.serve", "SearchServer"),
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

@@ -306,13 +306,19 @@ _QUERY_ENCODERS: Dict[str, Any] = {}  # provenance-keyed cache (eval reuse)
 
 
 def _encode_query_text(query: str, index):
-    """Text -> query embedding via the CLIP text tower (fixes §2.4 item 6).
+    """Text -> query embedding via the CLIP text tower (fixes §2.4 item 6)."""
+    return _query_encoder_for_index(index).encode_texts([query])[0]
 
-    The encoder is reconstructed from the provenance the index recorded at
-    build time (model preset, tokenizer, seed, checkpoint) so query vectors
-    live in the same space as the corpus embeddings.  Indexes without a
-    provenance record (pre-provenance saves, or hand-built) fall back to the
-    old dim-matching heuristic with a warning.
+
+def _query_encoder_for_index(index):
+    """Reconstruct the query encoder an index's embeddings came from.
+
+    Built from the provenance the index recorded at build time (model
+    preset, tokenizer, seed, checkpoint) so query vectors live in the same
+    space as the corpus embeddings; shared by CLI search/eval and the
+    serving layer (:mod:`dewi_tpu.serve`).  Indexes without a provenance
+    record (pre-provenance saves, or hand-built) fall back to the old
+    dim-matching heuristic with a warning.
     """
     from .signals.cross_modal import CrossModalDependency
 
@@ -346,7 +352,7 @@ def _encode_query_text(query: str, index):
                 checkpoint=ckpt,
             )
             _QUERY_ENCODERS[key] = enc
-        return enc.encode_texts([query])[0]
+        return enc
 
     from .models.registry import CLIP_PRESETS
 
@@ -358,11 +364,48 @@ def _encode_query_text(query: str, index):
     )
     for preset in ("tiny", "small", "base"):
         if CLIP_PRESETS[preset]["d_embed"] == index.dim:
-            return CrossModalDependency(model_name=preset).encode_texts([query])[0]
+            return CrossModalDependency(model_name=preset)
     raise click.ClickException(
         f"Index dim {index.dim} matches no CLIP text-tower preset; pass a "
         ".npy query vector instead."
     )
+
+
+# ---------------------------------------------------------------------------
+# serve
+# ---------------------------------------------------------------------------
+
+
+@cli.command()
+@click.argument("index_dir", type=click.Path(exists=True, file_okay=False))
+@click.option("--host", default="127.0.0.1", help="Bind address")
+@click.option("--port", type=int, default=8321, help="Bind port (0 = any)")
+@click.option("--window-ms", type=float, default=2.0,
+              help="Micro-batch coalescing window")
+@click.option("--max-batch", type=int, default=256,
+              help="Max queries fused into one device dispatch")
+def serve(index_dir: str, host: str, port: int, window_ms: float,
+          max_batch: int) -> None:
+    """Serve a DEWI index over HTTP with micro-batched TPU dispatch.
+
+    Endpoints: POST /search {"text"|"vector", "k", "eta", "entropy_pref"},
+    POST /search_batch {"queries": [...]}, GET /healthz.  Concurrent
+    requests coalesce into one fused ``search_batch`` call (~10x the
+    per-query throughput of solo dispatches — see bench.py extras).
+    """
+    from .index import DewiIndex
+    from .serve import SearchServer
+
+    index = DewiIndex.load(index_dir)
+    server = SearchServer(index, host=host, port=port,
+                          window_ms=window_ms, max_batch=max_batch)
+    click.echo(f"Serving {len(index)} docs (dim {index.dim}) on "
+               f"http://{host}:{server.port} — Ctrl-C to stop")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        click.echo("Shutting down.")
+        server.shutdown()
 
 
 # ---------------------------------------------------------------------------

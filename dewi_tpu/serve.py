@@ -1,0 +1,307 @@
+"""Micro-batched query serving over a DEWI index.
+
+No reference counterpart — the reference answers queries one CLI invocation
+at a time (reference cli.py:213-328).  On TPU the economics are different:
+one fused batched search costs ~0.1 ms/query at Q≈1000 while a solo dispatch
+costs ~1 ms (bench.py `batched_ms_per_query` vs chained p50), so the serving
+design is a **micro-batcher**: concurrent requests are coalesced for up to
+``window_ms`` (or ``max_batch`` queries) and dispatched as ONE
+``search_batch`` call.  Batch shapes are padded to power-of-2 buckets so the
+number of compiled traces stays O(log max_batch) regardless of traffic.
+
+Two layers, both stdlib-only:
+
+* :class:`MicroBatcher` — thread-safe coalescing core (futures in,
+  batched device dispatch out).  Usable directly by any embedding host.
+* :class:`SearchServer` — a ``ThreadingHTTPServer`` JSON front end:
+  ``POST /search`` (vector or text query), ``POST /search_batch``,
+  ``GET /healthz`` (stats).  Text queries are encoded with the CLIP tower
+  reconstructed from the index's recorded encoder provenance, so results
+  match the pipeline that built the index.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _bucket(n: int, cap: int) -> int:
+    """Next power-of-2 ≥ n, capped — one compiled trace per bucket."""
+    b = 1
+    while b < min(n, cap):
+        b *= 2
+    return min(b, cap)
+
+
+@dataclass
+class _Request:
+    query: np.ndarray
+    params: Tuple[int, float, float]  # (k, eta, entropy_pref)
+    future: Future = field(default_factory=Future)
+
+
+class MicroBatcher:
+    """Coalesce concurrent search requests into fused device dispatches.
+
+    ``submit`` returns a ``Future`` resolving to ``(ids, scores)`` lists.
+    Requests sharing ``(k, eta, entropy_pref)`` fuse into one
+    ``index.search_batch`` call; mixed parameters split into one dispatch
+    per distinct triple within the window.
+    """
+
+    def __init__(
+        self,
+        index,
+        window_ms: float = 2.0,
+        max_batch: int = 256,
+    ) -> None:
+        self.index = index
+        self.window_ms = float(window_ms)
+        self.max_batch = int(max_batch)
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats: Dict[str, float] = {
+            "queries": 0, "dispatches": 0, "max_batch_seen": 0,
+        }
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # -- public API -----------------------------------------------------------
+
+    def submit(
+        self,
+        query: np.ndarray,
+        k: int = 10,
+        eta: Optional[float] = None,
+        entropy_pref: Optional[float] = None,
+    ) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher is shut down")
+        q = np.asarray(query, dtype=np.float32)
+        if q.shape != (self.index.dim,):
+            raise ValueError(
+                f"Expected query shape ({self.index.dim},), got {q.shape}"
+            )
+        eta = self.index.rerank_eta if eta is None else float(eta)
+        ep = (
+            self.index.entropy_pref if entropy_pref is None
+            else float(entropy_pref)
+        )
+        req = _Request(query=q, params=(int(k), eta, ep))
+        self._q.put(req)
+        return req.future
+
+    def search(self, query, **kw) -> Tuple[List[str], List[float]]:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(query, **kw).result()
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=5.0)
+
+    # -- worker ---------------------------------------------------------------
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.window_ms / 1e3
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            groups: Dict[Tuple[int, float, float], List[_Request]] = {}
+            for r in batch:
+                groups.setdefault(r.params, []).append(r)
+            for (k, eta, ep), reqs in groups.items():
+                self._dispatch(reqs, k, eta, ep)
+            self.stats["queries"] += len(batch)
+            self.stats["dispatches"] += len(groups)
+            self.stats["max_batch_seen"] = max(
+                self.stats["max_batch_seen"], len(batch)
+            )
+
+    def _dispatch(self, reqs: List[_Request], k: int, eta: float, ep: float
+                  ) -> None:
+        try:
+            n = len(reqs)
+            b = _bucket(n, self.max_batch)
+            qs = np.zeros((b, self.index.dim), np.float32)
+            for i, r in enumerate(reqs):
+                qs[i] = r.query
+            if n < b:  # pad rows repeat the first query (same trace shape)
+                qs[n:] = reqs[0].query
+            scores, rows = self.index.search_batch(qs, k=k, eta=eta,
+                                                   entropy_pref=ep)
+            scores = np.asarray(scores)
+            rows = np.asarray(rows)
+            doc_ids = self.index.doc_ids
+            for i, r in enumerate(reqs):
+                ids = [doc_ids[j] for j in rows[i]]
+                r.future.set_result((ids, [float(s) for s in scores[i]]))
+        except Exception as e:  # noqa: BLE001 — fail every waiter, keep serving
+            for r in reqs:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+
+class SearchServer:
+    """Stdlib HTTP JSON front end over a :class:`MicroBatcher`.
+
+    Endpoints:
+      ``POST /search``        {"vector": [...] | "text": "...", "k", "eta",
+                               "entropy_pref"} → {"ids", "scores"}
+      ``POST /search_batch``  {"queries": [ {...}, ... ]} → {"results": [...]}
+      ``GET  /healthz``       {"docs", "dim", "queries", "dispatches", ...}
+
+    Text queries require the index to carry encoder provenance (recorded by
+    the pipeline at build time); the matching CLIP text tower is
+    reconstructed once and shared.
+    """
+
+    def __init__(
+        self,
+        index,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        window_ms: float = 2.0,
+        max_batch: int = 256,
+    ) -> None:
+        self.index = index
+        self.batcher = MicroBatcher(index, window_ms=window_ms,
+                                    max_batch=max_batch)
+        self._encoder = None
+        self._encoder_lock = threading.Lock()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # route through logging
+                logger.debug("serve: " + fmt, *args)
+
+            def _reply(self, code: int, payload: Dict[str, Any]) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, server.health())
+                else:
+                    self._reply(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                except Exception as e:  # noqa: BLE001
+                    self._reply(400, {"error": f"bad JSON: {e}"})
+                    return
+                try:
+                    if self.path == "/search":
+                        self._reply(200, server.handle_search(req))
+                    elif self.path == "/search_batch":
+                        qs = req.get("queries", [])
+                        futs = [server.submit_request(q) for q in qs]
+                        self._reply(200, {"results": [
+                            server._resolve(f) for f in futs
+                        ]})
+                    else:
+                        self._reply(404, {"error": "unknown path"})
+                except ValueError as e:
+                    self._reply(400, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001
+                    logger.exception("serve: request failed")
+                    self._reply(500, {"error": str(e)})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+
+    # -- request handling -------------------------------------------------------
+
+    def submit_request(self, req: Dict[str, Any]) -> Future:
+        if "vector" in req:
+            q = np.asarray(req["vector"], np.float32)
+        elif "text" in req:
+            q = self.encode_text(str(req["text"]))
+        else:
+            raise ValueError("request needs 'vector' or 'text'")
+        return self.batcher.submit(
+            q,
+            k=int(req.get("k", 10)),
+            eta=req.get("eta"),
+            entropy_pref=req.get("entropy_pref"),
+        )
+
+    @staticmethod
+    def _resolve(fut: Future) -> Dict[str, Any]:
+        ids, scores = fut.result(timeout=60.0)
+        return {"ids": ids, "scores": scores}
+
+    def handle_search(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        return self._resolve(self.submit_request(req))
+
+    def encode_text(self, text: str) -> np.ndarray:
+        """Query encoder from the index's recorded provenance (built once)."""
+        with self._encoder_lock:
+            if self._encoder is None:
+                from .cli import _query_encoder_for_index
+
+                self._encoder = _query_encoder_for_index(self.index)
+        return self._encoder.encode_texts([text])[0]
+
+    def health(self) -> Dict[str, Any]:
+        s = self.batcher.stats
+        return {
+            "docs": len(self.index),
+            "dim": self.index.dim,
+            "queries": int(s["queries"]),
+            "dispatches": int(s["dispatches"]),
+            "max_batch_seen": int(s["max_batch_seen"]),
+            "mean_batch": round(
+                s["queries"] / s["dispatches"], 2
+            ) if s["dispatches"] else 0.0,
+        }
+
+    # -- lifecycle ---------------------------------------------------------------
+
+    def start(self) -> None:
+        self._thread.start()
+        logger.info("DEWI search server on port %d (%d docs)",
+                    self.port, len(self.index))
+
+    def serve_forever(self) -> None:
+        self.start()
+        self._thread.join()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.shutdown()
+
+
+__all__ = ["MicroBatcher", "SearchServer"]
