@@ -169,6 +169,49 @@ def main() -> None:
         )
         extras["int8_p50_ms"] = round(p50_int8, 4)
 
+        # Pallas-stage-1 variant at DocStore capacity (power-of-two padding —
+        # the production QuantizedIndex layout, which auto-routes here).
+        # Paired with the XLA path at the SAME padded capacity for a fair
+        # comparison; measured 0.706 vs 0.960 ms at 1M x 256 on one v5e.
+        from dewi_tpu.ops.pallas_search import SCORES_BLOCK, pallas_available
+
+        cap = max(1024, 1 << (N_DOCS - 1).bit_length())
+        if pallas_available() and cap % SCORES_BLOCK == 0:
+            padn = cap - N_DOCS
+            embp = jnp.pad(emb_d, ((0, padn), (0, 0)))
+            sqnp = jnp.pad(sqn_d, (0, padn))
+            payp = jnp.pad(pay_d, ((0, padn), (0, 0)))
+            qep, qsp = quantize_rows(embp)
+            jax.block_until_ready(qep)
+            for use_pl, name in ((False, "int8_cap_p50_ms"),
+                                 (True, "int8_pallas_cap_p50_ms")):
+                @jax.jit
+                def chained_int8_cap(qe, qs, emb_a, sqn_a, pay_a, n_a, q0,
+                                     _pl=use_pl):
+                    def body(_, carry):
+                        q, acc = carry
+                        scores, _ = quantized_search(
+                            qe, qs, emb_a, sqn_a, pay_a, q, n_a, eta, ep,
+                            k=K, m=m, normalize=True, approx_select=True,
+                            pallas_stage1=_pl,
+                        )
+                        q = q + 1e-12 * scores[0, 0]
+                        return q, acc + scores[0, 0]
+
+                    _, acc = jax.lax.fori_loop(
+                        0, CHAIN, body, (q0, jnp.float32(0.0))
+                    )
+                    return acc
+
+                try:
+                    extras[name] = round(chained_p50(
+                        chained_int8_cap, qep, qsp, embp, sqnp, payp, n_d
+                    ), 4)
+                except Exception as e:  # noqa: BLE001 — Pallas is opt-in
+                    extras["int8_pallas_error"] = str(e)[:200]
+                    break
+            del embp, sqnp, payp, qep, qsp
+
     # ---- recall vs f32 exact: full query set, k=10 and k=100 ---------------
     # Queries run in blocks: a single [1000, 1M] f32 score matrix is 4 GB of
     # HBM; 128-query blocks keep the intermediate at 512 MB.

@@ -30,6 +30,7 @@ class QuantizedIndex(BaseIndex):
         space: str = "cosine",
         refine_factor: int = 8,
         approx_select: bool = True,
+        use_pallas: bool = True,
         **kwargs,
     ):
         super().__init__(dim, space, **kwargs)
@@ -37,6 +38,10 @@ class QuantizedIndex(BaseIndex):
         # approx stage-1 candidate selection (lax.approx_max_k): ~1.7x faster
         # at 1M docs, 0.995 recall@10; False restores exact top-m selection.
         self.approx_select = bool(approx_select)
+        # Route stage-1 through the streaming Pallas scores kernel where it
+        # wins (real TPU, large corpora, small query batches) — measured
+        # 0.596 vs 0.62-0.66 ms at 1M x 256 (ops/pallas_search.py).
+        self.use_pallas = bool(use_pallas)
         self._q_emb: Optional[jax.Array] = None
         self._q_scales: Optional[jax.Array] = None
 
@@ -44,7 +49,20 @@ class QuantizedIndex(BaseIndex):
         return {
             "refine_factor": self.refine_factor,
             "approx_select": self.approx_select,
+            "use_pallas": self.use_pallas,
         }
+
+    def _pallas_stage1_ok(self, n_queries: int) -> bool:
+        from ..ops.pallas_search import SCORES_BLOCK, pallas_available
+
+        cap = self.store.capacity
+        return (
+            self.use_pallas
+            and cap >= SCORES_BLOCK
+            and cap % SCORES_BLOCK == 0
+            and n_queries <= 32          # [Q, block] out tile stays <= 1 MB
+            and pallas_available()
+        )
 
     def build(self, **kwargs) -> None:
         if len(self.store) == 0:
@@ -81,6 +99,7 @@ class QuantizedIndex(BaseIndex):
             m=m,
             normalize=self.store.normalize,
             approx_select=self.approx_select,
+            pallas_stage1=self._pallas_stage1_ok(int(q.shape[0])),
         )
 
     def search(

@@ -287,6 +287,64 @@ def pallas_int8_search(
     )
 
 
+SCORES_BLOCK = 8192  # measured optimum on v5e at 1M x 256 (0.596 ms chained)
+
+
+def _scores_kernel(q_ref, emb_ref, mult_ref, add_ref, out_ref):
+    acc = jax.lax.dot_general(
+        q_ref[...].astype(jnp.bfloat16), emb_ref[...].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [Q, BLOCK]
+    out_ref[...] = acc * mult_ref[...] + add_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def pallas_scores_matrix(
+    emb_i8: jax.Array,    # [cap, D] int8, cap % block == 0
+    mult: jax.Array,      # [cap] f32 per-row multiplier (dequant scale fold)
+    add: jax.Array,       # [cap] f32 per-row addend (re-rank + mask fold)
+    queries: jax.Array,   # [Q, D] f32, pre-normalized if cosine
+    block: int = SCORES_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Streaming int8 stage-1: ``[Q, cap]`` adjusted scores, selection outside.
+
+    Unlike :func:`pallas_int8_search`, this kernel does NO in-VMEM top-k —
+    the round-1 lesson was that the per-block max-and-mask reduction, not
+    the streaming dot, is what loses to XLA.  Here each grid step computes
+    the bf16 matvec on the MXU and the folded mult/add epilogue on the VPU
+    while the next corpus block streams in; ``lax.approx_max_k`` runs on
+    the result outside.  Measured 0.596 ms vs 0.62-0.66 ms for the
+    equivalent XLA stage-1 at 1M x 256, Q=1 (chained, one v5e chip).  The
+    [Q, cap] f32 writeback (4 MB/query at 1M) is ~2%% of the 256 MB corpus
+    read, so the scores-only shape stays bandwidth-optimal.
+    """
+    cap, d = emb_i8.shape
+    nq = queries.shape[0]
+    assert cap % block == 0, f"capacity {cap} must be a multiple of {block}"
+    grid = (cap // block,)
+    return pl.pallas_call(
+        _scores_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nq, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq, cap), jnp.float32),
+        interpret=interpret,
+    )(
+        queries.astype(jnp.float32),
+        emb_i8,
+        mult.reshape(1, -1).astype(jnp.float32),
+        add.reshape(1, -1).astype(jnp.float32),
+    )
+
+
 def pallas_available() -> bool:
     """True when the Pallas TPU lowering can be used on this backend."""
     if not _HAS_PALLAS:
@@ -297,4 +355,11 @@ def pallas_available() -> bool:
         return False
 
 
-__all__ = ["pallas_fused_search", "pallas_int8_search", "pallas_available", "BLOCK"]
+__all__ = [
+    "pallas_fused_search",
+    "pallas_int8_search",
+    "pallas_scores_matrix",
+    "pallas_available",
+    "BLOCK",
+    "SCORES_BLOCK",
+]

@@ -41,7 +41,12 @@ def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
-@partial(jax.jit, static_argnames=("k", "m", "normalize", "approx_select"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "m", "normalize", "approx_select", "pallas_stage1", "interpret"
+    ),
+)
 def quantized_search(
     emb_i8: jax.Array,    # [cap, D] int8 corpus
     scales: jax.Array,    # [cap] f32 row scales
@@ -56,6 +61,8 @@ def quantized_search(
     m: int,
     normalize: bool = True,
     approx_select: bool = True,
+    pallas_stage1: bool = False,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Two-stage int8 -> f32 exact search; returns ([Q, k] scores, [Q, k] idx).
 
@@ -67,18 +74,6 @@ def quantized_search(
     q = queries.astype(jnp.float32)
     if normalize:
         q = l2_normalize(q)
-
-    # Stage 1: int8 corpus read with the dequant fused into the dot's
-    # operand load (int8 -> bf16 convert; int8 values are exact in bf16).
-    # Measured faster than bf16 storage (4x less HBM read): the raw int8
-    # matvec runs 0.58 ms vs 0.89 bf16 / 1.58 f32 at 1M x 256.  The query
-    # stays unquantized (bf16 cast only), so stage-1 error is bf16
-    # rounding, not query quantization.
-    acc = jax.lax.dot_general(
-        q.astype(jnp.bfloat16), emb_i8.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                  # [Q, cap]
 
     # Algebraic fold: dequant scale, DEWI re-rank, and the validity mask
     # collapse into per-row mult/add vectors, so the [Q, cap] epilogue is
@@ -101,7 +96,26 @@ def quantized_search(
         add = add - one_m_eta * sqnorms
     valid = jnp.arange(emb_i8.shape[0], dtype=jnp.int32) < n_valid
     add = jnp.where(valid, add, NEG_INF)
-    adj1 = acc * mult[None, :] + add[None, :]
+
+    # Stage 1: int8 corpus read with the dequant fused into the dot's
+    # operand load (int8 -> bf16 convert; int8 values are exact in bf16).
+    # Measured faster than bf16 storage (4x less HBM read): the raw int8
+    # matvec runs 0.58 ms vs 0.89 bf16 / 1.58 f32 at 1M x 256.  The query
+    # stays unquantized (bf16 cast only), so stage-1 error is bf16
+    # rounding, not query quantization.  ``pallas_stage1`` swaps the XLA
+    # dot+epilogue for the streaming Pallas scores kernel (measured 0.596
+    # vs 0.62-0.66 ms at 1M x 256 — the epilogue rides the corpus stream).
+    if pallas_stage1:
+        from .pallas_search import pallas_scores_matrix
+
+        adj1 = pallas_scores_matrix(emb_i8, mult, add, q, interpret=interpret)
+    else:
+        acc = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), emb_i8.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # [Q, cap]
+        adj1 = acc * mult[None, :] + add[None, :]
     if not normalize:
         adj1 = adj1 - one_m_eta * jnp.sum(q * q, -1, keepdims=True)
     if approx_select and adj1.shape[1] > 4 * m:

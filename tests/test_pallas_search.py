@@ -1,5 +1,6 @@
 """Pallas streaming-search kernel tests (interpret mode on the CPU mesh)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -92,3 +93,61 @@ class TestPallasInt8:
         ref = np.argsort(-adj, axis=1)[:, :10]
         for a, b in zip(np.asarray(i), ref):
             assert len(set(a.tolist()) & set(b.tolist())) >= 9  # bf16 cast slack
+
+
+class TestPallasScoresMatrix:
+    """Scores-only stage-1 kernel (selection stays in XLA outside)."""
+
+    def test_matches_xla_fold_multiblock(self):
+        from dewi_tpu.ops.pallas_search import pallas_scores_matrix
+
+        rng = np.random.default_rng(21)
+        cap, d, nq = 2048, 64, 3
+        e8 = rng.integers(-127, 128, size=(cap, d)).astype(np.int8)
+        mult = rng.uniform(0.5, 1.5, size=cap).astype(np.float32)
+        add = rng.normal(size=cap).astype(np.float32)
+        add[2000:] = -np.inf
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        got = np.asarray(pallas_scores_matrix(
+            jnp.asarray(e8), jnp.asarray(mult), jnp.asarray(add),
+            jnp.asarray(q), block=256, interpret=True,
+        ))
+        # Reference with the same bf16 operand cast the kernel applies.
+        acc = np.asarray(jax.lax.dot_general(
+            jnp.asarray(q).astype(jnp.bfloat16),
+            jnp.asarray(e8).astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        ref = acc * mult[None, :] + add[None, :]
+        np.testing.assert_allclose(got[:, :2000], ref[:, :2000],
+                                   rtol=1e-5, atol=1e-4)
+        assert np.all(np.isneginf(got[:, 2000:]))
+
+    def test_quantized_search_pallas_stage1_parity(self):
+        from dewi_tpu.ops.quantized import quantize_rows, quantized_search
+        from dewi_tpu.ops.pallas_search import SCORES_BLOCK
+
+        rng = np.random.default_rng(22)
+        cap, d, nq, n = SCORES_BLOCK, 32, 2, 6000
+        emb = np.asarray(l2_normalize(
+            jnp.asarray(rng.normal(size=(cap, d)).astype(np.float32))))
+        pay = np.abs(rng.normal(size=(cap, 8))).astype(np.float32)
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        e8, sc = quantize_rows(jnp.asarray(emb))
+        sqn = jnp.sum(jnp.asarray(emb) ** 2, axis=1)
+        common = dict(k=10, m=80, normalize=True, approx_select=False)
+        s_x, i_x = quantized_search(
+            e8, sc, jnp.asarray(emb), sqn, jnp.asarray(pay), jnp.asarray(q),
+            jnp.int32(n), jnp.float32(0.3), jnp.float32(0.1),
+            pallas_stage1=False, **common)
+        s_p, i_p = quantized_search(
+            e8, sc, jnp.asarray(emb), sqn, jnp.asarray(pay), jnp.asarray(q),
+            jnp.int32(n), jnp.float32(0.3), jnp.float32(0.1),
+            pallas_stage1=True, interpret=True, **common)
+        # Stage-2 refine is exact over the candidate set; bf16 stage-1
+        # noise can only reorder the candidate tail.
+        for a, b in zip(np.asarray(i_x), np.asarray(i_p)):
+            assert len(set(a.tolist()) & set(b.tolist())) >= 9
+        np.testing.assert_allclose(
+            np.sort(np.asarray(s_x), axis=1)[:, -9:],
+            np.sort(np.asarray(s_p), axis=1)[:, -9:], rtol=1e-4, atol=1e-4)
