@@ -143,8 +143,9 @@ def main() -> None:
     extras["bf16_store_p50_ms"] = round(p50_bf16, 4)
 
     # ---- int8 quantized tier ----------------------------------------------
-    p50_int8 = None
+    p50_int8 = p50_int8_pallas = None
     q_emb = q_scales = None
+    embp = sqnp = payp = qep = qsp = None
     if "int8" in SECTIONS:
         q_emb, q_scales = quantize_rows(emb_d)
         jax.block_until_ready(q_emb)
@@ -204,13 +205,17 @@ def main() -> None:
                     return acc
 
                 try:
-                    extras[name] = round(chained_p50(
+                    p50 = chained_p50(
                         chained_int8_cap, qep, qsp, embp, sqnp, payp, n_d
-                    ), 4)
+                    )
+                    extras[name] = round(p50, 4)
+                    if use_pl:
+                        p50_int8_pallas = p50
                 except Exception as e:  # noqa: BLE001 — Pallas is opt-in
                     extras["int8_pallas_error"] = str(e)[:200]
                     break
-            del embp, sqnp, payp, qep, qsp
+            # padded arrays stay alive for the recall section (the Pallas
+            # tier's recall must be measured on the exact config benched).
 
     # ---- recall vs f32 exact: full query set, k=10 and k=100 ---------------
     # Queries run in blocks: a single [1000, 1M] f32 score matrix is 4 GB of
@@ -223,6 +228,7 @@ def main() -> None:
         return np.concatenate(outs)
 
     bf16_recall = 1.0
+    int8_pallas_recall = 0.0
     if "recall" in SECTIONS:
         for kk in (10, min(100, N_DOCS)):
             idx_f32 = blocked_idx(
@@ -248,7 +254,22 @@ def main() -> None:
                 extras[f"int8_recall_vs_f32_at_k{kk}"] = round(
                     float(recall_matrix(idx_i8, idx_f32)), 6
                 )
+            if qep is not None:
+                m = min(max(kk * 8, 32), N_DOCS)
+                idx_i8p = blocked_idx(
+                    lambda q, k: quantized_search(
+                        qep, qsp, embp, sqnp, payp, q, n_d,
+                        eta, ep, k=k, m=m, normalize=True,
+                        approx_select=True, pallas_stage1=True), kk,
+                    qblock=32,
+                )
+                r = float(recall_matrix(idx_i8p, idx_f32))
+                extras[f"int8_pallas_recall_vs_f32_at_k{kk}"] = round(r, 6)
+                if kk == 10:
+                    int8_pallas_recall = r
         extras["recall_queries"] = N_QUERIES
+    if embp is not None:
+        del embp, sqnp, payp, qep, qsp
 
     # ---- raw single-dispatch latency (includes host<->device RTT) --------
     q0 = queries_h[:1]
@@ -429,19 +450,24 @@ def main() -> None:
         )
         extras["full_signals_detail"] = "see docs/perf/signals_{small,base}.json"
 
-    # Headline: the recommended serving config (bf16 storage) when its
-    # measured recall vs f32 exact is >=0.999 over the full query set;
-    # otherwise the f32 tier.
-    headline = p50_bf16 if bf16_recall >= 0.999 else p50_device
+    # Headline: the fastest tier whose measured recall vs f32 exact over the
+    # full 1000-query set meets BASELINE.md's north-star gate (>=0.99,
+    # BASELINE.md:29).  Every candidate tier's p50 and recall are in extras;
+    # the chosen tier and its recall are disclosed alongside the number.
+    candidates = [(p50_device, 1.0, "f32 exact")]
+    if bf16_recall >= 0.99:
+        candidates.append((p50_bf16, bf16_recall, "bf16-store exact"))
+    if p50_int8_pallas is not None and int8_pallas_recall >= 0.99:
+        candidates.append((
+            p50_int8_pallas, int8_pallas_recall,
+            "int8 two-stage refined (Pallas stage-1)",
+        ))
+    headline, head_recall, head_tier = min(candidates, key=lambda c: c[0])
     extras["latency_method"] = (
         f"chained on-device loop ({CHAIN} serialized searches per dispatch)"
     )
-    extras["headline_tier"] = (
-        "bf16-store exact" if headline == p50_bf16 else "f32 exact"
-    )
-    extras["recall_vs_exact"] = 1.0 if headline == p50_device else round(
-        bf16_recall, 6
-    )
+    extras["headline_tier"] = head_tier
+    extras["recall_vs_exact"] = round(head_recall, 6)
     extras["n_docs"] = N_DOCS
     extras["dim"] = DIM
     extras["device"] = str(jax.devices()[0])
