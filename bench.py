@@ -176,13 +176,20 @@ def main() -> None:
         # comparison; measured 0.706 vs 0.960 ms at 1M x 256 on one v5e.
         from dewi_tpu.ops.pallas_search import SCORES_BLOCK, pallas_available
 
-        cap = max(1024, 1 << (N_DOCS - 1).bit_length())
-        if pallas_available() and cap % SCORES_BLOCK == 0:
-            padn = cap - N_DOCS
-            embp = jnp.pad(emb_d, ((0, padn), (0, 0)))
-            sqnp = jnp.pad(sqn_d, (0, padn))
-            payp = jnp.pad(pay_d, ((0, padn), (0, 0)))
-            qep, qsp = quantize_rows(embp)
+        # emb_d is already store-capacity-sized (power of 2); round up to a
+        # SCORES_BLOCK multiple (no-op at 1M: 2^20 = 128 * 8192).
+        rows = emb_d.shape[0]
+        cap = ((rows + SCORES_BLOCK - 1) // SCORES_BLOCK) * SCORES_BLOCK
+        if pallas_available() and cap >= SCORES_BLOCK:
+            padn = cap - rows
+            if padn == 0:
+                embp, sqnp, payp = emb_d, sqn_d, pay_d
+                qep, qsp = q_emb, q_scales
+            else:
+                embp = jnp.pad(emb_d, ((0, padn), (0, 0)))
+                sqnp = jnp.pad(sqn_d, (0, padn))
+                payp = jnp.pad(pay_d, ((0, padn), (0, 0)))
+                qep, qsp = quantize_rows(embp)
             jax.block_until_ready(qep)
             for use_pl, name in ((False, "int8_cap_p50_ms"),
                                  (True, "int8_pallas_cap_p50_ms")):
@@ -254,7 +261,7 @@ def main() -> None:
                 extras[f"int8_recall_vs_f32_at_k{kk}"] = round(
                     float(recall_matrix(idx_i8, idx_f32)), 6
                 )
-            if qep is not None:
+            if qep is not None and "int8_pallas_cap_p50_ms" in extras:
                 m = min(max(kk * 8, 32), N_DOCS)
                 idx_i8p = blocked_idx(
                     lambda q, k: quantized_search(

@@ -44,7 +44,8 @@ def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "m", "normalize", "approx_select", "pallas_stage1", "interpret"
+        "k", "m", "normalize", "approx_select", "pallas_stage1",
+        "pallas_block", "interpret"
     ),
 )
 def quantized_search(
@@ -62,6 +63,7 @@ def quantized_search(
     normalize: bool = True,
     approx_select: bool = True,
     pallas_stage1: bool = False,
+    pallas_block: int = 0,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Two-stage int8 -> f32 exact search; returns ([Q, k] scores, [Q, k] idx).
@@ -106,9 +108,12 @@ def quantized_search(
     # dot+epilogue for the streaming Pallas scores kernel (measured 0.596
     # vs 0.62-0.66 ms at 1M x 256 — the epilogue rides the corpus stream).
     if pallas_stage1:
-        from .pallas_search import pallas_scores_matrix
+        from .pallas_search import SCORES_BLOCK, pallas_scores_matrix
 
-        adj1 = pallas_scores_matrix(emb_i8, mult, add, q, interpret=interpret)
+        adj1 = pallas_scores_matrix(
+            emb_i8, mult, add, q,
+            block=pallas_block or SCORES_BLOCK, interpret=interpret,
+        )
     else:
         acc = jax.lax.dot_general(
             q.astype(jnp.bfloat16), emb_i8.astype(jnp.bfloat16),

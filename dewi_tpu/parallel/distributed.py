@@ -56,10 +56,17 @@ def make_sharded_search(mesh: Mesh, k: int, normalize: bool = True):
     return jax.jit(sharded)
 
 
-def make_sharded_quantized_search(mesh: Mesh, k: int, m: int):
+def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
+                                  pallas_stage1: bool = False,
+                                  pallas_block: int = 0,
+                                  interpret: bool = False):
     """Sharded two-stage int8 search: local int8 scan + f32 refine per shard,
     then the same all-gather/top-k merge as the exact path.  Stage-1 HBM
-    traffic per device is the int8 shard — 4x less than f32."""
+    traffic per device is the int8 shard — 4x less than f32.
+
+    ``pallas_stage1`` routes each shard's stage-1 through the streaming
+    Pallas scores kernel (ops/pallas_search.py; the per-shard corpus block
+    must be a SCORES_BLOCK multiple — callers gate on that)."""
     from ..ops.quantized import quantized_search
 
     def local_search(emb_i8, scales, emb, sqn, pay, queries, n_valid, eta,
@@ -71,6 +78,8 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int):
         vals, idx = quantized_search(
             emb_i8, scales, emb, sqn, pay, queries, local_n, eta,
             entropy_pref, k=k_local, m=min(m, shard_cap), normalize=True,
+            pallas_stage1=pallas_stage1, pallas_block=pallas_block,
+            interpret=interpret,
         )
         gidx = idx + shard * shard_cap
         all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
@@ -97,7 +106,9 @@ class ShardedQuantizedSearcher:
     quantization happens once at attach time, sharded over the data axis.
     """
 
-    def __init__(self, store, mesh: Mesh, k: int = 10, refine_factor: int = 8):
+    def __init__(self, store, mesh: Mesh, k: int = 10, refine_factor: int = 8,
+                 use_pallas: bool = True):
+        from ..ops.pallas_search import SCORES_BLOCK, pallas_available
         from ..ops.quantized import quantize_rows
 
         self.store = store
@@ -108,7 +119,18 @@ class ShardedQuantizedSearcher:
         # Row-wise quantization preserves the data-axis sharding.
         self._q_emb, self._scales = quantize_rows(emb)
         m = max(32, k * refine_factor)
-        self._fn = make_sharded_quantized_search(mesh, k, m)
+        # Per-shard Pallas stage-1 where it wins (see QuantizedIndex): the
+        # local corpus block must be a SCORES_BLOCK multiple.
+        n_data = mesh.shape[DATA_AXIS]
+        shard_cap = store.capacity // n_data
+        pallas = (
+            bool(use_pallas)
+            and shard_cap >= SCORES_BLOCK
+            and shard_cap % SCORES_BLOCK == 0
+            and pallas_available()
+        )
+        self._fn = make_sharded_quantized_search(mesh, k, m,
+                                                 pallas_stage1=pallas)
 
     def search_batch(self, queries, eta: float = 0.5,
                      entropy_pref: float = 0.0):

@@ -191,3 +191,41 @@ class TestShardedIVF:
         _, idx = searcher.search_batch(q, eta=0.0, entropy_pref=0.0)
         _, ei = exact.search_batch(q, eta=0.0, entropy_pref=0.0, k=k)
         assert recall_matrix(np.asarray(idx), np.asarray(ei)) >= 0.6
+
+
+class TestShardedQuantizedPallas:
+    def test_pallas_stage1_matches_xla_per_shard(self):
+        """Interpret-mode Pallas stage-1 inside shard_map == XLA stage-1."""
+        import numpy as np
+        from dewi_tpu.index.store import DocStore
+        from dewi_tpu.parallel import make_mesh
+        from dewi_tpu.parallel.distributed import make_sharded_quantized_search
+        from dewi_tpu.ops.quantized import quantize_rows
+
+        rng = np.random.default_rng(4)
+        n, d = 8 * 128, 32  # shard_cap = 128 rows/device
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pay = np.abs(rng.normal(size=(n, 8))).astype(np.float32)
+        store = DocStore(dim=d)
+        store.add_batch([str(i) for i in range(n)], emb, pay)
+        mesh = make_mesh(n_data=8, n_model=1)
+        from dewi_tpu.parallel.mesh import data_sharding
+
+        store.sharding = data_sharding(mesh, rank=2)
+        emb_d, sqn, payd, nv = store.device_arrays()
+        qe, sc = quantize_rows(emb_d)
+        q = np.asarray(rng.normal(size=(3, d)), np.float32)
+
+        import jax.numpy as jnp
+
+        args = (qe, sc, emb_d, sqn, payd, jnp.asarray(q), nv,
+                jnp.float32(0.25), jnp.float32(0.1))
+        f_x = make_sharded_quantized_search(mesh, k=10, m=40)
+        f_p = make_sharded_quantized_search(
+            mesh, k=10, m=40, pallas_stage1=True, pallas_block=64,
+            interpret=True,
+        )
+        sx, ix = f_x(*args)
+        sp, ip = f_p(*args)
+        for a, b in zip(np.asarray(ix), np.asarray(ip)):
+            assert len(set(a.tolist()) & set(b.tolist())) >= 9
