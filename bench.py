@@ -170,6 +170,27 @@ def main() -> None:
         )
         extras["int8_p50_ms"] = round(p50_int8, 4)
 
+        # Batched serving on the int8 tier: 4x less stage-1 HBM read than
+        # the bf16 exact scan; 128-query blocks keep the [Q, cap] adjusted
+        # matrix at 512 MB.
+        def int8_batched_pass():
+            outs = []
+            for s in range(0, N_QUERIES, 128):
+                v, _ = quantized_search(
+                    q_emb, q_scales, emb_d, sqn_d, pay_d,
+                    queries_h[s : s + 128], n_d, eta, ep,
+                    k=K, m=m, normalize=True, approx_select=True,
+                )
+                outs.append(v)
+            jax.block_until_ready(outs[-1])
+
+        int8_batched_pass()  # compile
+        t0 = time.perf_counter()
+        int8_batched_pass()
+        int8_b = (time.perf_counter() - t0) / N_QUERIES * 1e3
+        extras["int8_batched_ms_per_query"] = round(int8_b, 4)
+        extras["int8_batched_qps"] = round(1e3 / int8_b, 1)
+
         # Pallas-stage-1 variant at DocStore capacity (power-of-two padding —
         # the production QuantizedIndex layout, which auto-routes here).
         # Paired with the XLA path at the SAME padded capacity for a fair
