@@ -260,7 +260,7 @@ def main() -> None:
             outs.append(np.asarray(idx))
         return np.concatenate(outs)
 
-    bf16_recall = 1.0
+    bf16_recall = None  # unmeasured unless the recall section runs
     int8_pallas_recall = 0.0
     if "recall" in SECTIONS:
         for kk in (10, min(100, N_DOCS)):
@@ -488,7 +488,7 @@ def main() -> None:
     # BASELINE.md:29).  Every candidate tier's p50 and recall are in extras;
     # the chosen tier and its recall are disclosed alongside the number.
     candidates = [(p50_device, 1.0, "f32 exact")]
-    if bf16_recall >= 0.99:
+    if bf16_recall is not None and bf16_recall >= 0.99:
         candidates.append((p50_bf16, bf16_recall, "bf16-store exact"))
     if p50_int8_pallas is not None and int8_pallas_recall >= 0.99:
         candidates.append((

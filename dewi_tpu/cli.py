@@ -323,6 +323,12 @@ def _query_encoder_for_index(index):
     from .signals.cross_modal import CrossModalDependency
 
     prov = getattr(index, "encoder", None)
+    if prov and prov.get("source") == "external":
+        raise click.ClickException(
+            "Index embeddings were supplied externally (no encoder "
+            "provenance); text queries cannot be encoded consistently — "
+            "pass a .npy query vector embedded by the same external model."
+        )
     if prov:
         ckpt = prov.get("checkpoint")
         if ckpt and not Path(ckpt).exists():

@@ -60,6 +60,13 @@ def _ivf_search_kernel(
     else:
         cn = jnp.sum(centroids * centroids, axis=1)
         csim = 2.0 * jnp.dot(q, centroids.T, preferred_element_type=jnp.float32) - cn[None, :]
+    # Empty buckets (clusters with no members, or the zero-centroid padding
+    # the sharded searcher appends to split evenly) must not win probe
+    # slots: their centroid similarity of ~0 can outrank real centroids
+    # when every true similarity is negative, silently shrinking the
+    # effective probe budget.
+    nonempty = jnp.any(b_valid, axis=1)
+    csim = jnp.where(nonempty[None, :], csim, NEG_INF)
     _, probes = jax.lax.top_k(csim, nprobe)  # [Q, nprobe]
 
     pe = b_emb[probes]                        # [Q, nprobe, cap, D]

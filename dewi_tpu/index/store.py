@@ -113,8 +113,12 @@ class DocStore:
         cap = _next_capacity(n)
         emb = np.zeros((cap, self.dim), dtype=np.float32)
         pay = np.zeros((cap, len(PAYLOAD_FIELDS)), dtype=np.float32)
-        emb[: len(self)] = self._emb[: len(self)]
-        pay[: len(self)] = self._pay[: len(self)]
+        # The host mirror may hold fewer rows than len(self): after
+        # attach_device + buffered add()s, _sync_host grows capacity while
+        # pending rows are still unwritten — copy only what exists.
+        k = min(len(self), self._emb.shape[0])
+        emb[:k] = self._emb[:k]
+        pay[:k] = self._pay[:k]
         self._emb, self._pay = emb, pay
         self._dirty = True
 

@@ -257,11 +257,54 @@ class ImageCache:
         return len(self.base)
 
 
+
+def iter_corpus_batches(
+    images: Sequence[ImageLike],
+    size: int,
+    batch_size: int,
+    threads: int = 4,
+    depth: int = 2,
+) -> Iterator[Tuple[np.ndarray, int]]:
+    """``(batch [bs, size, size, 3], pad)`` stream for an image corpus.
+
+    A pre-decoded ``[N, size, size, 3]`` ndarray is sliced directly (no
+    decode); anything else routes through :func:`iter_padded_batches`
+    (threaded decode + prefetch).  Float arrays in uint8 range (max > 1.5)
+    are scaled to [0, 1] per chunk — the same convention as
+    ``to_image_array`` — so results do not depend on whether the caller
+    passes one 4D array or a list of 3D arrays.
+    """
+    if (
+        isinstance(images, np.ndarray)
+        and images.ndim == 4
+        and images.shape[1:3] == (size, size)
+    ):
+        scale = (
+            images.dtype != np.uint8
+            and images.size
+            and float(images.max()) > 1.5
+        )
+        for s in range(0, len(images), batch_size):
+            chunk = images[s : s + batch_size]
+            if scale:
+                chunk = chunk.astype(np.float32) / 255.0
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            yield chunk, pad
+        return
+    yield from iter_padded_batches(images, size, batch_size,
+                                   threads=threads, depth=depth)
+
+
 __all__ = [
     "ImageCache",
     "ImageLike",
     "decode_batch",
     "decode_image_uint8",
+    "iter_corpus_batches",
     "iter_padded_batches",
     "resize_uint8",
 ]

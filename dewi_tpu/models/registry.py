@@ -131,7 +131,7 @@ def _to_default_device(params):
     """Move a param pytree to the default backend's first device (no-op cost
     when already there; uncommitted numpy/CPU trees would otherwise be
     shipped host->device on every dispatch)."""
-    dev = jax.devices()[0]
+    dev = jax.local_devices()[0]
     if dev.platform == "cpu":
         return params
     return jax.device_put(params, dev)

@@ -86,7 +86,7 @@ class _StageCheckpoint:
     """Per-stage npz checkpoints: ``<dir>/<stage>.npz`` + corpus digest.
 
     Besides the doc count, each checkpoint records a digest of the corpus
-    identity (doc ids + content lengths), so resuming against a *different*
+    identity (doc ids, text content, image file identity), so resuming against a *different*
     same-length corpus (edited docs, reordered ids) discards the stale cache
     instead of silently applying cached signals to the wrong documents
     (ADVICE.md round 1)."""
@@ -105,12 +105,26 @@ class _StageCheckpoint:
     @staticmethod
     def _digest(documents) -> str:
         import hashlib
+        import os
 
         h = hashlib.sha256()
         for d in documents:
             h.update(d.doc_id.encode())
-            h.update(str(len(d.text or "")).encode())
+            # Text CONTENT, not just length: same-length edits must
+            # invalidate the cache.
+            h.update((d.text or "").encode("utf-8", "replace"))
             h.update(b"\0")
+            # Image identity: path plus size/mtime when it is a real file
+            # (re-exported images with the same name invalidate too).
+            ip = getattr(d, "image_path", None)
+            if ip:
+                h.update(str(ip).encode())
+                try:
+                    st = os.stat(ip)
+                    h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+                except OSError:
+                    pass
+            h.update(b"\1")
         return h.hexdigest()[:16]
 
     def load(self, stage: str) -> Optional[Dict[str, np.ndarray]]:
@@ -204,6 +218,9 @@ class DewiPipeline:
         self._cross_modal = None
         self._redundancy = None
         self._noise = None
+        # Doc ids whose embeddings THIS pipeline filled via the CLIP towers
+        # (vs supplied externally) — decides the provenance an index records.
+        self._clip_embedded_ids: set = set()
 
     # -- lazy estimators (constructed on first use; ctor stays cheap) --------
 
@@ -542,6 +559,7 @@ class DewiPipeline:
         emit unit-norm vectors in the same space, so the index can mix them.
         """
         missing = [i for i, d in enumerate(documents) if d.embedding is None]
+        self._clip_embedded_ids.update(documents[i].doc_id for i in missing)
         if not missing:
             return documents
         t_idx = [i for i in missing if documents[i].text]
@@ -686,6 +704,9 @@ class DewiPipeline:
         if not documents:
             raise ValueError("No documents to index")
         self.ensure_embeddings(documents)
+        n_clip = sum(
+            1 for d in documents if d.doc_id in self._clip_embedded_ids
+        )
         dim = len(documents[0].embedding)
         cfg = self.config.index
         kwargs = dict(
@@ -714,7 +735,18 @@ class DewiPipeline:
             kwargs["dtype"] = jnp.bfloat16  # halve index HBM traffic
         kwargs.update(index_kwargs)
         index = DewiIndex(dim=dim, **kwargs)
-        index.encoder = self.encoder_provenance()
+        if n_clip == 0:
+            # Every embedding was supplied externally — the CLIP towers were
+            # never consulted, so recording their identity would let search
+            # confidently encode queries with an unrelated model.
+            index.encoder = {"source": "external"}
+        else:
+            index.encoder = {
+                "source": (
+                    "cross_modal" if n_clip == len(documents) else "mixed"
+                ),
+                **self.encoder_provenance(),
+            }
         emb = np.stack([d.embedding for d in documents]).astype(np.float32)
         pay = np.stack([d.payload().to_array() for d in documents])
         index.add_batch([d.doc_id for d in documents], emb, pay)

@@ -110,6 +110,18 @@ class MicroBatcher:
     def shutdown(self) -> None:
         self._stop.set()
         self._worker.join(timeout=5.0)
+        # Fail anything still queued — otherwise a caller blocked on
+        # Future.result() waits forever on a request no worker will serve.
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(
+                    RuntimeError("MicroBatcher shut down before serving "
+                                 "this request")
+                )
 
     # -- worker ---------------------------------------------------------------
 

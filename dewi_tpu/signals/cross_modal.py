@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.images import iter_padded_batches
 from ..models.registry import clip_config, init_clip, maybe_load
 from .image_entropy import ImageLike, normalize_images
 from .tokenizer import get_tokenizer
@@ -153,24 +152,10 @@ class CrossModalDependency:
         """``(batch [bs, S, S, 3], pad)`` stream: direct slices of a
         pre-decoded corpus array, else prefetch-decoded uint8 batches
         (host decode overlaps the previous batch's tower forward)."""
-        sz = self.cfg.image_size
-        if (
-            isinstance(images, np.ndarray)
-            and images.ndim == 4
-            and images.shape[1:3] == (sz, sz)
-        ):
-            for s in range(0, len(images), bs):
-                chunk = images[s : s + bs]
-                pad = bs - len(chunk)
-                if pad:
-                    chunk = np.concatenate(
-                        [chunk,
-                         np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
-                    )
-                yield chunk, pad
-            return
-        yield from iter_padded_batches(
-            images, sz, bs,
+        from ..io.images import iter_corpus_batches
+
+        yield from iter_corpus_batches(
+            images, self.cfg.image_size, bs,
             threads=self.io_threads, depth=max(2, self.superbatch),
         )
 

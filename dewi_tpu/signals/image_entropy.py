@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.images import decode_image_uint8, iter_padded_batches
+from ..io.images import decode_image_uint8
 from ..models.mae import pixel_entropy_proxy, pixel_patch_proxy
 from ..models.registry import init_mae, mae_config, maybe_load
 from ..ops.robust import masked_mean_and_quantiles
@@ -166,24 +166,10 @@ class ImageEntropyEstimator:
     ) -> Iterator[Tuple[np.ndarray, int]]:
         """Yield ``(batch [bs, S, S, 3], pad)``: slices of a pre-decoded
         corpus array, or prefetch-decoded uint8 batches for everything else."""
-        sz = self.image_size
-        if (
-            isinstance(images, np.ndarray)
-            and images.ndim == 4
-            and images.shape[1:3] == (sz, sz)
-        ):
-            for s in range(0, len(images), bs):
-                chunk = images[s : s + bs]
-                pad = bs - len(chunk)
-                if pad:
-                    chunk = np.concatenate(
-                        [chunk,
-                         np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
-                    )
-                yield chunk, pad
-            return
-        yield from iter_padded_batches(
-            images, sz, bs,
+        from ..io.images import iter_corpus_batches
+
+        yield from iter_corpus_batches(
+            images, self.image_size, bs,
             threads=self.io_threads, depth=max(2, self.superbatch),
         )
 
@@ -296,10 +282,16 @@ class ImageEntropyEstimator:
 
 
 def to_f32_batch(batch: np.ndarray) -> np.ndarray:
-    """Host-side uint8 → f32 [0,1] for the model-free proxy paths."""
+    """Host-side uint8 → f32 [0,1] for the model-free proxy paths.
+
+    Float batches in uint8 range scale down too (same convention as
+    ``to_image_array``)."""
     if batch.dtype == np.uint8:
         return batch.astype(np.float32) / 255.0
-    return batch.astype(np.float32)
+    b = batch.astype(np.float32)
+    if b.size and float(b.max()) > 1.5:
+        b = b / 255.0
+    return b
 
 
 __all__ = [

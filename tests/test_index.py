@@ -566,3 +566,22 @@ class TestIVFDewiTier:
         _, ei = exact.search_batch(q, k=10, eta=0.0, entropy_pref=0.0)
         _, ii = ivf.search_batch(q, k=10, eta=0.0, entropy_pref=0.0)
         assert recall_matrix(np.asarray(ii), np.asarray(ei)) >= 0.9
+
+
+class TestBufferedAddPastCapacity:
+    def test_add_after_attach_at_exact_capacity(self):
+        """Regression: buffered add past the device capacity must not crash
+        host-sync accessors (store.py _ensure_capacity on a short mirror)."""
+        import numpy as np
+        from dewi_tpu.index.store import DocStore
+        from dewi_tpu.types import Payload
+
+        n, d = 1024, 16  # exactly a power-of-two capacity
+        s = DocStore(dim=d)
+        rng = np.random.default_rng(0)
+        s.attach_device([str(i) for i in range(n)],
+                        rng.normal(size=(n, d)).astype(np.float32),
+                        np.abs(rng.normal(size=(n, 8))).astype(np.float32))
+        s.add("extra", np.ones(d, np.float32), Payload(dewi=0.5))
+        assert abs(s.get_payload("extra").dewi - 0.5) < 1e-6
+        assert s.payload_matrix().shape[0] == n + 1

@@ -212,3 +212,20 @@ class TestEstimatorIntegration:
             assert a.hi_mean == pytest.approx(b.hi_mean, rel=1e-5)
             assert a.I_hat == pytest.approx(b.I_hat, rel=1e-4, abs=1e-5)
             assert a.noise == pytest.approx(b.noise, rel=1e-5)
+
+
+class TestCorpusBatchNormalization:
+    def test_float_255_array_matches_list_of_arrays(self):
+        """Regression: a 4D float array in [0,255] must score like the same
+        images passed as a list (the fast path skipped /255)."""
+        import numpy as np
+        from dewi_tpu.signals.image_entropy import ImageEntropyEstimator
+
+        rng = np.random.default_rng(0)
+        imgs = rng.uniform(0, 255, size=(4, 32, 32, 3)).astype(np.float32)
+        est = ImageEntropyEstimator(model_name="tiny", batch_size=4,
+                                    image_size=32)
+        a = np.asarray(est.batch_compute(imgs))
+        b = np.asarray(est.batch_compute([imgs[i] for i in range(4)]))
+        # list path round-trips uint8 decode; only quantization noise remains
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)

@@ -322,3 +322,42 @@ class TestBuildIndexBackendKnobs:
         index = pipe.build_index(docs)
         assert isinstance(index._backend, QuantizedIndex)
         assert index._backend.refine_factor == 4
+
+
+class TestEmbeddingProvenance:
+    def test_external_embeddings_record_external_source(self):
+        """Regression: pre-embedded corpora must NOT claim CLIP provenance —
+        search would rebuild an unrelated encoder and rank garbage."""
+        import numpy as np
+        from dewi_tpu.config import DewiConfig
+        from dewi_tpu.pipelines import DewiPipeline, create_document
+
+        cfg = DewiConfig()
+        pipe = DewiPipeline(cfg)
+        rng = np.random.default_rng(0)
+        docs = [
+            create_document(f"d{i}", text=f"doc {i}",
+                            embedding=rng.normal(size=32).astype(np.float32))
+            for i in range(4)
+        ]
+        for d in docs:
+            d.dewi_score = 0.5
+        idx = pipe.build_index(docs)
+        assert idx.encoder == {"source": "external"}
+
+    def test_pipeline_embeddings_record_cross_modal_source(self):
+        import numpy as np
+        from dewi_tpu.config import DewiConfig
+        from dewi_tpu.pipelines import DewiPipeline, create_document
+
+        cfg = DewiConfig()
+        cfg.cross_modal.model = "tiny"
+        cfg.text.model = "tiny"
+        pipe = DewiPipeline(cfg)
+        docs = [create_document(f"d{i}", text=f"document number {i}")
+                for i in range(3)]
+        for d in docs:
+            d.dewi_score = 0.5
+        idx = pipe.build_index(docs)
+        assert idx.encoder["source"] == "cross_modal"
+        assert idx.encoder["model"] == "tiny"
