@@ -390,8 +390,13 @@ def _query_encoder_for_index(index):
               help="Micro-batch coalescing window")
 @click.option("--max-batch", type=int, default=256,
               help="Max queries fused into one device dispatch")
+@click.option("--backend", default=None,
+              type=click.Choice(["exact", "quantized", "ivf"]),
+              help="Serve from a different index tier than the saved one "
+                   "(re-tiers the stored corpus in memory; e.g. serve an "
+                   "exact-saved index from the faster int8 tier)")
 def serve(index_dir: str, host: str, port: int, window_ms: float,
-          max_batch: int) -> None:
+          max_batch: int, backend: Optional[str]) -> None:
     """Serve a DEWI index over HTTP with micro-batched TPU dispatch.
 
     Endpoints: POST /search {"text"|"vector", "k", "eta", "entropy_pref"},
@@ -403,6 +408,25 @@ def serve(index_dir: str, host: str, port: int, window_ms: float,
     from .serve import SearchServer
 
     index = DewiIndex.load(index_dir)
+    if backend is not None:
+        from .index.facade import IndexBackend
+
+        want = IndexBackend.from_str(backend).resolve()
+        if want is not type(index._backend):
+            store = index._backend.store
+            retiered = DewiIndex(
+                dim=index.dim, space=index.space, backend=backend,
+                ef_query=index.ef_query, rerank_eta=index.rerank_eta,
+                entropy_pref=index.entropy_pref,
+            )
+            retiered.add_batch(store.doc_ids, store.embedding_matrix(),
+                               store.payload_matrix())
+            retiered.encoder = index.encoder
+            retiered.build()
+            click.echo(
+                f"Re-tiered {type(index._backend).__name__} -> {backend}"
+            )
+            index = retiered
     server = SearchServer(index, host=host, port=port,
                           window_ms=window_ms, max_batch=max_batch)
     click.echo(f"Serving {len(index)} docs (dim {index.dim}) on "
