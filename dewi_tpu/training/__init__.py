@@ -9,6 +9,6 @@ models in :mod:`dewi_tpu.models`.  Checkpoints land in the same
 msgpack/orbax formats the estimators load via ``checkpoint=``.
 """
 
-from .loops import TrainState, train_clip, train_lm, train_mae
+from .loops import TrainState, train_clip, train_lm, train_mae, train_moe_lm
 
-__all__ = ["TrainState", "train_lm", "train_mae", "train_clip"]
+__all__ = ["TrainState", "train_lm", "train_mae", "train_clip", "train_moe_lm"]

@@ -122,6 +122,49 @@ def train_lm(
     return state
 
 
+def train_moe_lm(
+    model,
+    params,
+    texts: Sequence[str],
+    steps: int = 200,
+    batch_size: int = 32,
+    lr: float = 3e-4,
+    aux_weight: float = 0.01,
+    tokenizer=None,
+    seq_len: Optional[int] = None,
+    checkpoint: Optional[str] = None,
+    log_every: int = 50,
+    progress: bool = False,
+    seed: int = 0,
+) -> TrainState:
+    """Pretrain :class:`dewi_tpu.models.moe.MoECausalLM`: next-token CE plus
+    the Switch load-balance aux loss (``aux_weight``).  For expert
+    parallelism, pass params through
+    :func:`dewi_tpu.models.moe.shard_expert_params` first — the step is pure
+    jit, so GSPMD keeps experts sharded through the update."""
+    from ..models.moe import load_balance_loss
+    from ..signals.tokenizer import get_tokenizer
+
+    tokenizer = tokenizer or get_tokenizer("byte")
+    seq_len = int(seq_len or min(model.cfg.max_len, 128))
+
+    def loss_fn(params, ids, mask):
+        logits, mut = model.apply(params, ids, mask, mutable=["aux_loss"])
+        nll, valid = token_nll(logits, ids, mask)
+        w = valid.astype(jnp.float32)
+        main = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return main + aux_weight * load_balance_loss(mut)
+
+    state = _run(
+        loss_fn, params,
+        lm_batches(texts, tokenizer, seq_len, batch_size, steps, seed),
+        _make_optimizer(lr, steps), log_every, progress,
+    )
+    if checkpoint:
+        save_params(state.params, checkpoint)
+    return state
+
+
 # ---------------------------------------------------------------------------
 # MAE
 # ---------------------------------------------------------------------------
@@ -224,4 +267,5 @@ def train_clip(
     return state
 
 
-__all__ = ["TrainState", "train_lm", "train_mae", "train_clip", "lm_batches"]
+__all__ = ["TrainState", "train_lm", "train_mae", "train_clip",
+           "train_moe_lm", "lm_batches"]

@@ -80,3 +80,25 @@ class TestTrainCLIP:
         with pytest.raises(ValueError):
             train_clip(model, params, ["a"], np.zeros((2, 32, 32, 3)),
                        steps=1)
+
+
+class TestMoETraining:
+    def test_train_moe_lm_loss_decreases(self):
+        from dewi_tpu.models.moe import MoECausalLM
+        from dewi_tpu.models.registry import lm_config
+        from dewi_tpu.training.loops import train_moe_lm
+
+        import jax
+
+        cfg = lm_config("tiny", max_len=32)
+        model = MoECausalLM(cfg, n_experts=2)
+        import numpy as np
+        import jax.numpy as jnp
+
+        ids0 = jnp.zeros((1, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0),
+                            ids0, jnp.ones_like(ids0, jnp.float32))
+        texts = ["the quick brown fox jumps over the lazy dog"] * 64
+        state = train_moe_lm(model, params, texts, steps=12, batch_size=8,
+                             seq_len=32, lr=1e-2, log_every=4)
+        assert state.losses and state.losses[-1] < state.losses[0]
