@@ -93,6 +93,24 @@ class CrossModalDependency:
                 lambda xm: _encode_text(params, xm[0], xm[1]), (ids3, mask3)
             )
 
+        # Packed transfer (uint16 ids, mask derived on device) — see
+        # text_entropy.py; 4x less host->device traffic per token.
+        pad_id = int(self.tokenizer.pad_id)
+
+        @jax.jit
+        def _encode_text_super_packed(params, ids3_u16):
+            def one(ids_u16):
+                ids = ids_u16.astype(jnp.int32)
+                mask = (ids != pad_id).astype(jnp.float32)
+                return _encode_text(params, ids, mask)
+
+            return jax.lax.map(one, ids3_u16)
+
+        self._encode_text_super_packed = _encode_text_super_packed
+        self._packed_ok = bool(
+            getattr(self.tokenizer, "pad_is_exclusive", False)
+        )
+
         @jax.jit
         def _encode_image_super(params, images4):
             return jax.lax.map(
@@ -131,11 +149,16 @@ class CrossModalDependency:
         pos = 0
         while len(starts) - pos >= S:
             group = [padded(s) for s in starts[pos : pos + S]]
-            e3 = self._encode_text_super(
-                self.params,
-                jnp.asarray(np.stack([g[0] for g in group])),
-                jnp.asarray(np.stack([g[1] for g in group])),
-            )
+            ids3 = np.stack([g[0] for g in group])
+            if self._packed_ok:
+                e3 = self._encode_text_super_packed(
+                    self.params, jnp.asarray(ids3.astype(np.uint16))
+                )
+            else:
+                e3 = self._encode_text_super(
+                    self.params, jnp.asarray(ids3),
+                    jnp.asarray(np.stack([g[1] for g in group])),
+                )
             e3 = np.asarray(e3)
             for i, (_, _, pad) in enumerate(group):
                 out.append(e3[i][: bs - pad])

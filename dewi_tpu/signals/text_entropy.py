@@ -167,6 +167,46 @@ class TextEntropyEstimator:
 
         self._score_super = _score_super
         self._score_super_relative = _score_super_relative
+
+        # Packed transfer: uint16 ids, NO mask — the pad mask is derived on
+        # device (pad_id never collides with a real token for the byte
+        # tokenizer), so host->device traffic drops from 8 bytes/token
+        # (int32 ids + f32 mask) to 2.  Matters both through the dev
+        # tunnel (~20 MB/s) and over production PCIe.
+        pad_id = int(self.tokenizer.pad_id)
+
+        def _expand(ids_u16):
+            ids = ids_u16.astype(jnp.int32)
+            return ids, (ids != pad_id).astype(jnp.float32)
+
+        @jax.jit
+        def _score_super_packed(params, ids3_u16):
+            def one(ids_u16):
+                ids, mask = _expand(ids_u16)
+                nll, valid = _nll(params, self.model, ids, mask)
+                return masked_mean_and_quantiles(
+                    nll, valid.astype(jnp.float32), qarr
+                )
+
+            return jax.lax.map(one, ids3_u16)
+
+        @jax.jit
+        def _score_super_relative_packed(params, dparams, ids3_u16):
+            def one(ids_u16):
+                ids, mask = _expand(ids_u16)
+                nll, valid = _nll(params, self.model, ids, mask)
+                dnll, _ = _nll(dparams, self.domain_model, ids, mask)
+                return masked_mean_and_quantiles(
+                    nll - dnll, valid.astype(jnp.float32), qarr
+                )
+
+            return jax.lax.map(one, ids3_u16)
+
+        self._score_super_packed = _score_super_packed
+        self._score_super_relative_packed = _score_super_relative_packed
+        self._packed_ok = bool(
+            getattr(self.tokenizer, "pad_is_exclusive", False)
+        )
         self.superbatch = 8
 
     # -- public API ---------------------------------------------------------
@@ -412,16 +452,28 @@ class TextEntropyEstimator:
                 group = batches[pos : pos + S]
                 enc3 = [encode_padded(c, blen) for c in group]
                 ids3 = np.stack([e[0] for e in enc3])
-                mask3 = np.stack([e[1] for e in enc3])
-                if use_domain:
-                    mean3, qs3 = self._score_super_relative(
-                        self.params, self.domain_params,
-                        jnp.asarray(ids3), jnp.asarray(mask3),
-                    )
+                if self._packed_ok:
+                    ids3_u16 = ids3.astype(np.uint16)
+                    if use_domain:
+                        mean3, qs3 = self._score_super_relative_packed(
+                            self.params, self.domain_params,
+                            jnp.asarray(ids3_u16),
+                        )
+                    else:
+                        mean3, qs3 = self._score_super_packed(
+                            self.params, jnp.asarray(ids3_u16)
+                        )
                 else:
-                    mean3, qs3 = self._score_super(
-                        self.params, jnp.asarray(ids3), jnp.asarray(mask3)
-                    )
+                    mask3 = np.stack([e[1] for e in enc3])
+                    if use_domain:
+                        mean3, qs3 = self._score_super_relative(
+                            self.params, self.domain_params,
+                            jnp.asarray(ids3), jnp.asarray(mask3),
+                        )
+                    else:
+                        mean3, qs3 = self._score_super(
+                            self.params, jnp.asarray(ids3), jnp.asarray(mask3)
+                        )
                 if pending is not None:
                     pgroup, pmean, pqs = pending
                     pmean = np.asarray(pmean)

@@ -25,6 +25,12 @@ PAD_ID = 257
 class ByteTokenizer:
     """UTF-8 bytes + BOS; pads with PAD_ID.  Stateless and hermetic."""
 
+    # PAD_ID never appears as a real token (bytes are 0-255, BOS is 256),
+    # so a pad mask is fully derivable from ids — the estimators exploit
+    # this to transfer uint16 ids WITHOUT a mask (4x less host->device
+    # traffic: 8 bytes/token -> 2).
+    pad_is_exclusive = True
+
     vocab_size = BYTE_VOCAB
     bos_id = BOS_ID
     pad_id = PAD_ID
@@ -79,6 +85,9 @@ def get_tokenizer(name: str = "byte"):
 
         class _HFAdapter:
             vocab_size = int(tok.vocab_size)
+            # HF pads often alias real tokens (GPT-2 uses EOS); the packed
+            # mask-free transfer path is unsafe here.
+            pad_is_exclusive = False
             pad_id = int(tok.pad_token_id or 0)
             bos_id = int(tok.bos_token_id or 0)
 

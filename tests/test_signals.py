@@ -445,3 +445,46 @@ class TestCLIPSuperbatch:
         assert e.shape == (40, clip_est.cfg.d_embed)
         single = clip_est.encode_images(imgs[13:14])
         np.testing.assert_allclose(e[13], single[0], atol=1e-5)
+
+
+class TestPackedTransfer:
+    def test_packed_superbatch_matches_masked(self):
+        """uint16 ids + device-derived mask == int32 ids + f32 mask."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from dewi_tpu.signals.text_entropy import TextEntropyEstimator
+
+        est = TextEntropyEstimator(model_name="tiny", batch_size=4)
+        assert est._packed_ok
+        texts = ["hello world", "a", "the quick brown fox", ""] * 2
+        ids, mask = est.tokenizer.encode_batch(texts[:4], 32, pad_to=32)
+        ids3 = np.stack([ids, ids])
+        mask3 = np.stack([mask, mask])
+        m1, q1 = est._score_super(est.params, jnp.asarray(ids3),
+                                  jnp.asarray(mask3))
+        m2, q2 = est._score_super_packed(
+            est.params, jnp.asarray(ids3.astype(np.uint16)))
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_cross_modal_packed_matches_masked(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from dewi_tpu.signals.cross_modal import CrossModalDependency
+
+        cm = CrossModalDependency(model_name="tiny", batch_size=4)
+        assert cm._packed_ok
+        texts = ["solar panels", "fox", "", "entropy weighted index"]
+        tl = cm.cfg.text_len
+        ids, mask = cm.tokenizer.encode_batch(texts, tl, pad_to=tl)
+        ids3 = np.stack([ids, ids])
+        mask3 = np.stack([mask, mask])
+        e1 = np.asarray(cm._encode_text_super(
+            cm.params, jnp.asarray(ids3), jnp.asarray(mask3)))
+        e2 = np.asarray(cm._encode_text_super_packed(
+            cm.params, jnp.asarray(ids3.astype(np.uint16))))
+        np.testing.assert_allclose(e1, e2, rtol=1e-5, atol=1e-6)
