@@ -67,7 +67,15 @@ class TextEntropyEstimator:
         checkpoint: Optional[str] = None,
         domain_checkpoint: Optional[str] = None,
         seed: int = 0,
+        ring_mesh=None,
+        chip_len: Optional[int] = None,
     ):
+        """``ring_mesh`` + ``chip_len`` enable the exact multi-chip long-doc
+        path: docs longer than ``chip_len`` tokens (default ``max_length``)
+        but within the model's positional capacity are scored in ONE ring-
+        attention forward over the mesh (`parallel/ring.py`) instead of the
+        single-chip overlapping-window approximation; only docs beyond
+        ``max_length`` fall back to windows."""
         del device
         self.quantiles = tuple(float(q) for q in quantiles)
         self.batch_size = int(batch_size)
@@ -98,6 +106,8 @@ class TextEntropyEstimator:
                     max_len=int(max_length),
                 )
         self.cfg = cfg
+        self.ring_mesh = ring_mesh
+        self.chip_len = min(int(chip_len or cfg.max_len), cfg.max_len)
         self.model, params = init_lm(cfg, seed=seed)
         self.params = maybe_load(params, checkpoint)
 
@@ -246,7 +256,7 @@ class TextEntropyEstimator:
 
         long_idx = [
             i for i, t in enumerate(texts)
-            if self._token_count(t, 1 << 30) > self.cfg.max_len
+            if self._token_count(t, 1 << 30) > self.chip_len
         ]
         results_long: Dict[int, TextEntropyResult] = {
             i: self._compute_long(texts[i], relative_to_domain, bs)
@@ -257,7 +267,7 @@ class TextEntropyEstimator:
         # Group doc indices by padded bucket length.
         buckets: Dict[int, List[int]] = {}
         for i in short:
-            n = self._token_count(texts[i], self.cfg.max_len)
+            n = self._token_count(texts[i], self.chip_len)
             b = bucket_length(max(n, 2), max_len=self.cfg.max_len)
             buckets.setdefault(b, []).append(i)
 
@@ -307,6 +317,42 @@ class TextEntropyEstimator:
             results[i] = r
         return results  # type: ignore[return-value]
 
+    def _compute_long_ring(
+        self, ids_full: List[int], relative_to_domain: bool
+    ) -> TextEntropyResult:
+        """Exact long-doc surprisal: one ring-attention forward over the mesh.
+
+        The sequence axis shards over the mesh's model axis; K/V blocks
+        rotate by ppermute (parallel/ring.py), so no chip ever holds the
+        full attention matrix and the result equals a single-device forward
+        over the whole document (no window approximation)."""
+        from ..parallel.ring import ring_lm_logits
+
+        s_axis = self.ring_mesh.shape["model"]
+        n = len(ids_full)
+        t = max(((n + s_axis - 1) // s_axis) * s_axis, 2 * s_axis)
+        ids = np.full((1, t), self.tokenizer.pad_id, dtype=np.int32)
+        ids[0, :n] = ids_full
+        pad = (np.arange(t) < n).astype(np.float32)[None, :]
+
+        logits = ring_lm_logits(self.cfg, self.params, ids, pad,
+                                self.ring_mesh)
+        nll, valid = token_nll(logits, jnp.asarray(ids), jnp.asarray(pad))
+        if relative_to_domain and self.domain_params is not None:
+            dlogits = ring_lm_logits(self.domain_cfg, self.domain_params,
+                                     ids, pad, self.ring_mesh)
+            dnll, _ = token_nll(dlogits, jnp.asarray(ids), jnp.asarray(pad))
+            nll = nll - dnll
+        stream = np.asarray(nll)[np.asarray(valid)]
+        if stream.size == 0:
+            return TextEntropyResult([], 0.0, 0.0, 0.0)
+        return TextEntropyResult(
+            token_entropies=stream.tolist(),
+            mean_entropy=float(stream.mean()),
+            q90_entropy=float(np.quantile(stream, 0.9)),
+            q99_entropy=float(np.quantile(stream, 0.99)),
+        )
+
     def _compute_long(
         self, text: str, relative_to_domain: bool, bs: int
     ) -> TextEntropyResult:
@@ -318,10 +364,17 @@ class TextEntropyEstimator:
         tokens of left context.  All windows are scored as ONE padded batch
         (static shapes; no per-window Python forwards).
         """
-        t = self.cfg.max_len
+        ids_full = self.tokenizer.encode(text, 1 << 30)
+        if (
+            self.ring_mesh is not None
+            and len(ids_full) <= self.cfg.max_len
+        ):
+            # Within the model's positional capacity: score the WHOLE doc
+            # exactly in one ring-attention forward over the mesh.
+            return self._compute_long_ring(ids_full, relative_to_domain)
+        t = self.chip_len
         overlap = t // 4
         stride = t - overlap
-        ids_full = self.tokenizer.encode(text, 1 << 30)
         windows = []
         starts = list(range(0, max(len(ids_full) - overlap, 1), stride))
         for s in starts:
@@ -404,11 +457,11 @@ class TextEntropyEstimator:
         buckets: Dict[int, List[int]] = {}
         long_idx = []
         for i, t in enumerate(texts):
-            n = self._token_count(t, self.cfg.max_len + 1)
-            if n > self.cfg.max_len:
+            n = self._token_count(t, self.chip_len + 1)
+            if n > self.chip_len:
                 long_idx.append(i)
                 continue
-            b = bucket_length(max(n, 2), max_len=self.cfg.max_len)
+            b = bucket_length(max(n, 2), max_len=self.chip_len)
             buckets.setdefault(b, []).append(i)
 
         for i in long_idx:

@@ -119,3 +119,44 @@ class TestRingLM:
         mr = np.asarray(nr)[np.asarray(vr)]
         mg = np.asarray(ng)[np.asarray(vg)]
         np.testing.assert_allclose(mg, mr, rtol=2e-4, atol=2e-4)
+
+
+class TestRingLongDoc:
+    def test_estimator_ring_mode_matches_direct_forward(self):
+        """Docs past chip_len score exactly via ring (not windows)."""
+        from jax.sharding import Mesh
+
+        from dewi_tpu.signals.text_entropy import TextEntropyEstimator
+
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4),
+                    ("data", "model"))
+        text = "the quick brown fox jumps over the lazy dog " * 3  # ~130 toks
+
+        ring_est = TextEntropyEstimator(
+            model_name="tiny", max_length=256, chip_len=64, ring_mesh=mesh)
+        # chip_len < len(text) <= max_len -> ring path
+        n = ring_est._token_count(text, 1 << 30)
+        assert ring_est.chip_len < n <= ring_est.cfg.max_len
+        r_ring = ring_est.compute_entropy(text)
+
+        plain_est = TextEntropyEstimator(model_name="tiny", max_length=256)
+        r_plain = plain_est.compute_entropy(text)
+
+        assert abs(r_ring.mean_entropy - r_plain.mean_entropy) < 2e-2
+        assert abs(r_ring.q90_entropy - r_plain.q90_entropy) < 5e-2
+        np.testing.assert_allclose(
+            np.asarray(r_ring.token_entropies),
+            np.asarray(r_plain.token_entropies), rtol=3e-2, atol=3e-2)
+
+    def test_windows_fallback_past_positional_capacity(self):
+        from jax.sharding import Mesh
+
+        from dewi_tpu.signals.text_entropy import TextEntropyEstimator
+
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4),
+                    ("data", "model"))
+        est = TextEntropyEstimator(
+            model_name="tiny", max_length=64, chip_len=32, ring_mesh=mesh)
+        text = "word " * 300  # way past max_len -> window fallback
+        r = est.compute_entropy(text)
+        assert np.isfinite(r.mean_entropy) and r.mean_entropy > 0
