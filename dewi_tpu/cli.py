@@ -409,24 +409,12 @@ def serve(index_dir: str, host: str, port: int, window_ms: float,
 
     index = DewiIndex.load(index_dir)
     if backend is not None:
-        from .index.facade import IndexBackend
+        from .serve import retier_index
 
-        want = IndexBackend.from_str(backend).resolve()
-        if want is not type(index._backend):
-            store = index._backend.store
-            retiered = DewiIndex(
-                dim=index.dim, space=index.space, backend=backend,
-                ef_query=index.ef_query, rerank_eta=index.rerank_eta,
-                entropy_pref=index.entropy_pref,
-            )
-            retiered.add_batch(store.doc_ids, store.embedding_matrix(),
-                               store.payload_matrix())
-            retiered.encoder = index.encoder
-            retiered.build()
-            click.echo(
-                f"Re-tiered {type(index._backend).__name__} -> {backend}"
-            )
-            index = retiered
+        was = type(index._backend).__name__
+        index = retier_index(index, backend)
+        if type(index._backend).__name__ != was:
+            click.echo(f"Re-tiered {was} -> {backend}")
     server = SearchServer(index, host=host, port=port,
                           window_ms=window_ms, max_batch=max_batch)
     click.echo(f"Serving {len(index)} docs (dim {index.dim}) on "

@@ -42,7 +42,9 @@ class MoEMLP(nn.Module):
     capacity_factor: float = 1.25
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, pad_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         cfg = self.cfg
         dt = cfg.compute_dtype
         e = self.n_experts
@@ -60,6 +62,14 @@ class MoEMLP(nn.Module):
         expert = jnp.argmax(probs, axis=-1)                      # [N]
 
         onehot = jax.nn.one_hot(expert, e, dtype=jnp.float32)    # [N, E]
+        if pad_mask is not None:
+            # Padding tokens neither consume expert capacity nor count in
+            # the load-balance statistics — otherwise a mostly-padded batch
+            # "balances" identical PAD embeddings while real-token balance
+            # goes unconstrained.
+            live = pad_mask.reshape(n).astype(jnp.float32)
+            onehot = onehot * live[:, None]
+            probs = probs * live[:, None]
         # Position of each token within its expert's buffer (0-based).
         pos = jnp.cumsum(onehot, axis=0) * onehot - onehot       # [N, E]
         keep = (pos < cap) * onehot                              # [N, E]
@@ -95,9 +105,14 @@ class MoEMLP(nn.Module):
         out = jnp.einsum("nec,ecd->nd", combine.astype(dt), h)   # [N, D]
 
         # Switch load-balance loss: E * sum_e f_e * p_e  (f = routed fraction,
-        # p = mean router prob); minimized at uniform routing.
-        frac = jnp.mean(onehot, axis=0)
-        prob = jnp.mean(probs, axis=0)
+        # p = mean router prob) over REAL tokens; minimized at uniform
+        # routing.
+        denom = (
+            jnp.maximum(jnp.sum(pad_mask), 1.0) if pad_mask is not None
+            else jnp.float32(n)
+        )
+        frac = jnp.sum(onehot, axis=0) / denom
+        prob = jnp.sum(probs, axis=0) / denom
         self.sow("aux_loss", "load_balance",
                  e * jnp.sum(frac * prob))
 
@@ -112,7 +127,8 @@ class MoEBlock(nn.Module):
     capacity_factor: float = 1.25
 
     @nn.compact
-    def __call__(self, x, attn_mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, attn_mask: Optional[jnp.ndarray] = None,
+                 pad_mask: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         dt = cfg.compute_dtype
         h = nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps,
@@ -125,7 +141,7 @@ class MoEBlock(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps,
                          name="ln_mlp")(x)
         return x + MoEMLP(cfg, self.n_experts, self.capacity_factor,
-                          name="moe")(h)
+                          name="moe")(h, pad_mask)
 
 
 class MoECausalLM(nn.Module):
@@ -146,7 +162,7 @@ class MoECausalLM(nn.Module):
         attn_mask = make_attention_mask(pad_mask.astype(bool), cfg.causal)
         for i in range(cfg.n_layers):
             x = MoEBlock(cfg, self.n_experts, self.capacity_factor,
-                         name=f"block_{i}")(x, attn_mask)
+                         name=f"block_{i}")(x, attn_mask, pad_mask)
         x = nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps,
                          name="ln_final")(x)
         logits = tok.attend(x.astype(dt)).astype(jnp.float32)

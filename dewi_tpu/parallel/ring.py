@@ -31,7 +31,7 @@ from typing import Optional
 import jax
 import numpy as np
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import MODEL_AXIS
 
@@ -147,14 +147,32 @@ def ring_lm_logits(
     long-document surprisal (signals/text_entropy.py scores windows on one
     chip; this scores the WHOLE document exactly).
     """
+    from .mesh import DATA_AXIS
+
+    # Batch dim shards over 'data' only when it divides evenly (a [1, T]
+    # long-doc batch on a data>1 mesh must replicate, not crash).
+    n_data = mesh.shape.get(DATA_AXIS, 1)
+    b_axis = DATA_AXIS if int(ids.shape[0]) % max(n_data, 1) == 0 and \
+        n_data > 1 else None
+    sharding = NamedSharding(mesh, P(b_axis, axis))
+    ids = jax.device_put(jnp.asarray(np.asarray(ids)), sharding)
+    pad_mask = jax.device_put(
+        jnp.asarray(np.asarray(pad_mask), jnp.float32), sharding
+    )
+
+    fwd = _cached_lm_fwd(cfg, mesh, axis)
+    with jax.set_mesh(mesh):
+        return fwd(params["params"], ids, pad_mask)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_lm_fwd(cfg, mesh: Mesh, axis: str):
+    """Jitted ring-LM forward, cached per (cfg, mesh, axis) — a fresh jit
+    per call would retrace the whole model for every document."""
     from ..models.transformer import activation_fn
-    from .sp import shard_tokens
 
     dt = cfg.compute_dtype
     act = activation_fn(cfg.activation)
-    pp = params["params"]
-    ids, pad_mask = shard_tokens(np.asarray(ids), np.asarray(pad_mask),
-                                 mesh, seq_axis=axis)
 
     @jax.jit
     def fwd(pp, ids, pad_mask):
@@ -189,8 +207,7 @@ def ring_lm_logits(
         return jnp.dot(x.astype(dt), wte.T.astype(dt),
                        preferred_element_type=jnp.float32)
 
-    with jax.set_mesh(mesh):
-        return fwd(pp, ids, pad_mask)
+    return fwd
 
 
 __all__ = ["ring_attention", "ring_lm_logits"]

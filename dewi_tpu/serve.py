@@ -247,7 +247,13 @@ class SearchServer:
                     logger.exception("serve: request failed")
                     self._reply(500, {"error": str(e)})
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        # Stdlib default listen backlog is 5: a burst of concurrent clients
+        # beyond it gets TCP RSTs before accept() runs.  Serving exists to
+        # coalesce exactly such bursts — take a deep backlog.
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128
+
+        self.httpd = _Server((host, port), Handler)
         self.port = self.httpd.server_address[1]
         self._thread = threading.Thread(
             target=self.httpd.serve_forever, daemon=True
@@ -316,4 +322,33 @@ class SearchServer:
         self.batcher.shutdown()
 
 
-__all__ = ["MicroBatcher", "SearchServer"]
+def retier_index(index, backend: str):
+    """Re-tier a loaded index's stored corpus into a different backend.
+
+    Serve an exact-saved index from the faster int8 (or IVF) tier without
+    rebuilding artifacts on disk: the stored ids/embeddings/payloads
+    re-ingest into the requested backend; search defaults, metadata, and
+    encoder provenance carry over.  Returns ``index`` unchanged when it
+    already uses the requested backend.
+    """
+    from .index import DewiIndex
+    from .index.facade import IndexBackend
+
+    want = IndexBackend.from_str(backend).resolve()
+    if want is type(index._backend):
+        return index
+    store = index._backend.store
+    retiered = DewiIndex(
+        dim=index.dim, space=index.space, backend=backend,
+        ef_query=index.ef_query, rerank_eta=index.rerank_eta,
+        entropy_pref=index.entropy_pref,
+    )
+    retiered.add_batch(store.doc_ids, store.embedding_matrix(),
+                       store.payload_matrix())
+    retiered.encoder = index.encoder
+    retiered._meta = dict(getattr(index, "_meta", {}))
+    retiered.build()
+    return retiered
+
+
+__all__ = ["MicroBatcher", "SearchServer", "retier_index"]

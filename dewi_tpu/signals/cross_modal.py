@@ -143,24 +143,39 @@ class CrossModalDependency:
                 mask = np.concatenate([mask, np.zeros((pad, tl), np.float32)])
             return ids, mask, pad
 
+        def padded_u16(start):
+            chunk = list(texts[start : start + bs])
+            ids = self.tokenizer.encode_batch_u16(chunk, tl, pad_to=tl)
+            pad = bs - len(chunk)
+            if pad:
+                ids = np.concatenate(
+                    [ids,
+                     np.full((pad, tl), self.tokenizer.pad_id, np.uint16)]
+                )
+            return ids, pad
+
         out = []
         starts = list(range(0, len(texts), bs))
         S = max(1, int(self.superbatch))
         pos = 0
         while len(starts) - pos >= S:
-            group = [padded(s) for s in starts[pos : pos + S]]
-            ids3 = np.stack([g[0] for g in group])
             if self._packed_ok:
+                group16 = [padded_u16(s) for s in starts[pos : pos + S]]
+                pads = [g[1] for g in group16]
                 e3 = self._encode_text_super_packed(
-                    self.params, jnp.asarray(ids3.astype(np.uint16))
+                    self.params,
+                    jnp.asarray(np.stack([g[0] for g in group16])),
                 )
             else:
+                group = [padded(s) for s in starts[pos : pos + S]]
+                pads = [g[2] for g in group]
                 e3 = self._encode_text_super(
-                    self.params, jnp.asarray(ids3),
+                    self.params,
+                    jnp.asarray(np.stack([g[0] for g in group])),
                     jnp.asarray(np.stack([g[1] for g in group])),
                 )
             e3 = np.asarray(e3)
-            for i, (_, _, pad) in enumerate(group):
+            for i, pad in enumerate(pads):
                 out.append(e3[i][: bs - pad])
             pos += S
         for s in starts[pos:]:

@@ -268,7 +268,7 @@ class TextEntropyEstimator:
         buckets: Dict[int, List[int]] = {}
         for i in short:
             n = self._token_count(texts[i], self.chip_len)
-            b = bucket_length(max(n, 2), max_len=self.cfg.max_len)
+            b = bucket_length(max(n, 2), max_len=self.chip_len)
             buckets.setdefault(b, []).append(i)
 
         results: List[Optional[TextEntropyResult]] = [None] * len(texts)
@@ -330,7 +330,10 @@ class TextEntropyEstimator:
 
         s_axis = self.ring_mesh.shape["model"]
         n = len(ids_full)
-        t = max(((n + s_axis - 1) // s_axis) * s_axis, 2 * s_axis)
+        # Power-of-2 bucket (trace reuse across docs), rounded to a multiple
+        # of the mesh's sequence-shard count.
+        b = bucket_length(max(n, 2), max_len=self.cfg.max_len)
+        t = max(((b + s_axis - 1) // s_axis) * s_axis, 2 * s_axis)
         ids = np.full((1, t), self.tokenizer.pad_id, dtype=np.int32)
         ids[0, :n] = ids_full
         pad = (np.arange(t) < n).astype(np.float32)[None, :]
@@ -493,6 +496,20 @@ class TextEntropyEstimator:
                 )
             return ids, mask
 
+        def encode_padded_u16(chunk, blen):
+            # Mask-free uint16 fast path: no f32 mask allocation, no
+            # int32 -> uint16 downcast copy.
+            ids = self.tokenizer.encode_batch_u16(
+                [texts[i] for i in chunk], self.cfg.max_len, pad_to=blen
+            )
+            pad_rows = bs - len(chunk)
+            if pad_rows:
+                ids = np.concatenate(
+                    [ids, np.full((pad_rows, blen), self.tokenizer.pad_id,
+                                  dtype=np.uint16)]
+                )
+            return ids
+
         for blen, idxs in sorted(buckets.items()):
             batches = [idxs[s : s + bs] for s in range(0, len(idxs), bs)]
             pos = 0
@@ -503,10 +520,10 @@ class TextEntropyEstimator:
             pending = None  # (group, device mean3, device qs3)
             while len(batches) - pos >= S:
                 group = batches[pos : pos + S]
-                enc3 = [encode_padded(c, blen) for c in group]
-                ids3 = np.stack([e[0] for e in enc3])
                 if self._packed_ok:
-                    ids3_u16 = ids3.astype(np.uint16)
+                    ids3_u16 = np.stack(
+                        [encode_padded_u16(c, blen) for c in group]
+                    )
                     if use_domain:
                         mean3, qs3 = self._score_super_relative_packed(
                             self.params, self.domain_params,
@@ -517,6 +534,8 @@ class TextEntropyEstimator:
                             self.params, jnp.asarray(ids3_u16)
                         )
                 else:
+                    enc3 = [encode_padded(c, blen) for c in group]
+                    ids3 = np.stack([e[0] for e in enc3])
                     mask3 = np.stack([e[1] for e in enc3])
                     if use_domain:
                         mean3, qs3 = self._score_super_relative(

@@ -68,6 +68,24 @@ class ByteTokenizer:
             mask[i, : 1 + m] = 1.0
         return ids, mask
 
+    def encode_batch_u16(
+        self, texts: Sequence[str], max_len: int, pad_to: int | None = None
+    ) -> np.ndarray:
+        """``[B, T]`` uint16 ids, no mask — the packed-transfer fast path.
+
+        Skips the f32 mask allocation entirely (the estimators derive it on
+        device from PAD positions) and fills uint16 directly instead of
+        int32 + a downcast copy.
+        """
+        bufs = [t.encode("utf-8")[: max_len - 1] for t in texts]
+        t = pad_to or (1 + max((len(b) for b in bufs), default=0))
+        ids = np.full((len(bufs), t), PAD_ID, dtype=np.uint16)
+        ids[:, 0] = BOS_ID
+        for i, b in enumerate(bufs):
+            m = min(len(b), t - 1)
+            ids[i, 1 : 1 + m] = np.frombuffer(b, np.uint8, count=m)
+        return ids
+
 
 def get_tokenizer(name: str = "byte"):
     """Resolve a tokenizer by name; graceful fallback to bytes.

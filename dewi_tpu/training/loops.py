@@ -86,6 +86,30 @@ def lm_batches(
         yield jnp.asarray(ids), jnp.asarray(mask)
 
 
+def _lm_loop(loss_fn, model, params, texts, steps, batch_size, lr, tokenizer,
+             seq_len, checkpoint, log_every, progress, seed) -> TrainState:
+    """Shared LM-pretraining scaffold: tokenizer default, batch iterator,
+    optimizer, run loop, checkpoint save.  ``loss_fn(params, ids, mask)``."""
+    from ..signals.tokenizer import get_tokenizer
+
+    tokenizer = tokenizer or get_tokenizer("byte")
+    seq_len = int(seq_len or min(model.cfg.max_len, 128))
+    state = _run(
+        loss_fn, params,
+        lm_batches(texts, tokenizer, seq_len, batch_size, steps, seed),
+        _make_optimizer(lr, steps), log_every, progress,
+    )
+    if checkpoint:
+        save_params(state.params, checkpoint)
+    return state
+
+
+def _masked_ce(logits, ids, mask):
+    nll, valid = token_nll(logits, ids, mask)
+    w = valid.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def train_lm(
     model,
     params,
@@ -101,25 +125,12 @@ def train_lm(
     seed: int = 0,
 ) -> TrainState:
     """Next-token CE pretraining for :class:`dewi_tpu.models.CausalLM`."""
-    from ..signals.tokenizer import get_tokenizer
-
-    tokenizer = tokenizer or get_tokenizer("byte")
-    seq_len = int(seq_len or min(model.cfg.max_len, 128))
 
     def loss_fn(params, ids, mask):
-        logits = model.apply(params, ids, mask)
-        nll, valid = token_nll(logits, ids, mask)
-        w = valid.astype(jnp.float32)
-        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return _masked_ce(model.apply(params, ids, mask), ids, mask)
 
-    state = _run(
-        loss_fn, params,
-        lm_batches(texts, tokenizer, seq_len, batch_size, steps, seed),
-        _make_optimizer(lr, steps), log_every, progress,
-    )
-    if checkpoint:
-        save_params(state.params, checkpoint)
-    return state
+    return _lm_loop(loss_fn, model, params, texts, steps, batch_size, lr,
+                    tokenizer, seq_len, checkpoint, log_every, progress, seed)
 
 
 def train_moe_lm(
@@ -138,31 +149,20 @@ def train_moe_lm(
     seed: int = 0,
 ) -> TrainState:
     """Pretrain :class:`dewi_tpu.models.moe.MoECausalLM`: next-token CE plus
-    the Switch load-balance aux loss (``aux_weight``).  For expert
-    parallelism, pass params through
+    the Switch load-balance aux loss (``aux_weight``, computed over real
+    tokens only — the model drops padded positions from routing).  For
+    expert parallelism, pass params through
     :func:`dewi_tpu.models.moe.shard_expert_params` first — the step is pure
     jit, so GSPMD keeps experts sharded through the update."""
     from ..models.moe import load_balance_loss
-    from ..signals.tokenizer import get_tokenizer
-
-    tokenizer = tokenizer or get_tokenizer("byte")
-    seq_len = int(seq_len or min(model.cfg.max_len, 128))
 
     def loss_fn(params, ids, mask):
         logits, mut = model.apply(params, ids, mask, mutable=["aux_loss"])
-        nll, valid = token_nll(logits, ids, mask)
-        w = valid.astype(jnp.float32)
-        main = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
-        return main + aux_weight * load_balance_loss(mut)
+        return _masked_ce(logits, ids, mask) + \
+            aux_weight * load_balance_loss(mut)
 
-    state = _run(
-        loss_fn, params,
-        lm_batches(texts, tokenizer, seq_len, batch_size, steps, seed),
-        _make_optimizer(lr, steps), log_every, progress,
-    )
-    if checkpoint:
-        save_params(state.params, checkpoint)
-    return state
+    return _lm_loop(loss_fn, model, params, texts, steps, batch_size, lr,
+                    tokenizer, seq_len, checkpoint, log_every, progress, seed)
 
 
 # ---------------------------------------------------------------------------

@@ -152,3 +152,32 @@ class TestMoETraining:
             params, state, loss = step(params, state)
             losses.append(float(loss))
         assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+class TestPadMaskRouting:
+    def test_pads_excluded_from_capacity_and_aux(self):
+        """Masked rows must not consume expert capacity or skew aux stats:
+        a half-padded batch behaves like the unpadded half."""
+        cfg = f32_cfg()
+        # Generous capacity: overflow would otherwise differ between the
+        # [8]-token and [4]-token shapes (cap scales with n).
+        m = MoEMLP(cfg, n_experts=2, capacity_factor=4.0)
+        rng = np.random.default_rng(9)
+        half = rng.normal(size=(1, 4, cfg.d_model)).astype(np.float32)
+        full = np.concatenate([half, rng.normal(
+            size=(1, 4, cfg.d_model)).astype(np.float32)], axis=1)
+        pad = np.array([[1, 1, 1, 1, 0, 0, 0, 0]], np.float32)
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(full))
+        out_f, mut_f = m.apply(params, jnp.asarray(full),
+                               jnp.asarray(pad), mutable=["aux_loss"])
+        out_h, mut_h = m.apply(params, jnp.asarray(half),
+                               mutable=["aux_loss"])
+        # Real-token outputs identical (MoEMLP has no positional coupling).
+        np.testing.assert_allclose(np.asarray(out_f)[:, :4],
+                                   np.asarray(out_h), rtol=1e-5, atol=1e-5)
+        # Pad rows produce zero output (dropped from dispatch entirely).
+        assert np.all(np.abs(np.asarray(out_f)[:, 4:]) < 1e-12)
+        from dewi_tpu.models.moe import load_balance_loss
+        a_f = float(load_balance_loss(mut_f))
+        a_h = float(load_balance_loss(mut_h))
+        np.testing.assert_allclose(a_f, a_h, rtol=1e-5)

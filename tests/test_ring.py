@@ -160,3 +160,30 @@ class TestRingLongDoc:
         text = "word " * 300  # way past max_len -> window fallback
         r = est.compute_entropy(text)
         assert np.isfinite(r.mean_entropy) and r.mean_entropy > 0
+
+    def test_ring_mode_on_data_parallel_mesh(self):
+        """Regression: a [1, T] long-doc batch on a data>1 mesh must
+        replicate the batch dim, not crash in device_put."""
+        from jax.sharding import Mesh
+
+        from dewi_tpu.signals.text_entropy import TextEntropyEstimator
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                    ("data", "model"))
+        est = TextEntropyEstimator(
+            model_name="tiny", max_length=256, chip_len=64, ring_mesh=mesh)
+        text = "the quick brown fox jumps over the lazy dog " * 3
+        r = est.compute_entropy(text)
+        assert np.isfinite(r.mean_entropy) and r.mean_entropy > 0
+
+    def test_forward_cached_across_docs(self):
+        """Same (cfg, mesh, axis) must reuse one jitted forward."""
+        from dewi_tpu.parallel.ring import _cached_lm_fwd
+        from dewi_tpu.models.registry import lm_config
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4),
+                    ("data", "model"))
+        cfg = lm_config("tiny", max_len=64)
+        assert _cached_lm_fwd(cfg, mesh, "model") is _cached_lm_fwd(
+            cfg, mesh, "model")

@@ -186,42 +186,33 @@ class TestSearchServer:
 
 
 class TestServeRetier:
-    def test_cli_serve_backend_override(self, tmp_path):
-        """--backend quantized re-tiers a saved exact index in memory."""
-        import json
-        import urllib.request
-        import threading
-
+    def test_retier_index_helper(self, tmp_path):
+        """retier_index (the function the CLI --backend flag calls)."""
         import numpy as np
-        from click.testing import CliRunner
 
         from dewi_tpu.index import DewiIndex
-        from dewi_tpu.index.facade import IndexBackend
         from dewi_tpu.index.quantized import QuantizedIndex
-        from dewi_tpu.serve import SearchServer
+        from dewi_tpu.serve import retier_index
         from dewi_tpu.types import Payload
 
         rng = np.random.default_rng(0)
         n, d = 64, 16
-        idx = DewiIndex(dim=d, backend="exact")
+        idx = DewiIndex(dim=d, backend="exact", rerank_eta=0.4)
         pay = [Payload(dewi=float(x)) for x in rng.uniform(size=n)]
         idx.add_batch([str(i) for i in range(n)],
                       rng.normal(size=(n, d)).astype(np.float32), pay)
+        idx.encoder = {"source": "external"}
+        idx._meta["0"] = {"k": "v"}
         idx.build()
         idx.save(tmp_path / "idx")
 
-        # Exercise the re-tier logic the CLI uses (server loop untested here
-        # to keep the test fast; SearchServer has its own tests).
         loaded = DewiIndex.load(tmp_path / "idx")
-        want = IndexBackend.from_str("quantized").resolve()
-        assert want is not type(loaded._backend)
-        store = loaded._backend.store
-        retiered = DewiIndex(dim=loaded.dim, space=loaded.space,
-                             backend="quantized")
-        retiered.add_batch(store.doc_ids, store.embedding_matrix(),
-                           store.payload_matrix())
-        retiered.build()
+        retiered = retier_index(loaded, "quantized")
         assert isinstance(retiered._backend, QuantizedIndex)
+        assert retiered.encoder == loaded.encoder
+        assert retiered.rerank_eta == loaded.rerank_eta
+        # no-op when the backend already matches
+        assert retier_index(retiered, "quantized") is retiered
         q = rng.normal(size=d).astype(np.float32)
         a = [i for i, _s, _p in loaded.search(q, k=5, eta=0.3)]
         b = [i for i, _s, _p in retiered.search(q, k=5, eta=0.3)]

@@ -488,3 +488,13 @@ class TestPackedTransfer:
         e2 = np.asarray(cm._encode_text_super_packed(
             cm.params, jnp.asarray(ids3.astype(np.uint16))))
         np.testing.assert_allclose(e1, e2, rtol=1e-5, atol=1e-6)
+
+    def test_encode_batch_u16_matches_encode_batch(self):
+        from dewi_tpu.signals.tokenizer import ByteTokenizer
+
+        tok = ByteTokenizer()
+        texts = ["hello", "", "a longer text with more bytes", "é ü 漢"]
+        ids, _ = tok.encode_batch(texts, 32, pad_to=32)
+        u16 = tok.encode_batch_u16(texts, 32, pad_to=32)
+        assert u16.dtype == np.uint16
+        np.testing.assert_array_equal(ids, u16.astype(np.int32))
