@@ -20,7 +20,8 @@ Sections (DEWI_BENCH_SECTIONS=comma list; default all at 1M scale,
   recall  — 1000-query recall vs f32 exact at k=10 and k=100 (bf16, int8)
   ivf     — device-side 1M IVF build, batched latency + recall (random and
             clustered corpora; random is IVF's worst case)
-  pallas  — Pallas streaming kernels vs the XLA fused path on real hardware
+  pallas  — the in-VMEM-top-k reference kernels vs XLA (opt-in; the
+            production Pallas scores kernel is measured in the int8 section)
   signals — small-preset signal backbones (device-resident docs/sec) + the
             combined full-signal 1M single-chip estimate
 
@@ -46,8 +47,11 @@ CHAIN = int(os.environ.get("DEWI_BENCH_CHAIN", 128))
 BASELINE_QUERY_MS = 22.0         # reference README.md:163
 BASELINE_BUILD_S = 2.1 * 3600.0  # reference README.md:163
 
+# "pallas" (the in-VMEM-top-k reference kernels, a documented dead end —
+# docs/DESIGN.md) is opt-in: the production Pallas path is measured every
+# round via the int8 tier's int8_pallas_cap row.
 _default_sections = (
-    "core,int8,recall,ivf,pallas,signals" if N_DOCS >= 100_000
+    "core,int8,recall,ivf,signals" if N_DOCS >= 100_000
     else "core,recall"
 )
 SECTIONS = set(
