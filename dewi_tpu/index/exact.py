@@ -43,6 +43,10 @@ class ExactIndex(BaseIndex):
             self.use_pallas
             and self.store.normalize
             and self.store.capacity % BLOCK == 0
+            # [Q, BLOCK] score tiles + [Q, 2k] merge buffers live in VMEM
+            # per grid step; large batches must take the XLA path (same
+            # guard as QuantizedIndex._pallas_stage1_ok).
+            and n_queries <= 32
             and pallas_available()
         )
 

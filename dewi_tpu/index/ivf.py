@@ -296,6 +296,7 @@ class IVFIndex(BaseIndex):
             *o_arrays,
             jnp.int32(o_n),
         )
+        self._built_len = len(self.store)
         self._is_trained = True
 
     # -- search ---------------------------------------------------------------
@@ -308,7 +309,10 @@ class IVFIndex(BaseIndex):
         entropy_pref: float = 0.0,
         nprobe: Optional[int] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        if self._dev is None:
+        if self._dev is None or getattr(self, "_built_len", -1) != len(
+            self.store
+        ):
+            # Docs added since build() are not in any bucket — rebuild.
             self.build()
         nprobe = min(int(nprobe or self.nprobe), min(self.nlist, len(self.store)))
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))

@@ -69,6 +69,7 @@ class QuantizedIndex(BaseIndex):
             raise ValueError("No embeddings to build index from")
         emb, _, _, _ = self.store.device_arrays()
         self._q_emb, self._q_scales = quantize_rows(emb)
+        self._built_len = len(self.store)
         self._is_trained = True
 
     def search_batch(
@@ -78,7 +79,11 @@ class QuantizedIndex(BaseIndex):
         eta: float = 0.5,
         entropy_pref: float = 0.0,
     ) -> Tuple[jax.Array, jax.Array]:
-        if self._q_emb is None:
+        if self._q_emb is None or getattr(self, "_built_len", -1) != len(
+            self.store
+        ):
+            # Docs added since build(): the int8 stage-1 arrays are stale
+            # (zero rows at best, a capacity-mismatch crash at worst).
             self.build()
         emb, sqn, pay, n = self.store.device_arrays()
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))

@@ -219,6 +219,9 @@ class DocStore:
         self._ids = [str(d) for d in doc_ids]
         self._id_to_idx = {d: i for i, d in enumerate(self._ids)}
         self._live = {}
+        # attach replaces the corpus wholesale: buffered adds from a
+        # previous attachment must not leak into the new arrays.
+        self._pending_emb, self._pending_pay = [], []
         self._device = (emb, sqn, pay, jnp.int32(n))
         self._dirty = False
         self._host_stale = True

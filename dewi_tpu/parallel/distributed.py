@@ -57,6 +57,7 @@ def make_sharded_search(mesh: Mesh, k: int, normalize: bool = True):
 
 
 def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
+                                  normalize: bool = True,
                                   pallas_stage1: bool = False,
                                   pallas_block: int = 0,
                                   interpret: bool = False):
@@ -77,9 +78,9 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
         k_local = min(k, shard_cap)
         vals, idx = quantized_search(
             emb_i8, scales, emb, sqn, pay, queries, local_n, eta,
-            entropy_pref, k=k_local, m=min(m, shard_cap), normalize=True,
-            pallas_stage1=pallas_stage1, pallas_block=pallas_block,
-            interpret=interpret,
+            entropy_pref, k=k_local, m=min(m, shard_cap),
+            normalize=normalize, pallas_stage1=pallas_stage1,
+            pallas_block=pallas_block, interpret=interpret,
         )
         gidx = idx + shard * shard_cap
         all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
@@ -129,8 +130,9 @@ class ShardedQuantizedSearcher:
             and shard_cap % SCORES_BLOCK == 0
             and pallas_available()
         )
-        self._fn = make_sharded_quantized_search(mesh, k, m,
-                                                 pallas_stage1=pallas)
+        self._fn = make_sharded_quantized_search(
+            mesh, k, m, normalize=store.normalize, pallas_stage1=pallas
+        )
 
     def search_batch(self, queries, eta: float = 0.5,
                      entropy_pref: float = 0.0):

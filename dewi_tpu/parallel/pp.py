@@ -255,11 +255,11 @@ def pp_train_step(
         v = valid.astype(jnp.float32)
         return jnp.sum(nll * v) / jnp.maximum(jnp.sum(v), 1.0)
 
-    @jax.jit
+    import optax
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, ids, pad_mask):
         loss, grads = jax.value_and_grad(loss_fn)(params, ids, pad_mask)
-        import optax
-
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

@@ -124,6 +124,14 @@ class _StageCheckpoint:
                     h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
                 except OSError:
                     pass
+            arr = getattr(d, "image", None)
+            if arr is not None:
+                # In-memory arrays: shape/dtype plus a strided byte sample
+                # (hashing whole corpora of pixels would dominate resume).
+                a = np.ascontiguousarray(arr)
+                h.update(str((a.shape, str(a.dtype))).encode())
+                flat = a.reshape(-1).view(np.uint8)
+                h.update(flat[:: max(1, flat.size // 4096)].tobytes())
             h.update(b"\1")
         return h.hexdigest()[:16]
 

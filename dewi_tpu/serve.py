@@ -167,9 +167,19 @@ class MicroBatcher:
             scores = np.asarray(scores)
             rows = np.asarray(rows)
             doc_ids = self.index.doc_ids
+            n_live = len(doc_ids)
             for i, r in enumerate(reqs):
-                ids = [doc_ids[j] for j in rows[i]]
-                r.future.set_result((ids, [float(s) for s in scores[i]]))
+                # Backends clamp k to capacity: ranks past the corpus carry
+                # pad-row indices (or -1 for IVF) with -inf scores — drop
+                # them (same filter as eval.py) instead of mis-mapping ids.
+                pairs = [
+                    (doc_ids[j], float(s))
+                    for j, s in zip(rows[i], scores[i])
+                    if 0 <= j < n_live
+                ]
+                r.future.set_result(
+                    ([p[0] for p in pairs], [p[1] for p in pairs])
+                )
         except Exception as e:  # noqa: BLE001 — fail every waiter, keep serving
             for r in reqs:
                 if not r.future.done():

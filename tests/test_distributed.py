@@ -229,3 +229,36 @@ class TestShardedQuantizedPallas:
         sp, ip = f_p(*args)
         for a, b in zip(np.asarray(ix), np.asarray(ip)):
             assert len(set(a.tolist()) & set(b.tolist())) >= 9
+
+
+class TestShardedQuantizedL2:
+    def test_l2_space_matches_sharded_exact(self):
+        """Regression: the sharded int8 tier must honor the store's space
+        (it hardcoded normalize=True, silently ranking L2 stores by cosine)."""
+        import numpy as np
+        from dewi_tpu.index.store import DocStore
+        from dewi_tpu.metrics import recall_matrix
+        from dewi_tpu.parallel import (
+            ShardedExactSearcher, ShardedQuantizedSearcher, make_mesh,
+        )
+
+        rng = np.random.default_rng(1)
+        n, d = 8 * 64, 16
+        # Distinct norms so cosine and L2 rankings genuinely differ.
+        emb = (rng.normal(size=(n, d)) * rng.uniform(0.2, 5.0, size=(n, 1))
+               ).astype(np.float32)
+        pay = np.abs(rng.normal(size=(n, 8))).astype(np.float32)
+        ids = [str(i) for i in range(n)]
+        mesh = make_mesh(n_data=8, n_model=1)
+
+        s1 = DocStore(dim=d, space="l2")
+        s1.add_batch(ids, emb, pay)
+        exact = ShardedExactSearcher(s1, mesh, k=10)  # reads store.normalize
+        s2 = DocStore(dim=d, space="l2")
+        s2.add_batch(ids, emb, pay)
+        quant = ShardedQuantizedSearcher(s2, mesh, k=10, refine_factor=8)
+
+        q = rng.normal(size=(4, d)).astype(np.float32)
+        _, ei = exact.search_batch(q, eta=0.25, entropy_pref=0.1)
+        _, qi = quant.search_batch(q, eta=0.25, entropy_pref=0.1)
+        assert recall_matrix(np.asarray(qi), np.asarray(ei)) >= 0.95

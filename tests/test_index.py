@@ -585,3 +585,44 @@ class TestBufferedAddPastCapacity:
         s.add("extra", np.ones(d, np.float32), Payload(dewi=0.5))
         assert abs(s.get_payload("extra").dewi - 0.5) < 1e-6
         assert s.payload_matrix().shape[0] == n + 1
+
+
+class TestStaleBuildGuards:
+    def test_quantized_rebuilds_after_post_build_adds(self):
+        import numpy as np
+        from dewi_tpu.index.quantized import QuantizedIndex
+        from dewi_tpu.types import Payload
+
+        rng = np.random.default_rng(0)
+        n, d = 100, 16
+        qi = QuantizedIndex(dim=d)
+        qi.store.add_batch([str(i) for i in range(n)],
+                           rng.normal(size=(n, d)).astype(np.float32),
+                           np.abs(rng.normal(size=(n, 8))).astype(np.float32))
+        qi.build()
+        extra = rng.normal(size=d).astype(np.float32)
+        qi.store.add("needle", extra / np.linalg.norm(extra),
+                     Payload(dewi=0.9))
+        # Search FOR the new doc: stale int8 arrays would zero it out.
+        _, idx = qi.search_batch(extra[None, :], k=1, eta=0.0)
+        assert qi.store.doc_ids[int(np.asarray(idx)[0, 0])] == "needle"
+
+    def test_attach_device_clears_pending_adds(self):
+        import numpy as np
+        from dewi_tpu.index.store import DocStore
+        from dewi_tpu.types import Payload
+
+        rng = np.random.default_rng(0)
+        n, d = 64, 8
+        s = DocStore(dim=d)
+        s.attach_device([f"a{i}" for i in range(n)],
+                        rng.normal(size=(n, d)).astype(np.float32),
+                        np.abs(rng.normal(size=(n, 8))).astype(np.float32))
+        s.add("ghost", np.ones(d, np.float32), Payload(dewi=0.5))
+        # Replace the corpus wholesale: the buffered add must not leak.
+        s.attach_device([f"b{i}" for i in range(n)],
+                        rng.normal(size=(n, d)).astype(np.float32),
+                        np.abs(rng.normal(size=(n, 8))).astype(np.float32))
+        emb, _, _, nv = s.device_arrays()
+        assert int(nv) == n and len(s) == n
+        assert "ghost" not in s.doc_ids

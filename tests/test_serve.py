@@ -217,3 +217,30 @@ class TestServeRetier:
         a = [i for i, _s, _p in loaded.search(q, k=5, eta=0.3)]
         b = [i for i, _s, _p in retiered.search(q, k=5, eta=0.3)]
         assert len(set(a) & set(b)) >= 4
+
+
+class TestSmallCorpusK:
+    def test_k_exceeding_corpus_filters_pad_rows(self):
+        """Regression: k > corpus must not map pad-row indices to doc ids."""
+        import numpy as np
+
+        from dewi_tpu.index import DewiIndex
+        from dewi_tpu.serve import MicroBatcher
+        from dewi_tpu.types import Payload
+
+        rng = np.random.default_rng(0)
+        n, d = 5, 8
+        idx = DewiIndex(dim=d, backend="exact")
+        idx.add_batch([f"x{i}" for i in range(n)],
+                      rng.normal(size=(n, d)).astype(np.float32),
+                      [Payload(dewi=0.5)] * n)
+        idx.build()
+        b = MicroBatcher(idx, window_ms=1.0)
+        try:
+            ids, scores = b.search(rng.normal(size=d).astype(np.float32),
+                                   k=10)
+            assert len(ids) == n  # only real docs, no pad ids
+            assert all(i.startswith("x") for i in ids)
+            assert all(np.isfinite(s) for s in scores)
+        finally:
+            b.shutdown()
