@@ -154,30 +154,47 @@ class CrossModalDependency:
                 )
             return ids, pad
 
-        out = []
-        starts = list(range(0, len(texts), bs))
-        S = max(1, int(self.superbatch))
-        pos = 0
-        while len(starts) - pos >= S:
+        def dispatch(group_starts):
+            """Tokenize + launch one supergroup; returns (pads, device e3)."""
             if self._packed_ok:
-                group16 = [padded_u16(s) for s in starts[pos : pos + S]]
+                group16 = [padded_u16(s) for s in group_starts]
                 pads = [g[1] for g in group16]
                 e3 = self._encode_text_super_packed(
                     self.params,
                     jnp.asarray(np.stack([g[0] for g in group16])),
                 )
             else:
-                group = [padded(s) for s in starts[pos : pos + S]]
+                group = [padded(s) for s in group_starts]
                 pads = [g[2] for g in group]
                 e3 = self._encode_text_super(
                     self.params,
                     jnp.asarray(np.stack([g[0] for g in group])),
                     jnp.asarray(np.stack([g[1] for g in group])),
                 )
+            return pads, e3
+
+        out = []
+        starts = list(range(0, len(texts), bs))
+        S = max(1, int(self.superbatch))
+        pos = 0
+        # Double-buffered: JAX dispatch is async, so supergroup k+1 is
+        # tokenized and launched BEFORE blocking on supergroup k's result —
+        # host tokenization overlaps device compute (see text_entropy).
+        pending = None  # (pads, device e3)
+        while len(starts) - pos >= S:
+            nxt = dispatch(starts[pos : pos + S])
+            if pending is not None:
+                pads, e3 = pending
+                e3 = np.asarray(e3)
+                for i, pad in enumerate(pads):
+                    out.append(e3[i][: bs - pad])
+            pending = nxt
+            pos += S
+        if pending is not None:
+            pads, e3 = pending
             e3 = np.asarray(e3)
             for i, pad in enumerate(pads):
                 out.append(e3[i][: bs - pad])
-            pos += S
         for s in starts[pos:]:
             ids, mask, pad = padded(s)
             e = np.asarray(self._encode_text(
