@@ -75,6 +75,28 @@ def resize_uint8(arr: np.ndarray, size: int) -> np.ndarray:
     return arr[yi][:, xi]
 
 
+def resize_f32(arr: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear-resize an ``[H, W, C]`` float array to ``[size, size, C]``
+    **in float** — synthetic float-valued images (e.g. [0,1] test inputs)
+    must not lose precision to a uint8 round-trip on the way to the models.
+    """
+    arr = np.asarray(arr, dtype=np.float32)
+    h, w = arr.shape[:2]
+    if (h, w) == (size, size):
+        return arr
+    y = (np.arange(size, dtype=np.float64) + 0.5) * h / size - 0.5
+    x = (np.arange(size, dtype=np.float64) + 0.5) * w / size - 0.5
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(y - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
+    wx = np.clip(x - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
+    top = arr[y0][:, x0] * (1 - wx) + arr[y0][:, x1] * wx
+    bot = arr[y1][:, x0] * (1 - wx) + arr[y1][:, x1] * wx
+    return (top * (1 - wy) + bot * wy).astype(np.float32)
+
+
 def _array_to_uint8(arr: np.ndarray, size: int) -> np.ndarray:
     """Normalize an in-memory array (f32 [0,1], f32 [0,255], or uint8; HxW or
     HxWx3) into ``[size, size, 3]`` uint8."""
@@ -306,5 +328,6 @@ __all__ = [
     "decode_image_uint8",
     "iter_corpus_batches",
     "iter_padded_batches",
+    "resize_f32",
     "resize_uint8",
 ]

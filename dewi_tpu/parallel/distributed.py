@@ -121,24 +121,38 @@ class ShardedQuantizedSearcher:
         self._q_emb, self._scales = quantize_rows(emb)
         m = max(32, k * refine_factor)
         # Per-shard Pallas stage-1 where it wins (see QuantizedIndex): the
-        # local corpus block must be a SCORES_BLOCK multiple.
+        # local corpus block must be a SCORES_BLOCK multiple.  Query count is
+        # gated per dispatch (see search_batch) — the [Q, SCORES_BLOCK] out
+        # tile must stay small enough for VMEM, exactly like
+        # QuantizedIndex._pallas_stage1_ok.
         n_data = mesh.shape[DATA_AXIS]
         shard_cap = store.capacity // n_data
-        pallas = (
+        self._pallas_capable = (
             bool(use_pallas)
             and shard_cap >= SCORES_BLOCK
             and shard_cap % SCORES_BLOCK == 0
             and pallas_available()
         )
-        self._fn = make_sharded_quantized_search(
-            mesh, k, m, normalize=store.normalize, pallas_stage1=pallas
+        self._fn_xla = make_sharded_quantized_search(
+            mesh, k, m, normalize=store.normalize, pallas_stage1=False
+        )
+        self._fn_pallas = (
+            make_sharded_quantized_search(
+                mesh, k, m, normalize=store.normalize, pallas_stage1=True
+            )
+            if self._pallas_capable
+            else self._fn_xla
         )
 
     def search_batch(self, queries, eta: float = 0.5,
                      entropy_pref: float = 0.0):
         emb, sqn, pay, n = self.store.device_arrays()
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
-        return self._fn(
+        # Same VMEM-bound query-count guard as QuantizedIndex: the Pallas
+        # kernel materialises a [Q, SCORES_BLOCK] out tile per step.
+        fn = self._fn_pallas if (self._pallas_capable and q.shape[0] <= 32) \
+            else self._fn_xla
+        return fn(
             self._q_emb, self._scales, emb, sqn, pay, q, n,
             jnp.float32(eta), jnp.float32(entropy_pref),
         )

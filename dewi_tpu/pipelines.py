@@ -202,6 +202,12 @@ class _CorpusImages:
         if size <= self.cache.base_size:
             arr = self.cache.at(size)
         else:  # stage wants more pixels than the cache holds: serve base
+            logger.warning(
+                "Image cache holds %dpx but a stage requested %dpx; serving "
+                "the %dpx cache (the model will upscale). Raise the cache "
+                "base size if this stage's fidelity matters.",
+                self.cache.base_size, size, self.cache.base_size,
+            )
             arr = self.cache.base
         rows = [self.pos[i] for i in idx_list]
         if rows == list(range(len(arr))):
@@ -340,17 +346,28 @@ class DewiPipeline:
             if progress:
                 print(f"Computing {name}...")
 
+        def meter(name: str, total: int) -> "ProgressMeter":
+            # Per-batch docs/s + ETA inside multi-minute stages (the
+            # reference's tqdm UX, pipelines.py:107-147) — throttled, so
+            # corpus-scale runs show liveness without per-doc print cost.
+            from .utils.progress import ProgressMeter
+
+            return ProgressMeter(total, name, enabled=bool(progress))
+
         # Stage 1: text entropy (bucketed LM batches).
         text_idx = [i for i, d in enumerate(documents) if d.text]
         if text_idx:
             cached = ckpt.load("text")
             if cached is None:
                 log_stage("text entropy")
+                m = meter("text entropy", len(text_idx))
                 # Stats-only path: aggregates come straight off device, no
                 # per-token host materialization (the corpus-scale win).
                 means, q90s, _ = self.text_entropy.batch_compute_stats(
-                    [documents[i].text for i in text_idx]
+                    [documents[i].text for i in text_idx],
+                    progress=m.update,
                 )
+                m.close()
                 ckpt.save("text", idx=np.array(text_idx), means=means, q90s=q90s)
             else:
                 means, q90s = cached["means"], cached["q90s"]
@@ -367,9 +384,12 @@ class DewiPipeline:
             cached = ckpt.load("image")
             if cached is None:
                 log_stage("image entropy")
+                m = meter("image entropy", len(img_idx))
                 means, q90s = self.image_entropy.batch_compute_stats(
-                    images.rows(img_idx, self.image_entropy.image_size)
+                    images.rows(img_idx, self.image_entropy.image_size),
+                    progress=m.update,
                 )
+                m.close()
                 ckpt.save("image", idx=np.array(img_idx), means=means, q90s=q90s)
             else:
                 means, q90s = cached["means"], cached["q90s"]
@@ -386,10 +406,13 @@ class DewiPipeline:
             cached = ckpt.load("cross_modal")
             if cached is None:
                 log_stage("cross-modal dependency")
+                m = meter("cross-modal", len(pair_idx))
                 results = self.cross_modal.batch_compute(
                     [documents[i].text for i in pair_idx],
                     images.rows(pair_idx, self.cross_modal.cfg.image_size),
+                    progress=m.update,
                 )
+                m.close()
                 sims = np.array([r.info_nce_score for r in results], np.float32)
                 ckpt.save("cross_modal", idx=np.array(pair_idx), sims=sims)
             else:
@@ -407,7 +430,8 @@ class DewiPipeline:
             log_stage("redundancy")
             self._redundancy_stage(documents, ckpt, images=images)
 
-        return self._noise_stage(documents, ckpt, log_stage, images=images)
+        return self._noise_stage(documents, ckpt, log_stage, images=images,
+                                 progress=bool(progress))
 
     def _decode_images(
         self, documents: List[Document], img_idx: List[int]
@@ -457,8 +481,8 @@ class DewiPipeline:
             return int(side["config"]["image_size"])
         return None
 
-    def _noise_stage(self, documents, ckpt, log_stage, images=None
-                     ) -> List[Document]:
+    def _noise_stage(self, documents, ckpt, log_stage, images=None,
+                     progress: bool = False) -> List[Document]:
         """Stage 6: noise (host-side heuristics)."""
         cached = ckpt.load("noise")
         if cached is None:
@@ -479,13 +503,18 @@ class DewiPipeline:
                 ]
             else:
                 img_list = [d.image_source() for d in documents]
+            from .utils.progress import ProgressMeter
+
+            m = ProgressMeter(len(documents), "noise", enabled=progress)
             noise = np.array(
                 self.noise.batch_compute(
                     texts=[d.text for d in documents],
                     images=img_list,
+                    progress=m.update,
                 ),
                 np.float32,
             )
+            m.close()
             ckpt.save("noise", scores=noise)
         else:
             noise = cached["scores"]
@@ -549,6 +578,23 @@ class DewiPipeline:
                 scores[np.array(idxs)] = np.maximum(
                     scores[np.array(idxs)], self.redundancy.score(emb)
                 )
+            # Cross-modal density (config.redundancy.cross_modal_density):
+            # multimodal docs carry a JOINT text+image embedding
+            # (ensure_embeddings) — score their neighborhood density in that
+            # joint space and keep the max.  Catches caption+image near-dups
+            # the lexical/perceptual hash modes see as distinct.
+            if self.redundancy.cross_modal_density:
+                both = [
+                    i for i, d in enumerate(documents)
+                    if d.text and d.image_source() is not None
+                    and d.embedding is not None
+                ]
+                if len(both) >= 2:
+                    emb = np.stack([documents[i].embedding for i in both])
+                    dens = self.redundancy.cross_modal_density_scores(emb)
+                    scores[np.array(both)] = np.maximum(
+                        scores[np.array(both)], dens
+                    )
             ckpt.save("redundancy", scores=np.asarray(scores, np.float32))
         else:
             scores = cached["scores"]

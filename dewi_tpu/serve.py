@@ -45,6 +45,15 @@ def _bucket(n: int, cap: int) -> int:
     return min(b, cap)
 
 
+class OverloadedError(RuntimeError):
+    """Raised by ``MicroBatcher.submit`` when the pending queue is full.
+
+    The HTTP layer maps this to 429 — load is shed at admission instead of
+    queueing without bound (the reference has no serving layer at all; an
+    unbounded queue would let a sustained overload grow latency forever).
+    """
+
+
 @dataclass
 class _Request:
     query: np.ndarray
@@ -66,17 +75,33 @@ class MicroBatcher:
         index,
         window_ms: float = 2.0,
         max_batch: int = 256,
+        max_pending: int = 4096,
     ) -> None:
         self.index = index
         self.window_ms = float(window_ms)
         self.max_batch = int(max_batch)
-        self._q: "queue.Queue[_Request]" = queue.Queue()
+        # Bounded admission queue: beyond max_pending waiting requests,
+        # submit() sheds load (OverloadedError → HTTP 429) instead of
+        # growing an unbounded backlog.
+        self._q: "queue.Queue[_Request]" = queue.Queue(
+            maxsize=int(max_pending)
+        )
+        # Two-deep dispatch pipeline: the worker launches the (async) device
+        # batch and hands the un-fetched result here; a resolver thread does
+        # the blocking host fetch.  maxsize=1 keeps at most one batch in
+        # flight on device while another resolves — the same double-buffering
+        # as the estimator dispatch loops.
+        self._resolve_q: "queue.Queue" = queue.Queue(maxsize=1)
         self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
         self.stats: Dict[str, float] = {
-            "queries": 0, "dispatches": 0, "max_batch_seen": 0,
+            "queries": 0, "dispatches": 0, "max_batch_seen": 0, "shed": 0,
         }
         self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._resolver = threading.Thread(target=self._resolve_loop,
+                                          daemon=True)
         self._worker.start()
+        self._resolver.start()
 
     # -- public API -----------------------------------------------------------
 
@@ -100,7 +125,15 @@ class MicroBatcher:
             else float(entropy_pref)
         )
         req = _Request(query=q, params=(int(k), eta, ep))
-        self._q.put(req)
+        try:
+            self._q.put_nowait(req)
+        except queue.Full:
+            with self._stats_lock:
+                self.stats["shed"] += 1
+            raise OverloadedError(
+                f"pending queue full ({self._q.maxsize} requests); retry "
+                "later"
+            ) from None
         return req.future
 
     def search(self, query, **kw) -> Tuple[List[str], List[float]]:
@@ -110,6 +143,7 @@ class MicroBatcher:
     def shutdown(self) -> None:
         self._stop.set()
         self._worker.join(timeout=5.0)
+        self._resolver.join(timeout=5.0)
         # Fail anything still queued — otherwise a caller blocked on
         # Future.result() waits forever on a request no worker will serve.
         while True:
@@ -122,6 +156,17 @@ class MicroBatcher:
                     RuntimeError("MicroBatcher shut down before serving "
                                  "this request")
                 )
+        while True:
+            try:
+                reqs, _, _ = self._resolve_q.get_nowait()
+            except queue.Empty:
+                break
+            for req in reqs:
+                if not req.future.done():
+                    req.future.set_exception(
+                        RuntimeError("MicroBatcher shut down before "
+                                     "resolving this request")
+                    )
 
     # -- worker ---------------------------------------------------------------
 
@@ -146,14 +191,23 @@ class MicroBatcher:
                 groups.setdefault(r.params, []).append(r)
             for (k, eta, ep), reqs in groups.items():
                 self._dispatch(reqs, k, eta, ep)
-            self.stats["queries"] += len(batch)
-            self.stats["dispatches"] += len(groups)
-            self.stats["max_batch_seen"] = max(
-                self.stats["max_batch_seen"], len(batch)
-            )
+            with self._stats_lock:
+                self.stats["queries"] += len(batch)
+                self.stats["dispatches"] += len(groups)
+                self.stats["max_batch_seen"] = max(
+                    self.stats["max_batch_seen"], len(batch)
+                )
+        # Unblock the resolver (it waits on _resolve_q with a timeout).
 
     def _dispatch(self, reqs: List[_Request], k: int, eta: float, ep: float
                   ) -> None:
+        """Launch one device batch asynchronously and queue it for resolution.
+
+        ``search_batch`` returns un-fetched device arrays (JAX dispatch is
+        async) — the blocking ``np.asarray`` fetch happens on the resolver
+        thread, so while batch *k* transfers back, batch *k+1* is already
+        computing on device.
+        """
         try:
             n = len(reqs)
             b = _bucket(n, self.max_batch)
@@ -164,26 +218,40 @@ class MicroBatcher:
                 qs[n:] = reqs[0].query
             scores, rows = self.index.search_batch(qs, k=k, eta=eta,
                                                    entropy_pref=ep)
-            scores = np.asarray(scores)
-            rows = np.asarray(rows)
-            doc_ids = self.index.doc_ids
-            n_live = len(doc_ids)
-            for i, r in enumerate(reqs):
-                # Backends clamp k to capacity: ranks past the corpus carry
-                # pad-row indices (or -1 for IVF) with -inf scores — drop
-                # them (same filter as eval.py) instead of mis-mapping ids.
-                pairs = [
-                    (doc_ids[j], float(s))
-                    for j, s in zip(rows[i], scores[i])
-                    if 0 <= j < n_live
-                ]
-                r.future.set_result(
-                    ([p[0] for p in pairs], [p[1] for p in pairs])
-                )
+            self._resolve_q.put((reqs, scores, rows))
         except Exception as e:  # noqa: BLE001 — fail every waiter, keep serving
             for r in reqs:
                 if not r.future.done():
                     r.future.set_exception(e)
+
+    def _resolve_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                reqs, scores, rows = self._resolve_q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                scores = np.asarray(scores)
+                rows = np.asarray(rows)
+                doc_ids = self.index.doc_ids
+                n_live = len(doc_ids)
+                for i, r in enumerate(reqs):
+                    # Backends clamp k to capacity: ranks past the corpus
+                    # carry pad-row indices (or -1 for IVF) with -inf scores
+                    # — drop them (same filter as eval.py) instead of
+                    # mis-mapping ids.
+                    pairs = [
+                        (doc_ids[j], float(s))
+                        for j, s in zip(rows[i], scores[i])
+                        if 0 <= j < n_live
+                    ]
+                    r.future.set_result(
+                        ([p[0] for p in pairs], [p[1] for p in pairs])
+                    )
+            except Exception as e:  # noqa: BLE001
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
 
 
 class SearchServer:
@@ -207,10 +275,12 @@ class SearchServer:
         port: int = 0,
         window_ms: float = 2.0,
         max_batch: int = 256,
+        max_pending: int = 4096,
     ) -> None:
         self.index = index
         self.batcher = MicroBatcher(index, window_ms=window_ms,
-                                    max_batch=max_batch)
+                                    max_batch=max_batch,
+                                    max_pending=max_pending)
         self._encoder = None
         self._encoder_lock = threading.Lock()
         server = self
@@ -251,6 +321,8 @@ class SearchServer:
                         ]})
                     else:
                         self._reply(404, {"error": "unknown path"})
+                except OverloadedError as e:
+                    self._reply(429, {"error": str(e)})
                 except ValueError as e:
                     self._reply(400, {"error": str(e)})
                 except Exception as e:  # noqa: BLE001
@@ -297,19 +369,29 @@ class SearchServer:
         """Query encoder from the index's recorded provenance (built once)."""
         with self._encoder_lock:
             if self._encoder is None:
+                import click
+
                 from .cli import _query_encoder_for_index
 
-                self._encoder = _query_encoder_for_index(self.index)
+                try:
+                    self._encoder = _query_encoder_for_index(self.index)
+                except click.ClickException as e:
+                    # The CLI helper explains *why* text queries can't be
+                    # served (external provenance, dim mismatch); surface
+                    # that as a client error, not a leaked CLI exception.
+                    raise ValueError(e.message) from None
         return self._encoder.encode_texts([text])[0]
 
     def health(self) -> Dict[str, Any]:
-        s = self.batcher.stats
+        with self.batcher._stats_lock:
+            s = dict(self.batcher.stats)
         return {
             "docs": len(self.index),
             "dim": self.index.dim,
             "queries": int(s["queries"]),
             "dispatches": int(s["dispatches"]),
             "max_batch_seen": int(s["max_batch_seen"]),
+            "shed": int(s["shed"]),
             "mean_batch": round(
                 s["queries"] / s["dispatches"], 2
             ) if s["dispatches"] else 0.0,
@@ -361,4 +443,4 @@ def retier_index(index, backend: str):
     return retiered
 
 
-__all__ = ["MicroBatcher", "SearchServer", "retier_index"]
+__all__ = ["MicroBatcher", "OverloadedError", "SearchServer", "retier_index"]

@@ -13,7 +13,7 @@ the query encoder for search (fixes SURVEY.md §2.4 item 6).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -125,7 +125,9 @@ class CrossModalDependency:
 
     # -- encoders (shared with search + redundancy) ---------------------------
 
-    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+    def encode_texts(self, texts: Sequence[str],
+                     progress: Optional[Callable[[int], None]] = None
+                     ) -> np.ndarray:
         """L2-normalized text embeddings ``[N, d_embed]``."""
         if not len(texts):
             return np.zeros((0, self.cfg.d_embed), np.float32)
@@ -188,6 +190,8 @@ class CrossModalDependency:
                 e3 = np.asarray(e3)
                 for i, pad in enumerate(pads):
                     out.append(e3[i][: bs - pad])
+                if progress is not None:
+                    progress(sum(bs - p for p in pads))
             pending = nxt
             pos += S
         if pending is not None:
@@ -195,12 +199,16 @@ class CrossModalDependency:
             e3 = np.asarray(e3)
             for i, pad in enumerate(pads):
                 out.append(e3[i][: bs - pad])
+            if progress is not None:
+                progress(sum(bs - p for p in pads))
         for s in starts[pos:]:
             ids, mask, pad = padded(s)
             e = np.asarray(self._encode_text(
                 self.params, jnp.asarray(ids), jnp.asarray(mask)
             ))
             out.append(e[: bs - pad])
+            if progress is not None:
+                progress(bs - pad)
         return np.concatenate(out)
 
     def _padded_image_batches(self, images: Sequence[ImageLike], bs: int):
@@ -214,7 +222,9 @@ class CrossModalDependency:
             threads=self.io_threads, depth=max(2, self.superbatch),
         )
 
-    def encode_images(self, images: Sequence[ImageLike]) -> np.ndarray:
+    def encode_images(self, images: Sequence[ImageLike],
+                      progress: Optional[Callable[[int], None]] = None
+                      ) -> np.ndarray:
         """L2-normalized image embeddings ``[N, d_embed]``."""
         if not len(images):
             return np.zeros((0, self.cfg.d_embed), np.float32)
@@ -239,6 +249,8 @@ class CrossModalDependency:
                         self._encode_image(self.params, jnp.asarray(chunk))
                     )
                     out.append(e[: bs - pad])
+            if progress is not None:
+                progress(sum(bs - p for _, p in group))
             group.clear()
 
         for chunk, pad in self._padded_image_batches(images, bs):
@@ -259,6 +271,7 @@ class CrossModalDependency:
         texts: Sequence[str],
         images: Sequence[ImageLike],
         batch_size: Optional[int] = None,
+        progress: Optional[Callable[[int], None]] = None,
     ) -> List[CrossModalResult]:
         """Diagonal of the text×image cosine matrix per batch
         (parity: cross_modal.py:87-149)."""
@@ -269,7 +282,8 @@ class CrossModalDependency:
         if batch_size is not None:
             self.batch_size = int(batch_size)
         t = self.encode_texts(texts)
-        v = self.encode_images(images)
+        # Image encoding dominates the pair cost — report progress there.
+        v = self.encode_images(images, progress=progress)
         # Embeddings are already normalized; dot product is cosine.
         sims = np.sum(t * v, axis=1)
         return [

@@ -15,7 +15,7 @@ batch N, images cross PCIe as uint8 (4× less transfer than f32), and the
 from __future__ import annotations
 
 import logging
-from typing import Iterator, List, Optional, Sequence, Tuple, Union
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -59,14 +59,21 @@ def to_image_array(image: ImageLike, size: int) -> np.ndarray:
     """
     if (
         isinstance(image, np.ndarray)
-        and image.ndim == 3
-        and image.shape[:2] == (size, size)
+        and image.ndim in (2, 3)
         and image.dtype != np.uint8
+        and (image.ndim == 2 or image.shape[-1] == 3)
     ):
-        arr = image.astype(np.float32)
+        # Float-valued inputs stay in float end to end: bilinear resize in
+        # f32 (no uint8 quantization) keeps synthetic [0,1] arrays at
+        # non-target resolutions bit-faithful to the pre-resize signal.
+        arr = np.asarray(image, dtype=np.float32)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
         if arr.size and float(arr.max()) > 1.5:  # uint8-range floats
             arr = arr / 255.0
-        return arr
+        from ..io.images import resize_f32
+
+        return resize_f32(arr, size)
     return decode_image_uint8(image, size).astype(np.float32) / 255.0
 
 
@@ -210,6 +217,7 @@ class ImageEntropyEstimator:
     def batch_compute_stats(
         self, images: Sequence[ImageLike], seed: int = 0,
         batch_size: Optional[int] = None,
+        progress: Optional[Callable[[int], None]] = None,
     ) -> tuple:
         """Per-image ``(mean, q90)`` of patch reconstruction error.
 
@@ -231,6 +239,8 @@ class ImageEntropyEstimator:
                 )[: bs - pad]
                 means.extend(per_patch.mean(axis=1).tolist())
                 q90s.extend(np.quantile(per_patch, 0.9, axis=1).tolist())
+                if progress is not None:
+                    progress(bs - pad)
             return (
                 np.asarray(means, np.float32), np.asarray(q90s, np.float32)
             )
@@ -267,6 +277,8 @@ class ImageEntropyEstimator:
                     )
                     means.extend(np.asarray(m)[: bs - pad].tolist())
                     q90s.extend(np.asarray(q)[: bs - pad].tolist())
+            if progress is not None:
+                progress(sum(bs - pad for _, pad in group))
             ordinal += len(group)
             group.clear()
 

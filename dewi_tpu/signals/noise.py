@@ -222,11 +222,17 @@ class NoiseEstimator:
         self,
         texts: Optional[Sequence[Optional[str]]] = None,
         images: Optional[Sequence] = None,
+        progress=None,
     ) -> List[float]:
         n = len(texts) if texts is not None else len(images)  # type: ignore[arg-type]
         texts = texts if texts is not None else [None] * n
         images = images if images is not None else [None] * n
-        return [self.score(t, im) for t, im in zip(texts, images)]
+        out: List[float] = []
+        for t, im in zip(texts, images):
+            out.append(self.score(t, im))
+            if progress is not None:
+                progress(1)
+        return out
 
 
 __all__ = ["NoiseEstimator", "skin_fraction_risk"]

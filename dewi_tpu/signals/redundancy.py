@@ -90,6 +90,70 @@ def max_offdiag_similarity(
     return out
 
 
+@partial(jax.jit, static_argnames=("block", "chunk", "top"))
+def _topk_density_block(
+    emb_n: jax.Array,       # [Np, D] normalized, zero-padded to chunk multiple
+    n_valid: jax.Array,     # scalar int32: real corpus size
+    start: jax.Array,
+    block: int,
+    chunk: int,
+    top: int,
+) -> jax.Array:
+    """Mean cosine of rows [start, start+block) to their ``top`` nearest
+    *other* rows — a neighborhood-density estimate (vs the max-offdiag
+    kernel's single nearest neighbor).  Same chunked scan, with a running
+    per-row top-``top`` instead of a running max."""
+    rows = jax.lax.dynamic_slice_in_dim(emb_n, start, block, axis=0)
+    self_col = (start + jnp.arange(block))[:, None]
+    n_chunks = emb_n.shape[0] // chunk
+
+    def body(c, best):
+        cols = jax.lax.dynamic_slice_in_dim(emb_n, c * chunk, chunk, axis=0)
+        sim = jnp.dot(rows, cols.T, preferred_element_type=jnp.float32)
+        col = (c * chunk + jnp.arange(chunk))[None, :]
+        sim = jnp.where((col == self_col) | (col >= n_valid), -jnp.inf, sim)
+        merged, _ = jax.lax.top_k(jnp.concatenate([best, sim], axis=1), top)
+        return merged
+
+    best = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.full((block, top), -jnp.inf, jnp.float32)
+    )
+    finite = jnp.isfinite(best)
+    cnt = jnp.maximum(finite.sum(axis=1), 1)
+    # TPU f32 matmuls run in bf16 passes; clamp so cosines stay in [-1, 1].
+    vals = jnp.where(finite, jnp.clip(best, -1.0, 1.0), 0.0)
+    return vals.sum(axis=1) / cnt
+
+
+def topk_density(
+    embeddings: np.ndarray, top: int = 8, block: int = 4096,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Per-row mean cosine to its ``top`` nearest other rows, blockwise."""
+    emb = jnp.asarray(embeddings, dtype=jnp.float32)
+    norm = jnp.maximum(jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    emb = emb / norm
+    n = emb.shape[0]
+    if n < 2:
+        return np.zeros(n, dtype=np.float32)
+    top = min(int(top), n - 1)
+    block = min(block, n)
+    chunk = min(chunk, max(block, 256))
+    pad = (-n) % chunk
+    if pad:
+        emb = jnp.concatenate(
+            [emb, jnp.zeros((pad, emb.shape[1]), emb.dtype)], axis=0
+        )
+    out = np.empty(n, dtype=np.float32)
+    for start in range(0, n, block):
+        s = min(start, n - block)  # clamp last block; overlap rows recomputed
+        vals = np.asarray(_topk_density_block(
+            emb, jnp.int32(n), jnp.int32(s), block, chunk, top
+        ))
+        out[s : s + block] = vals
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Hash-based text dedup (host path)
 # ---------------------------------------------------------------------------
@@ -311,6 +375,25 @@ class RedundancyEstimator:
             return scores
         return self._scores
 
+    def cross_modal_density_scores(
+        self, embeddings: np.ndarray, top: int = 8
+    ) -> np.ndarray:
+        """Joint-embedding neighborhood density for multimodal documents.
+
+        ``embeddings`` are the pipeline's *joint* text+image CLIP vectors
+        (normalized mean of both towers, pipelines.py ``ensure_embeddings``);
+        the score is each doc's mean cosine to its ``top`` nearest joint
+        neighbors.  This is the ``cross_modal_density`` signal the reference
+        config declares but never computes (reference config.py:33): a doc
+        sitting in a dense region of the joint text×image space — many docs
+        pairing similar captions with similar images — is cross-modally
+        redundant even when lexical minhash sees distinct strings.
+        """
+        return topk_density(
+            np.asarray(embeddings, dtype=np.float32),
+            top=top, block=self.block_size,
+        )
+
     def score_texts(self, texts: Sequence[str]) -> np.ndarray:
         """Hash-mode per-doc redundancy (estimated max Jaccard / simhash sim)."""
         n = len(texts)
@@ -409,6 +492,7 @@ class RedundancyEstimator:
 __all__ = [
     "RedundancyEstimator",
     "max_offdiag_similarity",
+    "topk_density",
     "minhash_signatures",
     "simhash_bits",
     "phash64",

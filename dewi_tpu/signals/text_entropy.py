@@ -15,7 +15,7 @@ shape — replacing the reference's per-document Python loop
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -439,6 +439,7 @@ class TextEntropyEstimator:
         texts: Sequence[str],
         relative_to_domain: bool = False,
         batch_size: Optional[int] = None,
+        progress: Optional[Callable[[int], None]] = None,
     ):
         """Bulk corpus path: per-doc ``(mean, q90, q99)`` arrays ONLY.
 
@@ -470,6 +471,8 @@ class TextEntropyEstimator:
         for i in long_idx:
             r = self._compute_long(texts[i], relative_to_domain, bs)
             means[i], q90s[i], q99s[i] = r.mean_entropy, r.q90_entropy, r.q99_entropy
+            if progress is not None:
+                progress(1)
 
         q90_col = self.quantiles.index(0.9) if 0.9 in self.quantiles else 0
         S = max(1, int(self.superbatch))
@@ -480,6 +483,8 @@ class TextEntropyEstimator:
             means[cidx] = mean[rows]
             q90s[cidx] = qs[rows, q90_col]
             q99s[cidx] = qs[rows, -1]
+            if progress is not None:
+                progress(len(chunk))
 
         def encode_padded(chunk, blen):
             ids, mask = self.tokenizer.encode_batch(

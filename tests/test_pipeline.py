@@ -96,6 +96,40 @@ class TestComputeSignals:
     def test_empty_input(self, pipeline):
         assert pipeline.compute_signals([]) == []
 
+    def test_cross_modal_density_raises_multimodal_redundancy(self):
+        # Multimodal docs with DISTINCT texts (minhash ~0) but identical
+        # images: joint-embedding density catches what lexical hashing
+        # misses, and only when the config flag is on.
+        rng = np.random.default_rng(7)
+        img = rng.random((32, 32, 3)).astype(np.float32)
+
+        def mk():
+            return [
+                Document(doc_id="m0", text="a photograph of a red barn",
+                         image=img.copy()),
+                Document(doc_id="m1", text="crimson farm building picture",
+                         image=img.copy()),
+                Document(doc_id="m2", text="totally unrelated words here",
+                         image=img.copy()),
+                create_document("t0", text="plain text document no image"),
+            ]
+
+        on = DewiPipeline(tiny_config(
+            redundancy={"block_size": 8, "cross_modal_density": True,
+                        "text_sim": "minhash"},
+        )).compute_signals(mk())
+        off = DewiPipeline(tiny_config(
+            redundancy={"block_size": 8, "cross_modal_density": False,
+                        "text_sim": "minhash"},
+        )).compute_signals(mk())
+        # Same images force high joint density; off-mode minhash sees
+        # distinct strings. Density can only raise the max-blended score.
+        for i in range(3):
+            assert on[i].redundancy >= off[i].redundancy - 1e-6
+        assert max(on[i].redundancy for i in range(3)) > 0.5
+        # The text-only doc is untouched by the density stage.
+        assert on[3].redundancy == pytest.approx(off[3].redundancy, abs=1e-5)
+
     def test_checkpoint_resume(self, tmp_path):
         pipe = DewiPipeline(tiny_config())
         mk = lambda: [
@@ -361,3 +395,40 @@ class TestEmbeddingProvenance:
         idx = pipe.build_index(docs)
         assert idx.encoder["source"] == "cross_modal"
         assert idx.encoder["model"] == "tiny"
+
+
+class TestProgressReporting:
+    def test_meter_prints_rate_and_eta(self, capsys):
+        import io
+
+        from dewi_tpu.utils.progress import ProgressMeter
+
+        buf = io.StringIO()
+        m = ProgressMeter(100, "stage", enabled=True, interval=0.0,
+                          stream=buf)
+        m.update(40)
+        m.update(60)
+        m.close()
+        out = buf.getvalue()
+        assert "stage: 40/100" in out and "docs/s" in out
+        assert "100/100" in out
+
+    def test_meter_disabled_is_silent(self):
+        import io
+
+        from dewi_tpu.utils.progress import ProgressMeter
+
+        buf = io.StringIO()
+        m = ProgressMeter(100, "stage", enabled=False, stream=buf)
+        m.update(100)
+        m.close()
+        assert buf.getvalue() == ""
+
+    def test_compute_signals_progress_smoke(self, capsys):
+        # progress=True must run end to end and report stage liveness.
+        pipe = DewiPipeline(tiny_config())
+        docs = [create_document(f"p{i}", text=f"words number {i} here")
+                for i in range(6)]
+        pipe.compute_signals(docs, progress=True)
+        out = capsys.readouterr().out
+        assert "text entropy" in out

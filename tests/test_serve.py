@@ -108,6 +108,45 @@ class TestMicroBatcher:
         finally:
             mb.shutdown()
 
+    def test_overload_sheds_with_429_error(self, index):
+        from dewi_tpu.serve import OverloadedError
+
+        mb = MicroBatcher(index, window_ms=50.0, max_batch=4, max_pending=8)
+        # Pause the worker by filling the admission queue faster than the
+        # 50 ms window drains it; the 9th+ submissions must shed.
+        q = np.ones(DIM, np.float32)
+        futs = []
+        shed = 0
+        try:
+            for _ in range(64):
+                try:
+                    futs.append(mb.submit(q, k=2))
+                except OverloadedError:
+                    shed += 1
+            assert shed > 0
+            with mb._stats_lock:
+                assert mb.stats["shed"] == shed
+            # Admitted requests still complete correctly.
+            for f in futs:
+                ids, _ = f.result(timeout=30)
+                assert len(ids) == 2
+        finally:
+            mb.shutdown()
+
+    def test_pipelined_resolution_preserves_order_and_results(self, index):
+        # Dispatch is now two-deep (device launch decoupled from host
+        # fetch); results must still match direct search per request.
+        mb = MicroBatcher(index, window_ms=1.0, max_batch=16)
+        try:
+            rng = np.random.default_rng(9)
+            qs = rng.normal(size=(40, DIM)).astype(np.float32)
+            futs = [mb.submit(q, k=4) for q in qs]
+            for q, f in zip(qs, futs):
+                ids, _ = f.result(timeout=30)
+                assert ids == [r[0] for r in index.search(q, k=4)]
+        finally:
+            mb.shutdown()
+
 
 class TestSearchServer:
     @pytest.fixture(scope="class")

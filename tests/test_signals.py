@@ -201,6 +201,41 @@ class TestRedundancy:
         sizes = sorted(len(c) for c in clusters)
         assert sizes == [1, 2]
 
+    def test_topk_density_duplicates_densest(self):
+        from dewi_tpu.signals.redundancy import topk_density
+
+        rng = np.random.default_rng(3)
+        emb = rng.normal(size=(24, 16)).astype(np.float32)
+        emb[5] = emb[4]  # dense cluster of 3 near-identical rows
+        emb[6] = emb[4] + 0.01 * rng.normal(size=16).astype(np.float32)
+        d = topk_density(emb, top=2, block=8)
+        assert d.shape == (24,)
+        assert np.all(d <= 1.0 + 1e-5)
+        # Cluster members' top-2 neighborhoods are ~identical rows.
+        assert d[4] > 0.95 and d[5] > 0.95
+        assert d[4] > np.median(d) + 0.1
+
+    def test_topk_density_matches_max_when_top1(self):
+        from dewi_tpu.signals.redundancy import topk_density
+
+        rng = np.random.default_rng(4)
+        emb = rng.normal(size=(15, 8)).astype(np.float32)
+        np.testing.assert_allclose(
+            topk_density(emb, top=1, block=8),
+            max_offdiag_similarity(emb, block=8),
+            atol=1e-5,
+        )
+
+    def test_cross_modal_density_scores(self):
+        est = RedundancyEstimator(block_size=8)
+        rng = np.random.default_rng(5)
+        emb = rng.normal(size=(10, 12)).astype(np.float32)
+        emb[8] = emb[0]
+        emb[9] = emb[0]  # trio of identical joint embeddings
+        d = est.cross_modal_density_scores(emb, top=2)
+        assert d.shape == (10,)
+        assert d[0] > 0.9 and d[8] > 0.9 and d[9] > 0.9
+
     def test_embedding_clusters(self):
         rng = np.random.default_rng(2)
         emb = rng.normal(size=(6, 8)).astype(np.float32)
