@@ -33,6 +33,7 @@ _EXPORTS = {
     "DewiConfig": ("dewi_tpu.config", "DewiConfig"),
     "get_default_config": ("dewi_tpu.config", "get_default_config"),
     "DewiPipeline": ("dewi_tpu.pipelines", "DewiPipeline"),
+    "Corpus": ("dewi_tpu.corpus", "Corpus"),
     "Document": ("dewi_tpu.pipelines", "Document"),
     "create_document": ("dewi_tpu.pipelines", "create_document"),
     "MicroBatcher": ("dewi_tpu.serve", "MicroBatcher"),

@@ -28,6 +28,7 @@ first-class pipeline stage:
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -132,6 +133,23 @@ def decode_image_uint8(src: ImageLike, size: int) -> np.ndarray:
     return _array_to_uint8(src, size)
 
 
+def effective_threads(threads: int, sources: Sequence[ImageLike]) -> int:
+    """Clamp the decode pool to what can actually help.
+
+    Measured on a 1-core host: 335 imgs/s serial vs 237 at 2 threads — PIL
+    holds the GIL for much of its decode path, so extra threads are pure
+    contention without extra cores.  Array sources (pre-decoded corpora,
+    packed mmap rows) only need a ~50 µs resize; pool dispatch costs more
+    than the work.
+    """
+    ncpu = os.cpu_count() or 1
+    if ncpu <= 1:
+        return 1
+    if sources and all(isinstance(s, np.ndarray) for s in sources):
+        return 1
+    return max(1, min(int(threads), ncpu))
+
+
 def decode_batch(
     sources: Sequence[ImageLike],
     size: int,
@@ -142,6 +160,7 @@ def decode_batch(
     n = len(sources)
     if out is None:
         out = np.empty((n, size, size, 3), np.uint8)
+    threads = effective_threads(threads, sources)
 
     def work(i: int) -> None:
         out[i] = decode_image_uint8(sources[i], size)
@@ -173,8 +192,12 @@ def iter_padded_batches(
     n = len(sources)
     if n == 0:
         return
+    # NB: even with a 1-thread decode pool the producer thread stays —
+    # host decode overlaps *device* compute (the GIL releases while the
+    # consumer blocks on the TPU), which is the prefetcher's entire point.
+    threads = effective_threads(threads, sources)
     starts = list(range(0, n, batch_size))
-    if threads <= 1 or len(starts) == 1:
+    if len(starts) == 1:
         for s in starts:
             chunk = sources[s : s + batch_size]
             batch = np.zeros((batch_size, size, size, 3), np.uint8)

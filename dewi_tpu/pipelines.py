@@ -176,12 +176,12 @@ class _CorpusImages:
     back to the estimators' own streaming prefetch decoders.
     """
 
-    def __init__(self, documents, img_idx, base_size: int,
+    def __init__(self, sources, img_idx, base_size: int,
                  threads: int, budget_mb: int) -> None:
         from .io.images import ImageCache
 
         self.pos = {i: j for j, i in enumerate(img_idx)}
-        self.sources = [documents[i].image_source() for i in img_idx]
+        self.sources = list(sources)  # aligned with img_idx
         self.cache = None
         if self.sources and ImageCache.fits(
             len(self.sources), base_size, budget_mb
@@ -437,10 +437,15 @@ class DewiPipeline:
         self, documents: List[Document], img_idx: List[int]
     ) -> _CorpusImages:
         """Decode every image document once for all downstream stages."""
+        return self._decode_sources(
+            [documents[i].image_source() for i in img_idx], img_idx
+        )
+
+    def _decode_sources(self, sources, img_idx) -> _CorpusImages:
         sizes = [self._mae_image_size(), self._clip_image_size()]
         rt = self.config.runtime
         return _CorpusImages(
-            documents, img_idx, base_size=max(sizes),
+            sources, img_idx, base_size=max(sizes),
             threads=rt.io_threads, budget_mb=rt.decode_cache_mb,
         )
 
@@ -682,21 +687,9 @@ class DewiPipeline:
     ) -> List[Document]:
         """Fit robust stats + score all docs in one fused XLA call
         (parity: reference pipelines.py:162-223, minus the per-doc loop)."""
-        from .scorer import DewiScorer
-
         if not documents:
             return []
-        if weights is None:
-            w = self.config.scoring.weights
-            weights = Weights(
-                alpha_t=w.alpha_t, alpha_i=w.alpha_i, alpha_m=w.alpha_m,
-                alpha_r=w.alpha_r, alpha_n=w.alpha_n,
-            )
-        elif isinstance(weights, dict):
-            weights = Weights(**weights)
-        scorer = DewiScorer(
-            weights=weights, delta=delta or self.config.scoring.delta
-        )
+        scorer = self._make_scorer(weights, delta)
         scoring_mode = mode or self.config.scoring.mode
 
         mat = np.array(
@@ -749,19 +742,243 @@ class DewiPipeline:
         return self.compute_dewi_scores(documents, weights=weights,
                                         delta=delta, mode=mode)
 
+    def _make_scorer(self, weights=None, delta: Optional[float] = None):
+        from .scorer import DewiScorer
+
+        if weights is None:
+            w = self.config.scoring.weights
+            weights = Weights(
+                alpha_t=w.alpha_t, alpha_i=w.alpha_i, alpha_m=w.alpha_m,
+                alpha_r=w.alpha_r, alpha_n=w.alpha_n,
+            )
+        elif isinstance(weights, dict):
+            weights = Weights(**weights)
+        return DewiScorer(
+            weights=weights, delta=delta or self.config.scoring.delta
+        )
+
+    # -- columnar fast path -------------------------------------------------------
+    #
+    # Same stages and numerics as compute_signals/compute_dewi_scores, but
+    # over a Corpus column store — no per-Document attribute traffic, no
+    # per-doc dict/stack in the hot loop.  This is the path that closes the
+    # "3.3k docs/s end-to-end vs 35k docs/s device" gap (VERDICT r2 #2).
+
+    def _corpus_rows(self, corpus, idx, size: int, cache=None):
+        """Image batch for corpus rows ``idx`` at ``size`` (or source list)."""
+        imgs = corpus.images
+        idx = np.asarray(idx, np.int64)
+        if hasattr(imgs, "rows"):  # PackedImages: mmap slice (+downscale)
+            return imgs.rows(idx, size)
+        if isinstance(imgs, np.ndarray):  # dense pre-decoded corpus
+            if idx.size == len(imgs) and np.array_equal(
+                idx, np.arange(len(imgs))
+            ):
+                return imgs
+            return imgs[idx]
+        if cache is not None:
+            return cache.rows(list(idx), size)
+        return [imgs[i] for i in idx]
+
+    def compute_signals_corpus(self, corpus, progress: bool = False):
+        """Fill ``corpus.signals`` (all 7 columns) stage by stage."""
+        from .corpus import COL
+        from .utils.progress import ProgressMeter
+
+        n = len(corpus)
+        if n == 0:
+            return corpus
+        sig = corpus.signals
+        tidx = np.nonzero(corpus.has_text)[0]
+        if tidx.size:
+            m = ProgressMeter(int(tidx.size), "text entropy",
+                              enabled=progress)
+            means, q90s, _ = self.text_entropy.batch_compute_stats(
+                [corpus.texts[i] for i in tidx], progress=m.update
+            )
+            m.close()
+            sig[tidx, COL["ht_mean"]] = means
+            sig[tidx, COL["ht_q90"]] = q90s
+
+        iidx = np.nonzero(corpus.has_image)[0]
+        cache = None
+        if iidx.size and not (
+            hasattr(corpus.images, "rows")
+            or isinstance(corpus.images, np.ndarray)
+        ):
+            # Per-doc sources (paths/PIL): decode once for every stage.
+            cache = self._decode_sources(
+                [corpus.images[i] for i in iidx], list(iidx)
+            )
+        if iidx.size:
+            m = ProgressMeter(int(iidx.size), "image entropy",
+                              enabled=progress)
+            means, q90s = self.image_entropy.batch_compute_stats(
+                self._corpus_rows(corpus, iidx,
+                                  self.image_entropy.image_size, cache),
+                progress=m.update,
+            )
+            m.close()
+            sig[iidx, COL["hi_mean"]] = means
+            sig[iidx, COL["hi_q90"]] = q90s
+
+        pidx = np.nonzero(corpus.has_text & corpus.has_image)[0]
+        if pidx.size:
+            m = ProgressMeter(int(pidx.size), "cross-modal",
+                              enabled=progress)
+            sig[pidx, COL["I_hat"]] = self.cross_modal.batch_diagonal(
+                [corpus.texts[i] for i in pidx],
+                self._corpus_rows(corpus, pidx,
+                                  self.cross_modal.cfg.image_size, cache),
+                progress=m.update,
+            )
+            m.close()
+
+        self.ensure_embeddings_corpus(corpus, cache=cache)
+        self._redundancy_corpus(corpus, cache=cache)
+        return self._noise_corpus(corpus, cache=cache, progress=progress)
+
+    def ensure_embeddings_corpus(self, corpus, cache=None):
+        """Fill ``corpus.embeddings`` from the CLIP towers (vectorized
+        combine; same semantics as :meth:`ensure_embeddings`)."""
+        if corpus.embeddings is not None:
+            if not hasattr(corpus, "clip_embedded"):
+                corpus.clip_embedded = False  # supplied externally
+            return corpus
+        n = len(corpus)
+        dim = self.cross_modal.cfg.d_embed
+        emb = np.zeros((n, dim), np.float32)
+        cnt = np.zeros(n, np.float32)
+        tidx = np.nonzero(corpus.has_text)[0]
+        if tidx.size:
+            emb[tidx] += self.cross_modal.encode_texts(
+                [corpus.texts[i] for i in tidx]
+            )
+            cnt[tidx] += 1
+        iidx = np.nonzero(corpus.has_image)[0]
+        if iidx.size:
+            emb[iidx] += self.cross_modal.encode_images(
+                self._corpus_rows(corpus, iidx,
+                                  self.cross_modal.cfg.image_size, cache)
+            )
+            cnt[iidx] += 1
+        nz = cnt > 0
+        emb[nz] /= cnt[nz, None]
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        np.divide(emb, norms, out=emb, where=norms > 0)
+        corpus.embeddings = emb
+        corpus.clip_embedded = True
+        return corpus
+
+    def _redundancy_corpus(self, corpus, cache=None):
+        from .corpus import COL
+
+        n = len(corpus)
+        scores = np.zeros(n, np.float32)
+        covered = np.zeros(n, bool)
+        text_hash = self.config.redundancy.text_sim in ("minhash", "simhash")
+        image_hash = self.config.redundancy.image_sim == "phash"
+        tidx = np.nonzero(corpus.has_text)[0]
+        iidx = np.nonzero(corpus.has_image)[0]
+        if text_hash and tidx.size:
+            scores[tidx] = self.redundancy.score_texts(
+                [corpus.texts[i] for i in tidx]
+            )
+            covered[tidx] = True
+        if image_hash and iidx.size:
+            rows = self._corpus_rows(corpus, iidx, 32, cache)  # pHash DCT res
+            scores[iidx] = np.maximum(
+                scores[iidx], self.redundancy.score_images(rows)
+            )
+            covered[iidx] = True
+        rest = np.nonzero(~covered)[0]
+        if rest.size >= 2 and corpus.embeddings is not None:
+            scores[rest] = np.maximum(
+                scores[rest], self.redundancy.score(corpus.embeddings[rest])
+            )
+        if self.redundancy.cross_modal_density:
+            both = np.nonzero(corpus.has_text & corpus.has_image)[0]
+            if both.size >= 2 and corpus.embeddings is not None:
+                scores[both] = np.maximum(
+                    scores[both],
+                    self.redundancy.cross_modal_density_scores(
+                        corpus.embeddings[both]
+                    ),
+                )
+        corpus.signals[:, COL["redundancy"]] = scores
+        return corpus
+
+    def _noise_corpus(self, corpus, cache=None, progress: bool = False):
+        from .corpus import COL
+        from .signals.noise import BLUR_SIZE
+        from .utils.progress import ProgressMeter
+
+        n = len(corpus)
+        if cache is not None and cache.cache is not None and \
+                cache.cache.base_size >= BLUR_SIZE:
+            img_list = [
+                cache.source(i) if corpus.has_image[i] else None
+                for i in range(n)
+            ]
+        elif corpus.images is None:
+            img_list = [None] * n
+        else:
+            img_list = [
+                corpus.images[i] if corpus.has_image[i] else None
+                for i in range(n)
+            ]
+        m = ProgressMeter(n, "noise", enabled=progress)
+        corpus.signals[:, COL["noise"]] = self.noise.batch_compute(
+            texts=corpus.texts if corpus.texts is not None else [None] * n,
+            images=img_list,
+            progress=m.update,
+        )
+        m.close()
+        return corpus
+
+    def process_corpus(self, corpus, weights=None,
+                       delta: Optional[float] = None,
+                       mode: Optional[str] = None,
+                       progress: bool = False):
+        """Signals + fused fit-and-score, columnar end to end."""
+        self.compute_signals_corpus(corpus, progress=progress)
+        scorer = self._make_scorer(weights, delta)
+        corpus.dewi = np.asarray(
+            scorer.fit_and_score(
+                corpus.signals, mode=mode or self.config.scoring.mode
+            ),
+            np.float32,
+        )
+        self._scorer = scorer
+        return corpus
+
+    def build_index_corpus(self, corpus, **index_kwargs):
+        """``Corpus`` -> built :class:`DewiIndex`: two array ops, no per-doc
+        Python (vs ``build_index``'s per-doc stack, pipelines.py:804-806)."""
+        if len(corpus) == 0:
+            raise ValueError("No documents to index")
+        self.ensure_embeddings_corpus(corpus)
+        index = self._make_index(dim=int(corpus.embeddings.shape[1]),
+                                 **index_kwargs)
+        if getattr(corpus, "clip_embedded", False):
+            index.encoder = {"source": "cross_modal",
+                             **self.encoder_provenance()}
+        else:
+            index.encoder = {"source": "external"}
+        index.add_batch(list(corpus.ids),
+                        np.asarray(corpus.embeddings, np.float32),
+                        corpus.payload_matrix())
+        index.build()
+        return index
+
     # -- index handoff ------------------------------------------------------------
 
-    def build_index(self, documents: List[Document], **index_kwargs):
-        """Documents -> built :class:`DewiIndex` (embeddings + payloads)."""
+    def _make_index(self, dim: int, **index_kwargs):
+        """Config-driven :class:`DewiIndex` construction (backend knobs,
+        bf16 storage) shared by the Document and columnar build paths."""
         from .index import DewiIndex
+        from .index.facade import IndexBackend
 
-        if not documents:
-            raise ValueError("No documents to index")
-        self.ensure_embeddings(documents)
-        n_clip = sum(
-            1 for d in documents if d.doc_id in self._clip_embedded_ids
-        )
-        dim = len(documents[0].embedding)
         cfg = self.config.index
         kwargs = dict(
             space=cfg.metric,
@@ -772,8 +989,6 @@ class DewiPipeline:
             rerank_eta=cfg.rerank_eta,
             entropy_pref=cfg.entropy_pref,
         )
-        from .index.facade import IndexBackend
-
         try:
             resolved = IndexBackend.from_str(str(cfg.ann)).resolve().__name__
         except ValueError:
@@ -788,7 +1003,19 @@ class DewiPipeline:
 
             kwargs["dtype"] = jnp.bfloat16  # halve index HBM traffic
         kwargs.update(index_kwargs)
-        index = DewiIndex(dim=dim, **kwargs)
+        return DewiIndex(dim=dim, **kwargs)
+
+    def build_index(self, documents: List[Document], **index_kwargs):
+        """Documents -> built :class:`DewiIndex` (embeddings + payloads)."""
+
+        if not documents:
+            raise ValueError("No documents to index")
+        self.ensure_embeddings(documents)
+        n_clip = sum(
+            1 for d in documents if d.doc_id in self._clip_embedded_ids
+        )
+        index = self._make_index(dim=len(documents[0].embedding),
+                                 **index_kwargs)
         if n_clip == 0:
             # Every embedding was supplied externally — the CLIP towers were
             # never consulted, so recording their identity would let search

@@ -58,13 +58,14 @@ class CrossModalDependency:
 
             self.cfg = CLIPConfig(**side["config"])
             if self.cfg.vocab_size != self.tokenizer.vocab_size:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "CLIP checkpoint vocab (%d) != tokenizer %r vocab (%d); "
-                    "configure the matching tokenizer for meaningful "
-                    "similarities.", self.cfg.vocab_size, tokenizer,
-                    self.tokenizer.vocab_size,
+                # Hard error, matching TextEntropyEstimator: similarities
+                # from a mismatched tokenizer are silently meaningless.
+                raise ValueError(
+                    f"CLIP checkpoint {checkpoint!r} expects a "
+                    f"{self.cfg.vocab_size}-token vocabulary but tokenizer "
+                    f"{tokenizer!r} has {self.tokenizer.vocab_size}. "
+                    f"Configure the matching tokenizer "
+                    f"(cross_modal/text config)."
                 )
         else:
             self.cfg = clip_config(
@@ -97,11 +98,17 @@ class CrossModalDependency:
         # text_entropy.py; 4x less host->device traffic per token.
         pad_id = int(self.tokenizer.pad_id)
 
+        text_vocab = int(self.cfg.vocab_size)
+
         @jax.jit
         def _encode_text_super_packed(params, ids3_u16):
             def one(ids_u16):
                 ids = ids_u16.astype(jnp.int32)
                 mask = (ids != pad_id).astype(jnp.float32)
+                # Out-of-vocab pad sentinel (HF adapters): zero before the
+                # embedding gather; pad positions are attention-masked.
+                if pad_id >= text_vocab:
+                    ids = jnp.where(ids != pad_id, ids, 0)
                 return _encode_text(params, ids, mask)
 
             return jax.lax.map(one, ids3_u16)
@@ -281,11 +288,7 @@ class CrossModalDependency:
             return []
         if batch_size is not None:
             self.batch_size = int(batch_size)
-        t = self.encode_texts(texts)
-        # Image encoding dominates the pair cost — report progress there.
-        v = self.encode_images(images, progress=progress)
-        # Embeddings are already normalized; dot product is cosine.
-        sims = np.sum(t * v, axis=1)
+        sims = self.batch_diagonal(texts, images, progress=progress)
         return [
             CrossModalResult(
                 info_nce_score=float(s),
@@ -294,6 +297,20 @@ class CrossModalDependency:
             )
             for s in sims
         ]
+
+    def batch_diagonal(
+        self,
+        texts: Sequence[str],
+        images: Sequence[ImageLike],
+        progress: Optional[Callable[[int], None]] = None,
+    ) -> np.ndarray:
+        """Per-pair cosine as one ``[N]`` float32 array — the columnar-path
+        variant of :meth:`batch_compute` (no per-doc result objects)."""
+        t = self.encode_texts(texts)
+        # Image encoding dominates the pair cost — report progress there.
+        v = self.encode_images(images, progress=progress)
+        # Embeddings are already normalized; dot product is cosine.
+        return np.sum(t * v, axis=1).astype(np.float32)
 
     def similarity_matrix(
         self, texts: Sequence[str], images: Sequence[ImageLike]

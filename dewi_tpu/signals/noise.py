@@ -26,6 +26,20 @@ logger = logging.getLogger(__name__)
 #: below this lose high-frequency content and shift the blur verdict.
 BLUR_SIZE = 224
 
+# ASCII classification LUTs for the text-quality heuristic: byte-level
+# equivalents of str.isalnum / "symbol" (not alnum, not whitespace), exact
+# for ASCII input (non-ASCII falls back to the per-char path).
+_ALNUM_LUT = np.zeros(256, bool)
+for _c in range(256):
+    _ALNUM_LUT[_c] = chr(_c).isalnum() if _c < 128 else False
+_SYMBOL_LUT = np.zeros(256, bool)
+for _c in range(128):
+    _SYMBOL_LUT[_c] = (not chr(_c).isalnum()) and chr(_c) not in " \n\t\r"
+# int32 variants: fancy-indexing with these feeds np.add.reduceat directly
+# (a bool LUT would need a full-corpus astype copy before summing).
+_ALNUM_LUT_I32 = _ALNUM_LUT.astype(np.int32)
+_SYMBOL_LUT_I32 = _SYMBOL_LUT.astype(np.int32)
+
 
 def _try_langdetect():
     try:  # optional dependency (parity: reference noise.py:21-27)
@@ -129,8 +143,18 @@ class NoiseEstimator:
         if not text:
             return 0.0
         total = max(len(text), 1)
-        alnum = sum(c.isalnum() for c in text)
-        symbol = sum((not c.isalnum()) and c not in " \n\t\r" for c in text)
+        if text.isascii():
+            # Byte LUT: identical classification to str.isalnum for ASCII,
+            # ~10x faster than the per-char Python loop (the noise stage's
+            # dominant cost at corpus scale).
+            b = np.frombuffer(text.encode("ascii"), np.uint8)
+            alnum = int(_ALNUM_LUT[b].sum())
+            symbol = int(_SYMBOL_LUT[b].sum())
+        else:
+            alnum = sum(c.isalnum() for c in text)
+            symbol = sum(
+                (not c.isalnum()) and c not in " \n\t\r" for c in text
+            )
         score = 1.0
         if alnum / total < 0.3:
             score -= 0.4
@@ -218,6 +242,55 @@ class NoiseEstimator:
             return 0.0
         return float(np.clip(np.mean(parts), 0.0, 1.0))
 
+    def _batch_text_parts(self, texts: Sequence[Optional[str]]) -> np.ndarray:
+        """Vectorized text-noise component: ``1 - (0.7*quality + 0.3*lang)``
+        per doc, NaN where text is None.  One LUT pass over the concatenated
+        ASCII bytes (``np.add.reduceat``) instead of per-doc Python — the
+        noise stage's scalar path costs ~50 µs/doc in numpy scalar ops
+        alone, which caps corpora at ~20k docs/s.
+        """
+        n = len(texts)
+        quality = np.zeros(n, np.float32)
+        part = np.full(n, np.nan, np.float32)
+        ascii_idx: List[int] = []
+        blobs: List[bytes] = []
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            part[i] = 0.0  # mark present; value filled below
+            if t and t.isascii():
+                ascii_idx.append(i)
+                blobs.append(t.encode("ascii"))
+            elif t:
+                quality[i] = self.check_text_quality(t)
+            # empty string: quality stays 0.0 (parity)
+        if blobs:
+            lens = np.fromiter(map(len, blobs), np.int64, count=len(blobs))
+            buf = np.frombuffer(b"".join(blobs), np.uint8)
+            starts = np.zeros(len(blobs), np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            alnum = np.add.reduceat(_ALNUM_LUT_I32[buf], starts)
+            symbol = np.add.reduceat(_SYMBOL_LUT_I32[buf], starts)
+            q = (
+                1.0
+                - 0.4 * (alnum / lens < 0.3)
+                - 0.2 * (symbol / lens > 0.5)
+            )
+            quality[np.asarray(ascii_idx)] = np.clip(q, 0.0, 1.0)
+        if self._lang_detect is None:
+            lang = np.full(n, 0.5, np.float32)  # unknown for every doc
+        else:
+            lang = np.array(
+                [self.check_language(t) if t is not None else 0.5
+                 for t in texts],
+                np.float32,
+            )
+        present = ~np.isnan(part)
+        part[present] = (
+            1.0 - (0.7 * quality[present] + 0.3 * lang[present])
+        )
+        return part
+
     def batch_compute(
         self,
         texts: Optional[Sequence[Optional[str]]] = None,
@@ -227,9 +300,29 @@ class NoiseEstimator:
         n = len(texts) if texts is not None else len(images)  # type: ignore[arg-type]
         texts = texts if texts is not None else [None] * n
         images = images if images is not None else [None] * n
+        text_part = self._batch_text_parts(texts)
+        if all(im is None for im in images):
+            # Pure-text corpus: fully vectorized, no per-doc loop at all.
+            vals = np.clip(np.nan_to_num(text_part, nan=0.0), 0.0, 1.0)
+            if progress is not None:
+                progress(n)
+            return vals.astype(float).tolist()
         out: List[float] = []
-        for t, im in zip(texts, images):
-            out.append(self.score(t, im))
+        for i, im in enumerate(images):
+            parts = []
+            if not np.isnan(text_part[i]):
+                parts.append(float(text_part[i]))
+            if im is not None:
+                nsfw = self.detect_nsfw(im)
+                blurry = (
+                    1.0 if self.blur_score(im) < self.blur_threshold else 0.0
+                )
+                parts.append(
+                    max(nsfw, 0.5 * blurry, self.ocr_coverage_penalty(im))
+                )
+            out.append(
+                min(max(sum(parts) / len(parts), 0.0), 1.0) if parts else 0.0
+            )
             if progress is not None:
                 progress(1)
         return out

@@ -90,13 +90,15 @@ class TextEntropyEstimator:
 
             cfg = TransformerConfig(**side["config"])
             if cfg.vocab_size != self.tokenizer.vocab_size:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "Checkpoint vocab (%d) != tokenizer %r vocab (%d); "
-                    "surprisal will be meaningless unless the matching "
-                    "tokenizer is configured.",
-                    cfg.vocab_size, tokenizer, self.tokenizer.vocab_size,
+                # Hard error (VERDICT r2 #5): a structurally-valid forward
+                # over the wrong tokenizer returns meaningless surprisal
+                # with no other symptom — refuse instead of warning.
+                raise ValueError(
+                    f"Checkpoint {checkpoint!r} expects a "
+                    f"{cfg.vocab_size}-token vocabulary but tokenizer "
+                    f"{tokenizer!r} has {self.tokenizer.vocab_size}. "
+                    f"Configure the matching tokenizer (e.g. text.tokenizer"
+                    f": gpt2 for an imported GPT-2 checkpoint)."
                 )
         else:
             cfg = lm_config(model_name, vocab_size=self.tokenizer.vocab_size)
@@ -187,7 +189,14 @@ class TextEntropyEstimator:
 
         def _expand(ids_u16):
             ids = ids_u16.astype(jnp.int32)
-            return ids, (ids != pad_id).astype(jnp.float32)
+            mask = (ids != pad_id).astype(jnp.float32)
+            # HF adapters pad with an out-of-vocab sentinel (vocab_size);
+            # zero those ids before the embedding gather.  Pad positions
+            # are attention-masked and loss-masked, so this is a no-op on
+            # outputs for any tokenizer (incl. the in-vocab byte PAD).
+            if pad_id >= cfg.vocab_size:
+                ids = jnp.where(ids != pad_id, ids, 0)
+            return ids, mask
 
         @jax.jit
         def _score_super_packed(params, ids3_u16):
@@ -460,12 +469,19 @@ class TextEntropyEstimator:
 
         buckets: Dict[int, List[int]] = {}
         long_idx = []
-        for i, t in enumerate(texts):
-            n = self._token_count(t, self.chip_len + 1)
+        # Batch token counts where the tokenizer supports it: one fast-path
+        # call for the whole corpus instead of a per-doc encode probe.
+        fast_counts = getattr(self.tokenizer, "encode_lengths", None)
+        counts = (
+            fast_counts(texts, self.chip_len + 1)
+            if fast_counts is not None
+            else [self._token_count(t, self.chip_len + 1) for t in texts]
+        )
+        for i, n in enumerate(counts):
             if n > self.chip_len:
                 long_idx.append(i)
                 continue
-            b = bucket_length(max(n, 2), max_len=self.chip_len)
+            b = bucket_length(max(int(n), 2), max_len=self.chip_len)
             buckets.setdefault(b, []).append(i)
 
         for i in long_idx:

@@ -265,6 +265,68 @@ class TestEndToEndRealMode:
         assert "checkpoint" in res.output
 
 
+class TestPackImages:
+    def test_pack_then_process(self, runner, tmp_path, monkeypatch):
+        monkeypatch.setenv("DEWI_TEST_MODE", "0")
+        import numpy as np
+        import yaml
+
+        PIL = pytest.importorskip("PIL")
+        from PIL import Image
+
+        imgs = tmp_path / "imgs"
+        imgs.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            arr = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(imgs / f"{i}.png")
+        pack = tmp_path / "corpus.npy"
+        res = runner.invoke(
+            cli, ["pack-images", str(imgs), str(pack), "--size", "32",
+                  "--workers", "0"]
+        )
+        assert res.exit_code == 0, res.output
+        meta = json.loads(next(
+            l for l in res.output.strip().splitlines()
+            if l.startswith("{")
+        ))
+        assert meta["n_images"] == 3 and meta["size"] == 32
+        assert pack.exists()
+
+        cfg = {
+            "text": {"model": "tiny", "batch_size": 2, "max_length": 64},
+            "image": {"model": "tiny", "batch_size": 2, "image_size": 32,
+                      "patch_size": 8},
+            "cross_modal": {"model": "tiny", "batch_size": 2},
+            "redundancy": {"block_size": 4},
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(yaml.dump(cfg))
+        out = tmp_path / "out"
+        res = runner.invoke(
+            cli, ["process", str(cfg_path), str(out), "--images", str(pack)]
+        )
+        assert res.exit_code == 0, res.output
+        rows = [json.loads(l) for l in
+                (out / "documents_batch_0001.jsonl").read_text().splitlines()]
+        assert len(rows) == 3
+        # Packed rows carried real image signals (hi_mean from the MAE)
+        # and real scores.
+        assert all(r["signals"]["hi_mean"] != 0.0 for r in rows)
+        assert all(0.0 <= r["dewi_score"] <= 1.0 for r in rows)
+        # Provenance survives: manifest names each packed row's source.
+        assert all("imgs" in r["metadata"]["source"] for r in rows)
+
+    def test_pack_images_empty_dir_fails(self, runner, tmp_path):
+        empty = tmp_path / "none"
+        empty.mkdir()
+        res = runner.invoke(
+            cli, ["pack-images", str(empty), str(tmp_path / "o.npy")]
+        )
+        assert res.exit_code != 0
+        assert "No images" in res.output
+
+
 class TestRuntimeKnobs:
     def test_io_threads_reaches_loader(self, runner, tmp_path, monkeypatch):
         import yaml

@@ -1,0 +1,159 @@
+"""Columnar Corpus path: numerics parity with the Document pipeline,
+index handoff, and the veneer round-trip."""
+
+import numpy as np
+import pytest
+
+from dewi_tpu.config import DewiConfig
+from dewi_tpu.corpus import COL, Corpus
+from dewi_tpu.pipelines import DewiPipeline, Document, create_document
+from dewi_tpu.types import SIGNAL_FIELDS
+
+
+def tiny_config(**over) -> DewiConfig:
+    return DewiConfig.from_dict({
+        "text": {"model": "tiny", "batch_size": 4, "max_length": 64},
+        "image": {"model": "tiny", "batch_size": 2, "image_size": 32,
+                  "patch_size": 8},
+        "cross_modal": {"model": "tiny", "batch_size": 4},
+        "redundancy": {"block_size": 8},
+        **over,
+    })
+
+
+def make_docs():
+    rng = np.random.default_rng(0)
+    return [
+        create_document("d0", text="the quick brown fox jumps over the dog"),
+        create_document("d1", text="the quick brown fox jumps over the dog"),
+        Document(doc_id="d2", text="completely different text entirely",
+                 image=rng.random((32, 32, 3)).astype(np.float32)),
+        Document(doc_id="d3",
+                 image=rng.random((32, 32, 3)).astype(np.float32)),
+        create_document("d4", text="short words here"),
+    ]
+
+
+class TestCorpusContainer:
+    def test_from_documents_round_trip(self):
+        docs = make_docs()
+        c = Corpus.from_documents(docs)
+        assert len(c) == 5
+        assert list(c.has_text) == [True, True, True, False, True]
+        assert list(c.has_image) == [False, False, True, True, False]
+        back = c.to_documents()
+        assert [d.doc_id for d in back] == [d.doc_id for d in docs]
+        assert back[3].text is None and back[3].image is not None
+
+    def test_columnar_ctor_validation(self):
+        with pytest.raises(ValueError):
+            Corpus(ids=["a", "b"], texts=["x"])
+        with pytest.raises(ValueError):
+            Corpus(ids=["a"], signals=np.zeros((2, 7), np.float32))
+
+    def test_payload_matrix_order(self):
+        c = Corpus(ids=["a", "b"])
+        c.signals[:] = np.arange(14, dtype=np.float32).reshape(2, 7)
+        c.dewi = np.array([0.5, 0.9], np.float32)
+        pm = c.payload_matrix()
+        assert pm.shape == (2, 8)
+        assert pm[0, 0] == 0.5 and pm[1, 0] == pytest.approx(0.9)
+        np.testing.assert_array_equal(pm[:, 1:], c.signals)
+
+
+class TestColumnarParity:
+    @pytest.fixture(scope="class")
+    def both_paths(self):
+        # Same pipeline (shared estimators/seeds) run over both code paths.
+        pipe = DewiPipeline(tiny_config())
+        obj_docs = pipe.compute_dewi_scores(
+            pipe.compute_signals(make_docs())
+        )
+        corpus = pipe.process_corpus(Corpus.from_documents(make_docs()))
+        return obj_docs, corpus
+
+    def test_signals_match_document_path(self, both_paths):
+        obj_docs, corpus = both_paths
+        for i, d in enumerate(obj_docs):
+            for name in SIGNAL_FIELDS:
+                want = float(getattr(d, name) or 0.0)
+                got = float(corpus.signals[i, COL[name]])
+                assert got == pytest.approx(want, abs=1e-4), (d.doc_id, name)
+
+    def test_scores_match_document_path(self, both_paths):
+        obj_docs, corpus = both_paths
+        for i, d in enumerate(obj_docs):
+            assert float(corpus.dewi[i]) == pytest.approx(
+                d.dewi_score, abs=1e-5
+            )
+
+    def test_embeddings_match_document_path(self, both_paths):
+        obj_docs, corpus = both_paths
+        emb_obj = np.stack([d.embedding for d in obj_docs])
+        np.testing.assert_allclose(
+            corpus.embeddings, emb_obj, atol=1e-5
+        )
+
+
+class TestColumnarIndexHandoff:
+    def test_build_index_corpus_matches_build_index(self):
+        pipe = DewiPipeline(tiny_config())
+        obj_docs = pipe.compute_dewi_scores(pipe.compute_signals(make_docs()))
+        idx_obj = pipe.build_index(obj_docs)
+
+        pipe2 = DewiPipeline(tiny_config())
+        corpus = pipe2.process_corpus(Corpus.from_documents(make_docs()))
+        idx_col = pipe2.build_index_corpus(corpus)
+
+        assert len(idx_col) == len(idx_obj) == 5
+        q = pipe2.encode_query("quick brown fox")
+        ro = idx_obj.search(q, k=3)
+        rc = idx_col.search(q, k=3)
+        assert [r[0] for r in rc] == [r[0] for r in ro]
+        np.testing.assert_allclose(
+            [r[1] for r in rc], [r[1] for r in ro], atol=1e-5
+        )
+        assert idx_col.encoder["source"] == "cross_modal"
+
+    def test_external_embeddings_provenance(self):
+        pipe = DewiPipeline(tiny_config())
+        rng = np.random.default_rng(1)
+        c = Corpus(
+            ids=[f"e{i}" for i in range(4)],
+            texts=[f"text {i}" for i in range(4)],
+            embeddings=rng.normal(size=(4, 16)).astype(np.float32),
+        )
+        pipe.process_corpus(c)
+        idx = pipe.build_index_corpus(c)
+        assert idx.encoder == {"source": "external"}
+
+    def test_empty_corpus_raises(self):
+        pipe = DewiPipeline(tiny_config())
+        with pytest.raises(ValueError):
+            pipe.build_index_corpus(Corpus(ids=[]))
+
+
+class TestColumnarPacked:
+    def test_packed_corpus_flows(self, tmp_path):
+        PIL = pytest.importorskip("PIL")
+        from PIL import Image
+
+        from dewi_tpu.io.packed import PackedImages, pack_images
+
+        rng = np.random.default_rng(2)
+        paths = []
+        for i in range(4):
+            arr = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+            p = tmp_path / f"{i}.png"
+            Image.fromarray(arr).save(p)
+            paths.append(str(p))
+        out = tmp_path / "c.npy"
+        pack_images(paths, 32, out, workers=0)
+        pack = PackedImages(out)
+        c = Corpus(ids=[f"p{i}" for i in range(4)],
+                   texts=[f"caption {i}" for i in range(4)],
+                   images=pack)
+        pipe = DewiPipeline(tiny_config())
+        pipe.process_corpus(c)
+        assert np.all(c.signals[:, COL["hi_mean"]] != 0.0)
+        assert np.all(c.dewi >= 0.0) and np.all(c.dewi <= 1.0)

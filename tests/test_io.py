@@ -229,3 +229,107 @@ class TestCorpusBatchNormalization:
         b = np.asarray(est.batch_compute([imgs[i] for i in range(4)]))
         # list path round-trips uint8 decode; only quantization noise remains
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
+
+class TestPackedCorpus:
+    def test_pack_and_mmap_roundtrip(self, tmp_path):
+        from dewi_tpu.io.packed import PackedImages, is_packed_corpus, pack_images
+
+        paths = _write_images(tmp_path, 6, size=64)
+        out = tmp_path / "corpus.npy"
+        meta = pack_images(paths, 32, out, workers=0)
+        assert meta["n_images"] == 6 and meta["size"] == 32
+        assert is_packed_corpus(out)
+        pack = PackedImages(out)
+        assert len(pack) == 6 and pack.base_size == 32
+        # Rows match a direct decode exactly.
+        from dewi_tpu.io import decode_image_uint8
+
+        np.testing.assert_array_equal(pack[3], decode_image_uint8(paths[3], 32))
+
+    def test_rows_full_range_zero_copy(self, tmp_path):
+        from dewi_tpu.io.packed import PackedImages, pack_images
+
+        paths = _write_images(tmp_path, 4, size=48)
+        out = tmp_path / "c.npy"
+        pack_images(paths, 32, out, workers=0)
+        pack = PackedImages(out)
+        full = pack.rows(list(range(4)), 32)
+        assert full is pack.data  # the mapping itself, no copy
+        sub = pack.rows([1, 3], 16)
+        assert sub.shape == (2, 16, 16, 3) and sub.dtype == np.uint8
+
+    def test_rows_oversize_warns_and_serves_base(self, tmp_path, caplog):
+        from dewi_tpu.io.packed import PackedImages, pack_images
+
+        paths = _write_images(tmp_path, 2, size=48)
+        out = tmp_path / "c.npy"
+        pack_images(paths, 32, out, workers=0)
+        pack = PackedImages(out)
+        import logging
+
+        with caplog.at_level(logging.WARNING):
+            got = pack.rows([0, 1], 64)
+        assert got.shape[1] == 32
+        assert any("Re-pack" in r.message for r in caplog.records)
+
+    def test_is_packed_rejects_other_npy(self, tmp_path):
+        from dewi_tpu.io.packed import is_packed_corpus
+
+        p = tmp_path / "other.npy"
+        np.save(p, np.zeros((4, 8), np.float32))
+        assert not is_packed_corpus(p)
+        assert not is_packed_corpus(tmp_path / "missing.npy")
+
+    def test_as_documents_views(self, tmp_path):
+        from dewi_tpu.io.packed import PackedImages, pack_images
+
+        paths = _write_images(tmp_path, 3, size=32)
+        out = tmp_path / "c.npy"
+        pack_images(paths, 32, out, workers=0)
+        pack = PackedImages(out)
+        docs = pack.as_documents(texts=["a", None, "c"])
+        assert len(docs) == 3
+        assert docs[0].text == "a" and docs[1].text is None
+        src = docs[2].image_source()
+        np.testing.assert_array_equal(np.asarray(src), pack[2])
+
+    def test_signals_from_packed_documents(self, tmp_path):
+        # End-to-end: packed rows flow through compute_signals untouched.
+        from dewi_tpu.config import DewiConfig
+        from dewi_tpu.io.packed import PackedImages, pack_images
+        from dewi_tpu.pipelines import DewiPipeline
+
+        paths = _write_images(tmp_path, 4, size=48)
+        out = tmp_path / "c.npy"
+        pack_images(paths, 32, out, workers=0)
+        pack = PackedImages(out)
+        cfg = DewiConfig.from_dict({
+            "text": {"model": "tiny", "batch_size": 2, "max_length": 32},
+            "image": {"model": "tiny", "batch_size": 2, "image_size": 32,
+                      "patch_size": 8},
+            "cross_modal": {"model": "tiny", "batch_size": 2},
+        })
+        docs = DewiPipeline(cfg).compute_signals(pack.as_documents())
+        assert all(d.hi_mean is not None for d in docs)
+
+
+class TestEffectiveThreads:
+    def test_array_sources_serial(self):
+        from dewi_tpu.io.images import effective_threads
+
+        arrs = [np.zeros((8, 8, 3), np.uint8)] * 4
+        assert effective_threads(8, arrs) == 1
+
+    def test_single_core_serial(self, monkeypatch):
+        import dewi_tpu.io.images as m
+
+        monkeypatch.setattr(m.os, "cpu_count", lambda: 1)
+        assert m.effective_threads(8, ["a.jpg"]) == 1
+
+    def test_multicore_paths_clamped(self, monkeypatch):
+        import dewi_tpu.io.images as m
+
+        monkeypatch.setattr(m.os, "cpu_count", lambda: 4)
+        assert m.effective_threads(8, ["a.jpg"]) == 4
+        assert m.effective_threads(2, ["a.jpg"]) == 2
