@@ -67,6 +67,12 @@ def main() -> None:
     plat = os.environ.get("DEWI_BENCH_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    # Persistent compile cache: repeated bench runs on one machine skip the
+    # (tunnel-dominated) jit compiles; a genuinely fresh machine still pays
+    # them once.  DEWI_COMPILE_CACHE=0 restores always-cold behavior.
+    from dewi_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from dewi_tpu.index import ExactIndex
@@ -251,6 +257,50 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001 — Pallas is opt-in
                     extras["int8_pallas_error"] = str(e)[:200]
                     break
+
+            # 8-query packed chained loop (VERDICT r2 #3a): a [1, D] matvec
+            # under-fills MXU rows, so stage-1 HBM bandwidth is shared by 8
+            # data-dependent queries per step at ~no extra cost.  Reported
+            # per query; same kernel/recall as the Q<=32 Pallas serving
+            # config — this is the per-query latency of an 8-deep stream.
+            if "int8_pallas_cap_p50_ms" in extras:
+                @jax.jit
+                def chained_int8_packed8(qe, qs, emb_a, sqn_a, pay_a, n_a,
+                                         q0):
+                    def body(_, carry):
+                        q, acc = carry  # [8, D]
+                        scores, _ = quantized_search(
+                            qe, qs, emb_a, sqn_a, pay_a, q, n_a, eta, ep,
+                            k=K, m=m, normalize=True, approx_select=True,
+                            pallas_stage1=True,
+                        )
+                        q = q + 1e-12 * scores[:, :1]
+                        return q, acc + scores[0, 0]
+
+                    _, acc = jax.lax.fori_loop(
+                        0, CHAIN, body, (q0, jnp.float32(0.0))
+                    )
+                    return acc
+
+                try:
+                    jax.block_until_ready(chained_int8_packed8(
+                        qep, qsp, embp, sqnp, payp, n_d, queries_h[:8]
+                    ))
+                    ms = []
+                    for i in range(6):
+                        t = time.perf_counter()
+                        jax.block_until_ready(chained_int8_packed8(
+                            qep, qsp, embp, sqnp, payp, n_d,
+                            queries_h[8 * i : 8 * i + 8],
+                        ))
+                        ms.append(
+                            (time.perf_counter() - t) * 1e3 / (CHAIN * 8)
+                        )
+                    extras["int8_pallas_packed8_per_query_p50_ms"] = round(
+                        float(np.percentile(ms, 50)), 4
+                    )
+                except Exception as e:  # noqa: BLE001
+                    extras["int8_packed8_error"] = str(e)[:200]
             # padded arrays stay alive for the recall section (the Pallas
             # tier's recall must be measured on the exact config benched).
 
@@ -356,6 +406,15 @@ def main() -> None:
         ivf.build()
         jax.block_until_ready(ivf._dev[1])
         extras["ivf_build_s_device_side"] = round(time.perf_counter() - t0, 1)
+        # Warm rebuild: same shapes, traces cached — the steady-state build
+        # cost (the cold number above is dominated by jit compiles, which a
+        # production process pays once).
+        t0 = time.perf_counter()
+        ivf.build()
+        jax.block_until_ready(ivf._dev[1])
+        extras["ivf_build_warm_s_device_side"] = round(
+            time.perf_counter() - t0, 2
+        )
 
         vi, ii = ivf.search_batch(queries_h, k=K, eta=0.25, entropy_pref=0.1)
         jax.block_until_ready(vi)

@@ -39,6 +39,11 @@ CONTEXT_SETTINGS = {"help_option_names": ["-h", "--help"], "max_content_width": 
 @click.version_option(version="0.1.0", prog_name="dewi-tpu")
 def cli():
     """DEWI-TPU: entropy-weighted index for text+image corpora, TPU-native."""
+    # Persistent XLA compile cache: the cold-start compile cost (minutes at
+    # 1M-doc scale) is paid once per machine, not once per invocation.
+    from .utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,9 @@ def main() -> int:
     import jax
 
     from dewi_tpu.config import DewiConfig
+    from dewi_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from dewi_tpu.corpus import Corpus
     from dewi_tpu.pipelines import DewiPipeline, create_document
 

@@ -53,3 +53,22 @@ class TestRuntime:
         out = np.asarray(jax.jit(lambda a: (a * 2).sum(axis=1))(arr))
         np.testing.assert_allclose(out[:n], (x * 2).sum(axis=1),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestCompilationCache:
+    def test_enable_idempotent(self, tmp_path, monkeypatch):
+        import dewi_tpu.utils.compile_cache as cc
+
+        monkeypatch.setattr(cc, "_enabled_dir", None)
+        monkeypatch.setenv("DEWI_COMPILE_CACHE_DIR", str(tmp_path / "xla"))
+        d1 = cc.enable_compilation_cache()
+        assert d1 == str(tmp_path / "xla")
+        # Second call is a no-op returning the same dir.
+        assert cc.enable_compilation_cache("/elsewhere") == d1
+
+    def test_disable_via_env(self, monkeypatch):
+        import dewi_tpu.utils.compile_cache as cc
+
+        monkeypatch.setattr(cc, "_enabled_dir", None)
+        monkeypatch.setenv("DEWI_COMPILE_CACHE", "0")
+        assert cc.enable_compilation_cache() is None
