@@ -97,6 +97,25 @@ class MicroBatcher:
         self.stats: Dict[str, float] = {
             "queries": 0, "dispatches": 0, "max_batch_seen": 0, "shed": 0,
         }
+        # The axon dev-tunnel backend deadlocks when a jitted program with a
+        # NESTED pallas_call is dispatched from a non-main thread (measured
+        # 3/3 hangs; plain XLA programs and bare pallas_call programs are
+        # both fine).  The batcher dispatches from its worker thread, so on
+        # that backend route the served index through its XLA path.  Real
+        # TPU runtimes ("tpu" platform) keep the Pallas tier.
+        try:
+            import jax
+
+            if jax.devices()[0].platform == "axon":
+                backend = getattr(index, "_backend", index)
+                if getattr(backend, "use_pallas", False):
+                    backend.use_pallas = False
+                    logger.info(
+                        "axon backend: nested-Pallas stage-1 disabled for "
+                        "threaded serving dispatch (XLA path, ~4%% slower)."
+                    )
+        except Exception:  # noqa: BLE001 — purely a dev-env guard
+            pass
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._resolver = threading.Thread(target=self._resolve_loop,
                                           daemon=True)
@@ -357,9 +376,14 @@ class SearchServer:
             entropy_pref=req.get("entropy_pref"),
         )
 
-    @staticmethod
-    def _resolve(fut: Future) -> Dict[str, Any]:
-        ids, scores = fut.result(timeout=60.0)
+    #: Per-request result deadline.  Generous because a cold trace's first
+    #: dispatch includes its jit compile (minutes through a congested dev
+    #: tunnel); steady-state requests resolve in milliseconds, and overload
+    #: is handled by admission shedding (429), not by this timeout.
+    request_timeout_s: float = 600.0
+
+    def _resolve(self, fut: Future) -> Dict[str, Any]:
+        ids, scores = fut.result(timeout=self.request_timeout_s)
         return {"ids": ids, "scores": scores}
 
     def handle_search(self, req: Dict[str, Any]) -> Dict[str, Any]:

@@ -106,7 +106,9 @@ def main() -> int:
 
     from dewi_tpu.index.facade import DewiIndex
     from dewi_tpu.serve import SearchServer
+    from dewi_tpu.utils.compile_cache import enable_compilation_cache
 
+    enable_compilation_cache()
     rng = np.random.default_rng(0)
     emb = rng.normal(size=(args.n_docs, args.dim)).astype(np.float32)
     pay = rng.gamma(2.0, 1.0, size=(args.n_docs, 8)).astype(np.float32)
@@ -115,6 +117,23 @@ def main() -> int:
     idx.build()
     srv = SearchServer(idx, window_ms=args.window_ms,
                        max_batch=args.max_batch)
+    # Pre-compile every power-of-2 batch bucket the MicroBatcher can emit
+    # (a production server warms the same way at startup; measuring client
+    # latency through multi-minute tunnel compiles would be meaningless).
+    # AFTER server construction, so any backend adjustments the serving
+    # layer makes (e.g. the axon nested-Pallas thread guard) are reflected
+    # in the traces being warmed.
+    import jax
+
+    b = 1
+    while b <= args.max_batch:
+        q = rng.normal(size=(b, args.dim)).astype(np.float32)
+        jax.block_until_ready(
+            idx.search_batch(q, k=args.k, eta=idx.rerank_eta,
+                             entropy_pref=idx.entropy_pref)[0]
+        )
+        b *= 2
+    print("bucket traces warm")
     srv.start()
     print(f"serving {args.n_docs:,} docs ({args.backend}) on port {srv.port}")
 

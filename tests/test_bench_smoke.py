@@ -29,5 +29,8 @@ def test_bench_emits_one_json_line():
     assert record["metric"] == "p50_query_latency_1M_docs_k10"
     assert record["value"] > 0
     assert "vs_baseline" in record and "unit" in record
-    assert record["extras"]["recall_vs_exact"] == 1.0
+    # Headline selection takes the FASTEST tier meeting the >=0.99 recall
+    # gate; on tiny CPU shapes f32 vs bf16 timing flips run to run, so
+    # assert the gate rather than a specific tier's recall.
+    assert record["extras"]["recall_vs_exact"] >= 0.99
     assert 0.0 < record["extras"]["bf16_recall_vs_f32_at_k10"] <= 1.0
