@@ -822,25 +822,62 @@ class DewiPipeline:
             sig[iidx, COL["hi_mean"]] = means
             sig[iidx, COL["hi_q90"]] = q90s
 
+        # Stages 3+4 share the CLIP towers: each tower encodes its modality
+        # ONCE, the I_hat diagonal and the joint document embeddings both
+        # read from the same arrays.  (The object path encodes twice —
+        # batch_compute then ensure_embeddings — which doubles the dominant
+        # cost of image-bearing corpora: tower forwards + host->device
+        # image transfer.)
         pidx = np.nonzero(corpus.has_text & corpus.has_image)[0]
+        need_emb = corpus.embeddings is None
+        t_emb = v_emb = None
+        tpos: Dict[int, int] = {}
+        vpos: Dict[int, int] = {}
+        if need_emb or pidx.size:
+            # With external embeddings, only the paired docs need encoding
+            # (for I_hat); otherwise every text/image doc does.
+            t_want = tidx if need_emb else pidx
+            v_want = iidx if need_emb else pidx
+            if t_want.size:
+                t_emb = self.cross_modal.encode_texts(
+                    [corpus.texts[i] for i in t_want]
+                )
+                tpos = {int(i): j for j, i in enumerate(t_want)}
+            if v_want.size:
+                m = ProgressMeter(int(v_want.size), "cross-modal encode",
+                                  enabled=progress)
+                v_emb = self.cross_modal.encode_images(
+                    self._corpus_rows(corpus, v_want,
+                                      self.cross_modal.cfg.image_size,
+                                      cache),
+                    progress=m.update,
+                )
+                m.close()
+                vpos = {int(i): j for j, i in enumerate(v_want)}
         if pidx.size:
-            m = ProgressMeter(int(pidx.size), "cross-modal",
-                              enabled=progress)
-            sig[pidx, COL["I_hat"]] = self.cross_modal.batch_diagonal(
-                [corpus.texts[i] for i in pidx],
-                self._corpus_rows(corpus, pidx,
-                                  self.cross_modal.cfg.image_size, cache),
-                progress=m.update,
+            trows = np.asarray([tpos[int(i)] for i in pidx])
+            vrows = np.asarray([vpos[int(i)] for i in pidx])
+            sig[pidx, COL["I_hat"]] = np.sum(
+                t_emb[trows] * v_emb[vrows], axis=1
             )
-            m.close()
 
-        self.ensure_embeddings_corpus(corpus, cache=cache)
+        self.ensure_embeddings_corpus(
+            corpus, cache=cache,
+            _t_emb=t_emb if need_emb else None,
+            _v_emb=v_emb if need_emb else None,
+        )
         self._redundancy_corpus(corpus, cache=cache)
         return self._noise_corpus(corpus, cache=cache, progress=progress)
 
-    def ensure_embeddings_corpus(self, corpus, cache=None):
+    def ensure_embeddings_corpus(self, corpus, cache=None,
+                                 _t_emb=None, _v_emb=None):
         """Fill ``corpus.embeddings`` from the CLIP towers (vectorized
-        combine; same semantics as :meth:`ensure_embeddings`)."""
+        combine; same semantics as :meth:`ensure_embeddings`).
+
+        ``_t_emb`` / ``_v_emb`` let :meth:`compute_signals_corpus` pass the
+        tower outputs it already computed for the cross-modal stage (rows
+        aligned with the text/image index sets) — no re-encode.
+        """
         if corpus.embeddings is not None:
             if not hasattr(corpus, "clip_embedded"):
                 corpus.clip_embedded = False  # supplied externally
@@ -851,16 +888,25 @@ class DewiPipeline:
         cnt = np.zeros(n, np.float32)
         tidx = np.nonzero(corpus.has_text)[0]
         if tidx.size:
-            emb[tidx] += self.cross_modal.encode_texts(
-                [corpus.texts[i] for i in tidx]
+            t_emb = (
+                _t_emb if _t_emb is not None and len(_t_emb) == tidx.size
+                else self.cross_modal.encode_texts(
+                    [corpus.texts[i] for i in tidx]
+                )
             )
+            emb[tidx] += t_emb
             cnt[tidx] += 1
         iidx = np.nonzero(corpus.has_image)[0]
         if iidx.size:
-            emb[iidx] += self.cross_modal.encode_images(
-                self._corpus_rows(corpus, iidx,
-                                  self.cross_modal.cfg.image_size, cache)
+            v_emb = (
+                _v_emb if _v_emb is not None and len(_v_emb) == iidx.size
+                else self.cross_modal.encode_images(
+                    self._corpus_rows(corpus, iidx,
+                                      self.cross_modal.cfg.image_size,
+                                      cache)
+                )
             )
+            emb[iidx] += v_emb
             cnt[iidx] += 1
         nz = cnt > 0
         emb[nz] /= cnt[nz, None]

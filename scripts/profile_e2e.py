@@ -159,12 +159,20 @@ def main() -> int:
         c2.signals[:, COL["hi_mean"]] = m2
         c2.signals[:, COL["hi_q90"]] = q2
         stage_s["image_entropy"] = time.perf_counter() - t0
+    # Tower encodes run ONCE in the columnar path (I_hat + embeddings
+    # share them); time them as the real pipeline does.
+    t0 = time.perf_counter()
+    t_emb = pipe.cross_modal.encode_texts(texts)
+    stage_s["clip_text_encode"] = time.perf_counter() - t0
+    v_emb = None
+    if images is not None:
         t0 = time.perf_counter()
-        c2.signals[:, COL["I_hat"]] = pipe.cross_modal.batch_diagonal(
-            texts, images
-        )
-        stage_s["cross_modal"] = time.perf_counter() - t0
-    _, stage_s["embeddings"] = timed(pipe.ensure_embeddings_corpus, c2)
+        v_emb = pipe.cross_modal.encode_images(images)
+        stage_s["clip_image_encode"] = time.perf_counter() - t0
+        c2.signals[:, COL["I_hat"]] = np.sum(t_emb * v_emb, axis=1)
+    _, stage_s["embeddings"] = timed(
+        pipe.ensure_embeddings_corpus, c2, None, t_emb, v_emb
+    )
     _, stage_s["redundancy"] = timed(pipe._redundancy_corpus, c2)
     _, stage_s["noise"] = timed(pipe._noise_corpus, c2)
     scorer = pipe._make_scorer()

@@ -157,3 +157,37 @@ class TestColumnarPacked:
         pipe.process_corpus(c)
         assert np.all(c.signals[:, COL["hi_mean"]] != 0.0)
         assert np.all(c.dewi >= 0.0) and np.all(c.dewi <= 1.0)
+
+
+class TestSingleEncode:
+    def test_towers_encode_once_per_modality(self):
+        """I_hat and embeddings share ONE encode per CLIP tower (the
+        double-encode was the dominant cost of image corpora)."""
+        pipe = DewiPipeline(tiny_config())
+        rng = np.random.default_rng(3)
+        c = Corpus(
+            ids=[f"m{i}" for i in range(4)],
+            texts=[f"caption number {i}" for i in range(4)],
+            images=rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8),
+        )
+        cm = pipe.cross_modal
+        calls = {"texts": 0, "images": 0}
+        orig_t, orig_v = cm.encode_texts, cm.encode_images
+
+        def count_t(*a, **k):
+            calls["texts"] += 1
+            return orig_t(*a, **k)
+
+        def count_v(*a, **k):
+            calls["images"] += 1
+            return orig_v(*a, **k)
+
+        cm.encode_texts, cm.encode_images = count_t, count_v
+        try:
+            pipe.process_corpus(c)
+        finally:
+            cm.encode_texts, cm.encode_images = orig_t, orig_v
+        assert calls["images"] == 1, calls
+        assert calls["texts"] == 1, calls
+        assert np.all(c.signals[:, COL["I_hat"]] != 0.0)
+        assert c.embeddings is not None
