@@ -64,6 +64,12 @@ class CrossModalConfig:
     batch_size: int = 128
     checkpoint: Optional[str] = None
     seed: int = 0
+    # Vision-tower input resolution override (None = model preset, 224).
+    # Corpora stored below 224px pay a 12x host-resize + transfer + MXU tax
+    # when upscaled to the default; with non-checkpoint towers, set this to
+    # the corpus resolution instead.  Rejected for imported checkpoints
+    # (their positional embeddings fix the resolution).
+    image_size: Optional[int] = None
 
 
 @dataclass

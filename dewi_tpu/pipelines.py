@@ -288,6 +288,7 @@ class DewiPipeline:
                 checkpoint=c.checkpoint,
                 seed=c.seed,
                 io_threads=self.config.runtime.io_threads,
+                image_size=getattr(c, "image_size", None),
             )
         return self._cross_modal
 
@@ -470,6 +471,9 @@ class DewiPipeline:
         side = self._sidecar_size(self.config.cross_modal.checkpoint)
         if side:
             return side
+        over = getattr(self.config.cross_modal, "image_size", None)
+        if over:
+            return int(over)
         from .models.registry import clip_config
 
         return clip_config(self.config.cross_modal.model).image_size

@@ -45,6 +45,7 @@ class CrossModalDependency:
         checkpoint: Optional[str] = None,
         seed: int = 0,
         io_threads: int = 4,
+        image_size: Optional[int] = None,
     ):
         del device
         self.batch_size = int(batch_size)
@@ -57,6 +58,15 @@ class CrossModalDependency:
             from ..models.clip import CLIPConfig
 
             self.cfg = CLIPConfig(**side["config"])
+            if image_size is not None \
+                    and int(image_size) != self.cfg.image_size:
+                raise ValueError(
+                    f"cross_modal.image_size={image_size} conflicts with "
+                    f"checkpoint {checkpoint!r} (trained at "
+                    f"{self.cfg.image_size}px; its positional embeddings "
+                    f"fix the resolution). Drop the override or the "
+                    f"checkpoint."
+                )
             if self.cfg.vocab_size != self.tokenizer.vocab_size:
                 # Hard error, matching TextEntropyEstimator: similarities
                 # from a mismatched tokenizer are silently meaningless.
@@ -68,8 +78,18 @@ class CrossModalDependency:
                     f"(cross_modal/text config)."
                 )
         else:
+            over = {}
+            if image_size is not None:
+                self.cfg = clip_config(model_name)  # preset, for patch_size
+                if int(image_size) % self.cfg.patch_size:
+                    raise ValueError(
+                        f"cross_modal.image_size={image_size} is not a "
+                        f"multiple of the {model_name!r} patch size "
+                        f"({self.cfg.patch_size})."
+                    )
+                over["image_size"] = int(image_size)
             self.cfg = clip_config(
-                model_name, vocab_size=self.tokenizer.vocab_size
+                model_name, vocab_size=self.tokenizer.vocab_size, **over
             )
         self.model, params = init_clip(self.cfg, seed=seed)
         self.params = maybe_load(params, checkpoint)

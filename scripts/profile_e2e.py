@@ -61,6 +61,9 @@ def main() -> int:
     ap.add_argument("--images", action="store_true",
                     help="attach a synthetic pre-decoded image per doc")
     ap.add_argument("--image-size", type=int, default=64)
+    ap.add_argument("--clip-image-size", type=int, default=None,
+                    help="cross_modal.image_size override (run the CLIP "
+                    "vision tower at corpus resolution instead of 224)")
     ap.add_argument("--skip-object", action="store_true",
                     help="measure only the columnar path")
     ap.add_argument("--output", default="e2e_metrics.json")
@@ -90,7 +93,8 @@ def main() -> int:
         "image": {"model": args.model, "batch_size": 64,
                   "image_size": args.image_size},
         "cross_modal": {"model": args.model,
-                        "batch_size": args.batch_size},
+                        "batch_size": args.batch_size,
+                        "image_size": args.clip_image_size},
         "index": {"ann": "quantized"},
     }
     metrics: dict = {

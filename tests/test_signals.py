@@ -146,6 +146,43 @@ class TestCrossModal:
         e = clip_est.encode_texts(["hello", "world"])
         np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, atol=1e-5)
 
+    def test_image_size_override(self):
+        """config.cross_modal.image_size runs the vision tower at the
+        corpus resolution (no 224px upscale tax for small corpora)."""
+        from dewi_tpu.signals.cross_modal import CrossModalDependency
+
+        est = CrossModalDependency(model_name="small", image_size=64,
+                                   batch_size=4)
+        assert est.cfg.image_size == 64
+        img = np.random.default_rng(2).integers(
+            0, 256, (2, 64, 64, 3), dtype=np.uint8
+        )
+        e = est.encode_images(list(img))
+        assert e.shape == (2, est.cfg.d_embed)
+        np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, atol=1e-5)
+
+    def test_image_size_not_patch_multiple_raises(self):
+        from dewi_tpu.signals.cross_modal import CrossModalDependency
+
+        with pytest.raises(ValueError, match="patch size"):
+            CrossModalDependency(model_name="small", image_size=50)
+
+    def test_image_size_conflicts_with_checkpoint(self, tmp_path):
+        """An imported checkpoint's positional embeddings fix the
+        resolution; an override must be a hard error, not silent drift."""
+        from dewi_tpu.signals.cross_modal import CrossModalDependency
+        from dewi_tpu.models.registry import clip_config, init_clip, \
+            save_params
+        from dewi_tpu.models.import_hf import write_sidecar_config
+
+        cfg = clip_config("tiny", vocab_size=258)
+        _, params = init_clip(cfg, seed=0)
+        ckpt = tmp_path / "clip_tiny.msgpack"
+        save_params(params, ckpt)
+        write_sidecar_config(ckpt, "clip", cfg)
+        with pytest.raises(ValueError, match="positional embeddings"):
+            CrossModalDependency(checkpoint=str(ckpt), image_size=64)
+
 
 class TestRedundancy:
     def test_max_offdiag_finds_duplicate(self):
