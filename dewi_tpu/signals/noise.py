@@ -291,6 +291,54 @@ class NoiseEstimator:
         )
         return part
 
+    def _batch_image_parts(self, images: Sequence) -> Optional[np.ndarray]:
+        """Device-batched image-noise component, NaN where image is None.
+
+        Eligible when every present image is a uniform-dtype uint8 HxWx3
+        array, OCR is absent (the penalty needs per-image host OCR), and the
+        NSFW scorer is the built-in skin heuristic or off — i.e. the
+        production pre-decoded/packed corpus path.  Returns ``None`` when
+        ineligible so :meth:`batch_compute` falls back to the scalar loop.
+        Images are grouped by shape; each group runs blur + skin as one
+        jitted program per chunk (ops/image_noise.py).
+        """
+        if self.ocr is not None:
+            return None
+        if self.nsfw_fn is not None and self.nsfw_fn is not skin_fraction_risk:
+            return None
+        groups: dict = {}
+        for i, im in enumerate(images):
+            if im is None:
+                continue
+            if not (
+                isinstance(im, np.ndarray)
+                and im.dtype == np.uint8
+                and im.ndim == 3
+                and im.shape[-1] == 3
+                and 2 <= im.shape[0] <= BLUR_SIZE
+                and 2 <= im.shape[1] <= BLUR_SIZE
+                # Upscale-or-equal only: the kernel's 2-tap bilinear matrix
+                # matches PIL for upsampling but aliases on downscale
+                # (PIL's BILINEAR uses adaptive-support area filtering).
+            ):
+                return None
+            groups.setdefault(im.shape[:2], []).append(i)
+        if not groups:
+            return None
+        from ..ops.image_noise import batched_image_noise
+
+        part = np.full(len(images), np.nan, np.float32)
+        for idx_list in groups.values():
+            batch = np.stack([images[i] for i in idx_list])
+            blur, skin = batched_image_noise(batch, blur_size=BLUR_SIZE)
+            if self.nsfw_fn is skin_fraction_risk:
+                nsfw = np.clip((skin - 0.3) / 0.5, 0.0, 1.0)
+            else:
+                nsfw = np.zeros_like(skin)
+            blurry = (blur < self.blur_threshold).astype(np.float32)
+            part[np.asarray(idx_list)] = np.maximum(nsfw, 0.5 * blurry)
+        return part
+
     def batch_compute(
         self,
         texts: Optional[Sequence[Optional[str]]] = None,
@@ -304,6 +352,21 @@ class NoiseEstimator:
         if all(im is None for im in images):
             # Pure-text corpus: fully vectorized, no per-doc loop at all.
             vals = np.clip(np.nan_to_num(text_part, nan=0.0), 0.0, 1.0)
+            if progress is not None:
+                progress(n)
+            return vals.astype(float).tolist()
+        img_part = self._batch_image_parts(images)
+        if img_part is not None:
+            # Pre-decoded corpus: both components vectorized; per-doc mean
+            # over the present modalities, identical to the scalar combine.
+            both = np.stack([text_part, img_part])
+            present = (~np.isnan(both)).sum(axis=0)
+            vals = np.where(
+                present > 0,
+                np.nansum(both, axis=0) / np.maximum(present, 1),
+                0.0,
+            )
+            vals = np.clip(vals, 0.0, 1.0)
             if progress is not None:
                 progress(n)
             return vals.astype(float).tolist()

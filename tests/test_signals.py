@@ -282,6 +282,75 @@ class TestRedundancy:
         assert any(set(c) == {0, 5} for c in clusters)
 
 
+class TestBatchedImageNoise:
+    """Device-batched blur + skin kernel (ops/image_noise.py) vs the scalar
+    per-image path it replaces in pre-decoded/packed corpora."""
+
+    def _imgs(self, n=6, size=64, seed=0):
+        rng = np.random.default_rng(seed)
+        imgs = rng.integers(0, 256, (n, size, size, 3), dtype=np.uint8)
+        imgs[0] = 128  # flat -> decisively blurry
+        return imgs
+
+    def test_kernel_matches_scalar_components(self):
+        from dewi_tpu.ops.image_noise import batched_image_noise
+        from dewi_tpu.signals.noise import skin_fraction_risk
+
+        est = NoiseEstimator()
+        imgs = self._imgs()
+        blur, skin = batched_image_noise(imgs)
+        for i in range(len(imgs)):
+            want_blur = est.blur_score(imgs[i])
+            # Scalar path quantizes the PIL-upscaled image to uint8 before
+            # the luma dot; the batched path stays in f32 (documented).
+            assert blur[i] == pytest.approx(want_blur, abs=0.05, rel=0.1)
+            want_risk = skin_fraction_risk(imgs[i])
+            got_risk = float(np.clip((skin[i] - 0.3) / 0.5, 0.0, 1.0))
+            assert got_risk == pytest.approx(want_risk, abs=1e-5)
+
+    def test_batch_compute_fastpath_matches_scalar_loop(self, monkeypatch):
+        imgs = list(self._imgs())
+        texts = [f"some doc {i}" for i in range(len(imgs))]
+        texts[2] = None
+        imgs[3] = None
+        est = NoiseEstimator()
+        fast = est.batch_compute(texts=texts, images=imgs)
+        monkeypatch.setattr(est, "_batch_image_parts", lambda images: None)
+        slow = est.batch_compute(texts=texts, images=imgs)
+        # Decisively-sharp/flat inputs: the blur indicator agrees, skin is
+        # exact at 64 px, so the combined scores match to float noise.
+        np.testing.assert_allclose(fast, slow, atol=1e-5)
+
+    def test_mixed_shapes_grouped(self):
+        rng = np.random.default_rng(3)
+        imgs = [
+            rng.integers(0, 256, (64, 64, 3), dtype=np.uint8),
+            rng.integers(0, 256, (96, 96, 3), dtype=np.uint8),
+            None,
+        ]
+        est = NoiseEstimator()
+        part = est._batch_image_parts(imgs)
+        assert part is not None
+        assert np.isfinite(part[0]) and np.isfinite(part[1])
+        assert np.isnan(part[2])
+
+    def test_ineligible_inputs_fall_back(self):
+        est = NoiseEstimator()
+        # float image -> scalar loop
+        assert est._batch_image_parts(
+            [np.zeros((16, 16, 3), np.float32)]
+        ) is None
+        # oversized image -> scalar loop (PIL area downscale differs)
+        assert est._batch_image_parts(
+            [np.zeros((512, 512, 3), np.uint8)]
+        ) is None
+        # custom nsfw_fn -> scalar loop
+        est2 = NoiseEstimator(nsfw_fn=lambda im: 0.9)
+        assert est2._batch_image_parts(
+            [np.zeros((16, 16, 3), np.uint8)]
+        ) is None
+
+
 class TestNoise:
     def test_text_quality_heuristics(self):
         est = NoiseEstimator()
