@@ -319,6 +319,25 @@ def iter_corpus_batches(
     ``to_image_array`` — so results do not depend on whether the caller
     passes one 4D array or a list of 3D arrays.
     """
+    from .device_images import DeviceImages
+
+    if isinstance(images, DeviceImages):
+        # Device-resident corpus: per-batch device slices (and on-device
+        # resize when the stage resolution differs) — zero host decode and
+        # zero re-upload; the pad rides on device too.
+        import jax.numpy as jnp
+
+        n = len(images)
+        for s in range(0, n, batch_size):
+            hi = min(s + batch_size, n)
+            chunk = images.rows_at(s, hi, size)
+            pad = batch_size - (hi - s)
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            yield chunk, pad
+        return
     if (
         isinstance(images, np.ndarray)
         and images.ndim == 4

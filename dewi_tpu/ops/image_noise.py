@@ -110,19 +110,24 @@ def batched_image_noise(
     skin_size: int = 64,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Device-batched ``(blur_score [B], skin_frac [B])`` for a uniform
-    ``[B, H, W, 3]`` uint8 array.  Chunked at :data:`CHUNK` images per
-    dispatch (bounds the transfer buffer; the last chunk pads to the full
-    chunk size so every dispatch hits the same compiled program)."""
-    imgs = np.ascontiguousarray(imgs)
+    ``[B, H, W, 3]`` uint8 array — host ndarray or device-resident
+    ``jax.Array`` (DeviceImages corpus: zero re-upload).  Chunked at
+    :data:`CHUNK` images per dispatch (bounds the transfer buffer; the last
+    chunk pads to the full chunk size so every dispatch hits the same
+    compiled program)."""
+    on_device = isinstance(imgs, jax.Array)
+    if not on_device:
+        imgs = np.ascontiguousarray(imgs)
     n = imgs.shape[0]
     blur = np.empty(n, np.float32)
     skin = np.empty(n, np.float32)
+    xp = jnp if on_device else np
     for s in range(0, n, CHUNK):
         part = imgs[s : s + CHUNK]
         b = part.shape[0]
         if b < CHUNK and n > CHUNK:
-            pad = np.zeros((CHUNK - b, *imgs.shape[1:]), imgs.dtype)
-            part = np.concatenate([part, pad], axis=0)
+            pad = xp.zeros((CHUNK - b, *imgs.shape[1:]), imgs.dtype)
+            part = xp.concatenate([part, pad], axis=0)
         lv, sf = _image_noise_kernel(
             jnp.asarray(part), blur_size=blur_size, skin_size=skin_size
         )

@@ -768,10 +768,28 @@ class DewiPipeline:
     # per-doc dict/stack in the hot loop.  This is the path that closes the
     # "3.3k docs/s end-to-end vs 35k docs/s device" gap (VERDICT r2 #2).
 
-    def _corpus_rows(self, corpus, idx, size: int, cache=None):
-        """Image batch for corpus rows ``idx`` at ``size`` (or source list)."""
+    def _corpus_rows(self, corpus, idx, size: int, cache=None, dev=None):
+        """Image batch for corpus rows ``idx`` at ``size`` (or source list).
+
+        ``dev`` is an optional ``(DeviceImages, pos_map_or_None)`` pair: when
+        set, the batch is served as device-resident rows (a DeviceImages
+        view — ``iter_corpus_batches`` slices/resizes it in HBM with zero
+        host decode or re-upload).  Only pass ``dev`` to consumers that
+        stream through ``iter_corpus_batches``.
+        """
         imgs = corpus.images
         idx = np.asarray(idx, np.int64)
+        if dev is not None:
+            di, pos = dev
+            rows = (
+                idx if pos is None
+                else np.asarray([pos[int(i)] for i in idx], np.int64)
+            )
+            if rows.size == len(di) and np.array_equal(
+                rows, np.arange(len(di))
+            ):
+                return di
+            return di.gather(rows)
         if hasattr(imgs, "rows"):  # PackedImages: mmap slice (+downscale)
             return imgs.rows(idx, size)
         if isinstance(imgs, np.ndarray):  # dense pre-decoded corpus
@@ -783,6 +801,34 @@ class DewiPipeline:
         if cache is not None:
             return cache.rows(list(idx), size)
         return [imgs[i] for i in idx]
+
+    def _device_corpus(self, corpus, cache=None):
+        """``(DeviceImages, pos_map_or_None)`` for this corpus, or ``None``.
+
+        Uploads a uniform uint8 image corpus to HBM ONCE so the MAE tower,
+        the CLIP vision tower, and the blur/skin noise kernel all read
+        device memory instead of each re-uploading the same bytes (3x the
+        corpus over PCIe/tunnel otherwise).  Sources, in order of
+        preference: a dense ``[N, H, W, 3]`` corpus array, a PackedImages
+        mmap (one sequential read), or the decode-once cache.  Gated on the
+        ``DEWI_DEVICE_IMAGES_MAX_BYTES`` budget — over-budget corpora keep
+        the host paths unchanged (io/device_images.py).
+        """
+        from .io.device_images import device_images_or_none
+
+        imgs = corpus.images
+        src, pos = None, None
+        if isinstance(imgs, np.ndarray) and imgs.ndim == 4:
+            src = imgs
+        elif hasattr(imgs, "data") and isinstance(
+            getattr(imgs, "data", None), np.ndarray
+        ):
+            src = imgs.data  # PackedImages: materialise the mmap once
+        elif cache is not None and cache.cache is not None:
+            src = cache.cache.base
+            pos = cache.pos  # cache rows are img_idx-aligned, not doc-aligned
+        di = device_images_or_none(src) if src is not None else None
+        return (di, pos) if di is not None else None
 
     def compute_signals_corpus(self, corpus, progress: bool = False):
         """Fill ``corpus.signals`` (all 7 columns) stage by stage."""
@@ -814,12 +860,14 @@ class DewiPipeline:
             cache = self._decode_sources(
                 [corpus.images[i] for i in iidx], list(iidx)
             )
+        dev = self._device_corpus(corpus, cache) if iidx.size else None
         if iidx.size:
             m = ProgressMeter(int(iidx.size), "image entropy",
                               enabled=progress)
             means, q90s = self.image_entropy.batch_compute_stats(
                 self._corpus_rows(corpus, iidx,
-                                  self.image_entropy.image_size, cache),
+                                  self.image_entropy.image_size, cache,
+                                  dev=dev),
                 progress=m.update,
             )
             m.close()
@@ -853,7 +901,7 @@ class DewiPipeline:
                 v_emb = self.cross_modal.encode_images(
                     self._corpus_rows(corpus, v_want,
                                       self.cross_modal.cfg.image_size,
-                                      cache),
+                                      cache, dev=dev),
                     progress=m.update,
                 )
                 m.close()
@@ -866,14 +914,15 @@ class DewiPipeline:
             )
 
         self.ensure_embeddings_corpus(
-            corpus, cache=cache,
+            corpus, cache=cache, dev=dev,
             _t_emb=t_emb if need_emb else None,
             _v_emb=v_emb if need_emb else None,
         )
         self._redundancy_corpus(corpus, cache=cache)
-        return self._noise_corpus(corpus, cache=cache, progress=progress)
+        return self._noise_corpus(corpus, cache=cache, dev=dev,
+                                  progress=progress)
 
-    def ensure_embeddings_corpus(self, corpus, cache=None,
+    def ensure_embeddings_corpus(self, corpus, cache=None, dev=None,
                                  _t_emb=None, _v_emb=None):
         """Fill ``corpus.embeddings`` from the CLIP towers (vectorized
         combine; same semantics as :meth:`ensure_embeddings`).
@@ -907,7 +956,7 @@ class DewiPipeline:
                 else self.cross_modal.encode_images(
                     self._corpus_rows(corpus, iidx,
                                       self.cross_modal.cfg.image_size,
-                                      cache)
+                                      cache, dev=dev)
                 )
             )
             emb[iidx] += v_emb
@@ -958,12 +1007,38 @@ class DewiPipeline:
         corpus.signals[:, COL["redundancy"]] = scores
         return corpus
 
-    def _noise_corpus(self, corpus, cache=None, progress: bool = False):
+    def _noise_corpus(self, corpus, cache=None, dev=None,
+                      progress: bool = False):
         from .corpus import COL
         from .signals.noise import BLUR_SIZE
         from .utils.progress import ProgressMeter
 
         n = len(corpus)
+        texts = corpus.texts if corpus.texts is not None else [None] * n
+        # Doc-aligned device corpus within the blur kernel's fidelity window:
+        # run blur+skin straight off HBM (zero transfer), present-masked.
+        if (
+            dev is not None and dev[1] is None and len(dev[0]) == n
+            and dev[0].size <= BLUR_SIZE and dev[0].shape[2] <= BLUR_SIZE
+        ):
+            imgs4 = dev[0].base
+        elif (
+            isinstance(corpus.images, np.ndarray)
+            and corpus.images.ndim == 4 and len(corpus.images) == n
+        ):
+            # Dense host corpus: the masked array path batches eligible
+            # shapes and degrades to the per-doc loop internally otherwise.
+            imgs4 = corpus.images
+        else:
+            imgs4 = None
+        if imgs4 is not None:
+            m = ProgressMeter(n, "noise", enabled=progress)
+            corpus.signals[:, COL["noise"]] = self.noise.batch_compute(
+                texts=texts, images=imgs4,
+                present=corpus.has_image, progress=m.update,
+            )
+            m.close()
+            return corpus
         if cache is not None and cache.cache is not None and \
                 cache.cache.base_size >= BLUR_SIZE:
             img_list = [

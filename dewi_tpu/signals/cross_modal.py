@@ -264,9 +264,13 @@ class CrossModalDependency:
             if not group:
                 return
             if len(group) == S:
+                chunks = [c for c, _ in group]
+                stacked = (
+                    jnp.stack(chunks) if isinstance(chunks[0], jax.Array)
+                    else jnp.asarray(np.stack(chunks))
+                )  # device chunks stack on device (DeviceImages corpus)
                 e3 = np.asarray(self._encode_image_super(
-                    self.params,
-                    jnp.asarray(np.stack([c for c, _ in group])),
+                    self.params, stacked,
                 ))
                 for i, (_, pad) in enumerate(group):
                     out.append(e3[i][: bs - pad])

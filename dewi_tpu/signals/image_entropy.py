@@ -256,7 +256,13 @@ class ImageEntropyEstimator:
             if not group:
                 return
             if len(group) == S:
-                images4 = np.stack([c for c, _ in group])
+                chunks = [c for c, _ in group]
+                # Device-resident chunks (DeviceImages corpus) stack on
+                # device; np.stack would silently round-trip to host.
+                images4 = (
+                    jnp.stack(chunks) if isinstance(chunks[0], jax.Array)
+                    else np.stack(chunks)
+                )
                 rngs = jnp.stack([
                     jax.random.fold_in(base_key, (ordinal + i) * bs)
                     for i in range(S)
@@ -298,6 +304,12 @@ def to_f32_batch(batch: np.ndarray) -> np.ndarray:
 
     Float batches in uint8 range scale down too (same convention as
     ``to_image_array``)."""
+    if isinstance(batch, jax.Array):
+        # Device chunk (DeviceImages): stay on device.  uint8 scales; the
+        # on-device resize already emits f32 in [0, 1].
+        if batch.dtype == jnp.uint8:
+            return batch.astype(jnp.float32) * (1.0 / 255.0)
+        return batch.astype(jnp.float32)
     if batch.dtype == np.uint8:
         return batch.astype(np.float32) / 255.0
     b = batch.astype(np.float32)

@@ -325,28 +325,81 @@ class NoiseEstimator:
             groups.setdefault(im.shape[:2], []).append(i)
         if not groups:
             return None
-        from ..ops.image_noise import batched_image_noise
-
         part = np.full(len(images), np.nan, np.float32)
         for idx_list in groups.values():
             batch = np.stack([images[i] for i in idx_list])
-            blur, skin = batched_image_noise(batch, blur_size=BLUR_SIZE)
-            if self.nsfw_fn is skin_fraction_risk:
-                nsfw = np.clip((skin - 0.3) / 0.5, 0.0, 1.0)
-            else:
-                nsfw = np.zeros_like(skin)
-            blurry = (blur < self.blur_threshold).astype(np.float32)
-            part[np.asarray(idx_list)] = np.maximum(nsfw, 0.5 * blurry)
+            sub = self._array_image_parts(batch, None)
+            if sub is None:  # pragma: no cover - eligibility checked above
+                return None
+            part[np.asarray(idx_list)] = sub
         return part
+
+    def _array_image_parts(
+        self, imgs, present: Optional[np.ndarray]
+    ) -> Optional[np.ndarray]:
+        """Fast path for a uniform ``[N, H, W, 3]`` uint8 batch — host
+        ndarray or device-resident ``jax.Array`` (no re-upload).  Same
+        eligibility rules as :meth:`_batch_image_parts`; ``present`` rows
+        set to False come back NaN (doc has no image)."""
+        if self.ocr is not None:
+            return None
+        if self.nsfw_fn is not None and self.nsfw_fn is not skin_fraction_risk:
+            return None
+        if imgs.ndim != 4 or imgs.shape[-1] != 3 or imgs.dtype != np.uint8:
+            return None
+        h, w = imgs.shape[1], imgs.shape[2]
+        if not (2 <= h <= BLUR_SIZE and 2 <= w <= BLUR_SIZE):
+            return None
+        from ..ops.image_noise import batched_image_noise
+
+        blur, skin = batched_image_noise(imgs, blur_size=BLUR_SIZE)
+        if self.nsfw_fn is skin_fraction_risk:
+            nsfw = np.clip((skin - 0.3) / 0.5, 0.0, 1.0)
+        else:
+            nsfw = np.zeros_like(skin)
+        part = np.maximum(
+            nsfw, 0.5 * (blur < self.blur_threshold).astype(np.float32)
+        )
+        if present is not None:
+            part = np.where(np.asarray(present, bool), part, np.nan)
+        return part.astype(np.float32)
 
     def batch_compute(
         self,
         texts: Optional[Sequence[Optional[str]]] = None,
         images: Optional[Sequence] = None,
         progress=None,
+        present: Optional[np.ndarray] = None,
     ) -> List[float]:
+        """Per-doc combined noise.  ``images`` may be a per-doc sequence
+        (entries None where absent) or one uniform ``[N, H, W, 3]`` uint8
+        array — host or device-resident — with ``present`` marking which
+        rows actually carry an image (default: all)."""
+        arr_part: Optional[np.ndarray] = None
+        if images is not None and hasattr(images, "ndim") and \
+                getattr(images, "ndim", 0) == 4:
+            arr_part = self._array_image_parts(images, present)
+            if arr_part is None:
+                host = np.asarray(images)  # device input: one transfer
+                keep = (
+                    np.asarray(present, bool) if present is not None
+                    else np.ones(len(host), bool)
+                )
+                images = [host[i] if keep[i] else None
+                          for i in range(len(host))]
         n = len(texts) if texts is not None else len(images)  # type: ignore[arg-type]
         texts = texts if texts is not None else [None] * n
+        if arr_part is not None:
+            text_part = self._batch_text_parts(texts)
+            both = np.stack([text_part, arr_part])
+            cnt = (~np.isnan(both)).sum(axis=0)
+            vals = np.where(
+                cnt > 0, np.nansum(both, axis=0) / np.maximum(cnt, 1), 0.0
+            )
+            vals = np.clip(vals, 0.0, 1.0)
+            if progress is not None:
+                progress(n)
+            return vals.astype(float).tolist()
         images = images if images is not None else [None] * n
         text_part = self._batch_text_parts(texts)
         if all(im is None for im in images):
