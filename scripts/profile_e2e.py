@@ -157,9 +157,17 @@ def main() -> int:
     stage_s["text_entropy"] = time.perf_counter() - t0
     c2.signals[tidx, COL["ht_mean"]] = means[tidx]
     c2.signals[tidx, COL["ht_q90"]] = q90s[tidx]
+    # Match the real columnar path: one device-resident upload, stages
+    # slice HBM (io/device_images.py); falls back to host arrays when gated.
+    dev = pipe._device_corpus(c2) if images is not None else None
+    dev_imgs = dev[0] if dev is not None else images
+    if dev is not None:
+        _, stage_s["device_upload"] = timed(
+            lambda: np.asarray(dev_imgs.base[0, 0, 0])  # force the put
+        )
     if images is not None:
         t0 = time.perf_counter()
-        m2, q2 = pipe.image_entropy.batch_compute_stats(images)
+        m2, q2 = pipe.image_entropy.batch_compute_stats(dev_imgs)
         c2.signals[:, COL["hi_mean"]] = m2
         c2.signals[:, COL["hi_q90"]] = q2
         stage_s["image_entropy"] = time.perf_counter() - t0
@@ -171,14 +179,14 @@ def main() -> int:
     v_emb = None
     if images is not None:
         t0 = time.perf_counter()
-        v_emb = pipe.cross_modal.encode_images(images)
+        v_emb = pipe.cross_modal.encode_images(dev_imgs)
         stage_s["clip_image_encode"] = time.perf_counter() - t0
         c2.signals[:, COL["I_hat"]] = np.sum(t_emb * v_emb, axis=1)
     _, stage_s["embeddings"] = timed(
-        pipe.ensure_embeddings_corpus, c2, None, t_emb, v_emb
+        pipe.ensure_embeddings_corpus, c2, _t_emb=t_emb, _v_emb=v_emb
     )
     _, stage_s["redundancy"] = timed(pipe._redundancy_corpus, c2)
-    _, stage_s["noise"] = timed(pipe._noise_corpus, c2)
+    _, stage_s["noise"] = timed(lambda: pipe._noise_corpus(c2, dev=dev))
     scorer = pipe._make_scorer()
     c2.dewi, stage_s["score"] = timed(
         lambda: np.asarray(scorer.fit_and_score(c2.signals, mode="standard"))
