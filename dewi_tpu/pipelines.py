@@ -840,6 +840,19 @@ class DewiPipeline:
             return corpus
         sig = corpus.signals
         tidx = np.nonzero(corpus.has_text)[0]
+        iidx = np.nonzero(corpus.has_image)[0]
+        # Start the one-time device-resident image upload FIRST:
+        # jax.device_put is async, so the corpus streams to HBM while the
+        # text-entropy LM runs — the transfer hides behind stage 1 instead
+        # of serializing ahead of stage 2.  (Per-doc sources can't pre-put:
+        # they decode below, after which _device_corpus retries from cache.)
+        dev = (
+            self._device_corpus(corpus)
+            if iidx.size and (
+                hasattr(corpus.images, "rows")
+                or isinstance(corpus.images, np.ndarray)
+            ) else None
+        )
         if tidx.size:
             m = ProgressMeter(int(tidx.size), "text entropy",
                               enabled=progress)
@@ -850,7 +863,6 @@ class DewiPipeline:
             sig[tidx, COL["ht_mean"]] = means
             sig[tidx, COL["ht_q90"]] = q90s
 
-        iidx = np.nonzero(corpus.has_image)[0]
         cache = None
         if iidx.size and not (
             hasattr(corpus.images, "rows")
@@ -860,7 +872,8 @@ class DewiPipeline:
             cache = self._decode_sources(
                 [corpus.images[i] for i in iidx], list(iidx)
             )
-        dev = self._device_corpus(corpus, cache) if iidx.size else None
+        if dev is None and iidx.size:
+            dev = self._device_corpus(corpus, cache)
         if iidx.size:
             m = ProgressMeter(int(iidx.size), "image entropy",
                               enabled=progress)
