@@ -209,6 +209,25 @@ def process(
                 from .corpus import Corpus
 
                 corpus = Corpus.from_documents(documents)
+                # Pure packed-image corpora: hand the pipeline the mmap
+                # pack itself rather than per-doc row views — signal stages
+                # then slice the 4-D mapping directly (and the one-time
+                # device-resident upload applies) instead of copying rows
+                # through the decode cache.
+                from .io.packed import is_packed_corpus
+
+                if (
+                    images and not texts and not embeddings
+                    and is_packed_corpus(images)
+                ):
+                    from .io.packed import PackedImages
+
+                    import numpy as np
+
+                    pack = PackedImages(images)
+                    if len(pack) == len(corpus):
+                        corpus.images = pack
+                        corpus.has_image = np.ones(len(corpus), bool)
                 pipeline.process_corpus(
                     corpus, delta=cfg.scoring.delta, mode=cfg.scoring.mode,
                     progress=True,

@@ -115,13 +115,17 @@ def batched_image_noise(
     :data:`CHUNK` images per dispatch (bounds the transfer buffer; the last
     chunk pads to the full chunk size so every dispatch hits the same
     compiled program)."""
+    from ..utils.deferred import DeferredFetcher
+
     on_device = isinstance(imgs, jax.Array)
     if not on_device:
         imgs = np.ascontiguousarray(imgs)
     n = imgs.shape[0]
-    blur = np.empty(n, np.float32)
-    skin = np.empty(n, np.float32)
     xp = jnp if on_device else np
+    # Deferred fetches: all chunks dispatch back to back; ONE host round
+    # trip returns every chunk's [b] aggregates (utils/deferred.py).
+    d_blur = DeferredFetcher()
+    d_skin = DeferredFetcher()
     for s in range(0, n, CHUNK):
         part = imgs[s : s + CHUNK]
         b = part.shape[0]
@@ -131,9 +135,13 @@ def batched_image_noise(
         lv, sf = _image_noise_kernel(
             jnp.asarray(part), blur_size=blur_size, skin_size=skin_size
         )
-        blur[s : s + b] = np.asarray(lv)[:b]
-        skin[s : s + b] = np.asarray(sf)[:b]
-    return blur, skin
+        cost = 0 if on_device else int(part.nbytes)
+        d_blur.append(lv, keep=b, cost=cost)
+        d_skin.append(sf, keep=b)
+    return (
+        d_blur.result().astype(np.float32),
+        d_skin.result().astype(np.float32),
+    )
 
 
 __all__ = ["batched_image_noise", "CHUNK"]

@@ -202,41 +202,35 @@ class CrossModalDependency:
                 )
             return pads, e3
 
-        out = []
+        # Deferred fetches (utils/deferred.py): supergroups launch back to
+        # back with NO per-group host round trip; the whole embedding matrix
+        # comes back in one fetch (budget-flushed for corpora whose device
+        # results would crowd HBM).  Host tokenization still overlaps device
+        # compute — dispatch is async.
+        from ..utils.deferred import DeferredFetcher
+
+        fetch = DeferredFetcher()
         starts = list(range(0, len(texts), bs))
         S = max(1, int(self.superbatch))
         pos = 0
-        # Double-buffered: JAX dispatch is async, so supergroup k+1 is
-        # tokenized and launched BEFORE blocking on supergroup k's result —
-        # host tokenization overlaps device compute (see text_entropy).
-        pending = None  # (pads, device e3)
         while len(starts) - pos >= S:
-            nxt = dispatch(starts[pos : pos + S])
-            if pending is not None:
-                pads, e3 = pending
-                e3 = np.asarray(e3)
-                for i, pad in enumerate(pads):
-                    out.append(e3[i][: bs - pad])
-                if progress is not None:
-                    progress(sum(bs - p for p in pads))
-            pending = nxt
-            pos += S
-        if pending is not None:
-            pads, e3 = pending
-            e3 = np.asarray(e3)
+            pads, e3 = dispatch(starts[pos : pos + S])
+            in_bytes = S * bs * tl * (2 if self._packed_ok else 8)
             for i, pad in enumerate(pads):
-                out.append(e3[i][: bs - pad])
+                fetch.append(e3[i], keep=bs - pad,
+                             cost=in_bytes if i == 0 else 0)
             if progress is not None:
                 progress(sum(bs - p for p in pads))
+            pos += S
         for s in starts[pos:]:
             ids, mask, pad = padded(s)
-            e = np.asarray(self._encode_text(
+            e = self._encode_text(
                 self.params, jnp.asarray(ids), jnp.asarray(mask)
-            ))
-            out.append(e[: bs - pad])
+            )
+            fetch.append(e, keep=bs - pad, cost=ids.nbytes + mask.nbytes)
             if progress is not None:
                 progress(bs - pad)
-        return np.concatenate(out)
+        return fetch.result()
 
     def _padded_image_batches(self, images: Sequence[ImageLike], bs: int):
         """``(batch [bs, S, S, 3], pad)`` stream: direct slices of a
@@ -256,9 +250,13 @@ class CrossModalDependency:
         if not len(images):
             return np.zeros((0, self.cfg.d_embed), np.float32)
         bs = self.batch_size
-        out = []
         S = max(1, int(self.superbatch))
         group = []
+        # Deferred fetches: no per-supergroup host round trip; one fetch of
+        # the whole embedding matrix at the end (budget-flushed at scale).
+        from ..utils.deferred import DeferredFetcher
+
+        fetch = DeferredFetcher()
 
         def flush_group():
             if not group:
@@ -269,17 +267,22 @@ class CrossModalDependency:
                     jnp.stack(chunks) if isinstance(chunks[0], jax.Array)
                     else jnp.asarray(np.stack(chunks))
                 )  # device chunks stack on device (DeviceImages corpus)
-                e3 = np.asarray(self._encode_image_super(
-                    self.params, stacked,
-                ))
+                e3 = self._encode_image_super(self.params, stacked)
+                in_bytes = (
+                    0 if isinstance(chunks[0], jax.Array)
+                    else int(stacked.size) * stacked.dtype.itemsize
+                )
                 for i, (_, pad) in enumerate(group):
-                    out.append(e3[i][: bs - pad])
+                    fetch.append(e3[i], keep=bs - pad,
+                                 cost=in_bytes if i == 0 else 0)
             else:
                 for chunk, pad in group:
-                    e = np.asarray(
-                        self._encode_image(self.params, jnp.asarray(chunk))
+                    e = self._encode_image(self.params, jnp.asarray(chunk))
+                    cost = (
+                        0 if isinstance(chunk, jax.Array)
+                        else getattr(chunk, "nbytes", 0)
                     )
-                    out.append(e[: bs - pad])
+                    fetch.append(e, keep=bs - pad, cost=cost)
             if progress is not None:
                 progress(sum(bs - p for _, p in group))
             group.clear()
@@ -289,7 +292,7 @@ class CrossModalDependency:
             if len(group) == S:
                 flush_group()
         flush_group()
-        return np.concatenate(out)
+        return fetch.result()
 
     # -- public API -----------------------------------------------------------
 

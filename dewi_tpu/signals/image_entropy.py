@@ -247,14 +247,21 @@ class ImageEntropyEstimator:
 
         # Group S prefetched batches per dispatch; the loader decodes ahead
         # on host threads while the previous supergroup runs on device.
+        # Results stay on device (DeferredFetcher): one host fetch at the
+        # end of the corpus instead of a blocking round trip per supergroup.
+        from ..utils.deferred import DeferredFetcher
+
         S = max(1, int(self.superbatch))
         group: List[Tuple[np.ndarray, int]] = []
         ordinal = 0
+        d_mean = DeferredFetcher()
+        d_q90 = DeferredFetcher()
 
         def flush_group() -> None:
             nonlocal ordinal
             if not group:
                 return
+            pads = [pad for _, pad in group]
             if len(group) == S:
                 chunks = [c for c, _ in group]
                 # Device-resident chunks (DeviceImages corpus) stack on
@@ -270,21 +277,26 @@ class ImageEntropyEstimator:
                 m3, q3 = self._stats_super(
                     self.params, jnp.asarray(images4), rngs
                 )
-                m3 = np.asarray(m3)
-                q3 = np.asarray(q3)
-                for i, (_, pad) in enumerate(group):
-                    means.extend(m3[i][: bs - pad].tolist())
-                    q90s.extend(q3[i][: bs - pad].tolist())
+                in_bytes = (
+                    0 if isinstance(images4, jax.Array) else images4.nbytes
+                )
+                for i, pad in enumerate(pads):
+                    d_mean.append(m3[i], keep=bs - pad,
+                                  cost=in_bytes if i == 0 else 0)
+                    d_q90.append(q3[i], keep=bs - pad)
             else:
                 for i, (chunk, pad) in enumerate(group):
                     m, q = self._stats(
                         self.params, jnp.asarray(chunk),
                         jax.random.fold_in(base_key, (ordinal + i) * bs),
                     )
-                    means.extend(np.asarray(m)[: bs - pad].tolist())
-                    q90s.extend(np.asarray(q)[: bs - pad].tolist())
+                    in_bytes = (
+                        0 if isinstance(chunk, jax.Array) else chunk.nbytes
+                    )
+                    d_mean.append(m, keep=bs - pad, cost=in_bytes)
+                    d_q90.append(q, keep=bs - pad)
             if progress is not None:
-                progress(sum(bs - pad for _, pad in group))
+                progress(sum(bs - pad for pad in pads))
             ordinal += len(group)
             group.clear()
 
@@ -293,7 +305,10 @@ class ImageEntropyEstimator:
             if len(group) == S:
                 flush_group()
         flush_group()
-        return np.asarray(means, np.float32), np.asarray(q90s, np.float32)
+        return (
+            d_mean.result().astype(np.float32),
+            d_q90.result().astype(np.float32),
+        )
 
     def __call__(self, image: ImageLike, **kwargs) -> float:
         return self.score(image, **kwargs)

@@ -493,14 +493,26 @@ class TextEntropyEstimator:
         q90_col = self.quantiles.index(0.9) if 0.9 in self.quantiles else 0
         S = max(1, int(self.superbatch))
 
-        def write_back(chunk, mean, qs):
-            rows = np.arange(len(chunk))
-            cidx = np.asarray(chunk)
-            means[cidx] = mean[rows]
-            q90s[cidx] = qs[rows, q90_col]
-            q99s[cidx] = qs[rows, -1]
+        # Deferred fetches: every dispatch's [.., bs] aggregates stay on
+        # device; placements record where each batch's rows land, and ONE
+        # fetch at the end of the corpus replaces a blocking round trip per
+        # supergroup (~30 ms each through the dev tunnel — formerly ~45% of
+        # this stage's wall time at 16k docs).
+        from ..utils.deferred import DeferredFetcher
+
+        d_mean = DeferredFetcher()
+        d_qs = DeferredFetcher()
+        placements: List[tuple] = []  # (flat row offset, chunk doc indices)
+
+        def defer(chunks, mean_dev, qs_dev, in_bytes: int) -> None:
+            # mean_dev: [G, bs] or [bs]; qs_dev: [G, bs, Q] or [bs, Q].
+            nq = qs_dev.shape[-1]
+            off = d_mean.append(mean_dev.reshape(-1), cost=in_bytes)
+            d_qs.append(qs_dev.reshape(-1, nq))
+            for s, chunk in enumerate(chunks):
+                placements.append((off + s * bs, chunk))
             if progress is not None:
-                progress(len(chunk))
+                progress(sum(len(c) for c in chunks))
 
         def encode_padded(chunk, blen):
             ids, mask = self.tokenizer.encode_batch(
@@ -534,11 +546,11 @@ class TextEntropyEstimator:
         for blen, idxs in sorted(buckets.items()):
             batches = [idxs[s : s + bs] for s in range(0, len(idxs), bs)]
             pos = 0
-            # Full superbatches: S padded batches scored per dispatch.
-            # Double-buffered: JAX dispatch is async, so the host tokenizes
-            # and launches supergroup k+1 BEFORE blocking on supergroup k's
-            # results — tokenization overlaps device compute.
-            pending = None  # (group, device mean3, device qs3)
+            # Full superbatches: S padded batches scored per dispatch.  JAX
+            # dispatch is async, so the host tokenizes and launches the next
+            # supergroup while earlier ones run on device; results are NOT
+            # fetched here (see `defer`), so the only host stalls are the
+            # fetcher's budget flushes.
             while len(batches) - pos >= S:
                 group = batches[pos : pos + S]
                 if self._packed_ok:
@@ -554,6 +566,7 @@ class TextEntropyEstimator:
                         mean3, qs3 = self._score_super_packed(
                             self.params, jnp.asarray(ids3_u16)
                         )
+                    in_bytes = ids3_u16.nbytes
                 else:
                     enc3 = [encode_padded(c, blen) for c in group]
                     ids3 = np.stack([e[0] for e in enc3])
@@ -567,20 +580,9 @@ class TextEntropyEstimator:
                         mean3, qs3 = self._score_super(
                             self.params, jnp.asarray(ids3), jnp.asarray(mask3)
                         )
-                if pending is not None:
-                    pgroup, pmean, pqs = pending
-                    pmean = np.asarray(pmean)
-                    pqs = np.asarray(pqs)
-                    for s, chunk in enumerate(pgroup):
-                        write_back(chunk, pmean[s], pqs[s])
-                pending = (group, mean3, qs3)
+                    in_bytes = ids3.nbytes + mask3.nbytes
+                defer(group, mean3, qs3, in_bytes)
                 pos += S
-            if pending is not None:
-                pgroup, pmean, pqs = pending
-                pmean = np.asarray(pmean)
-                pqs = np.asarray(pqs)
-                for s, chunk in enumerate(pgroup):
-                    write_back(chunk, pmean[s], pqs[s])
             # Remainder: per-batch dispatches (same trace as compute_entropy).
             for chunk in batches[pos:]:
                 ids, mask = encode_padded(chunk, blen)
@@ -593,7 +595,16 @@ class TextEntropyEstimator:
                     _, _, mean, qs = self._score_batch(
                         self.params, jnp.asarray(ids), jnp.asarray(mask)
                     )
-                write_back(chunk, np.asarray(mean), np.asarray(qs))
+                defer([chunk], mean, qs, ids.nbytes + mask.nbytes)
+        if placements:
+            flat_mean = d_mean.result()
+            flat_qs = d_qs.result()
+            for off, chunk in placements:
+                cidx = np.asarray(chunk)
+                rows = np.arange(len(chunk)) + off
+                means[cidx] = flat_mean[rows]
+                q90s[cidx] = flat_qs[rows, q90_col]
+                q99s[cidx] = flat_qs[rows, -1]
         return means, q90s, q99s
 
     def __call__(self, text: str, **kwargs) -> TextEntropyResult:
