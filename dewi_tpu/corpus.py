@@ -86,6 +86,10 @@ class Corpus:
             self.has_image = np.array(
                 [_image_at(self.images, i) is not None for i in range(n)]
             )
+        # bool[N] marking which ``embeddings`` rows were supplied externally;
+        # None == all of them (when ``embeddings`` is set).  Rows outside the
+        # mask are placeholders the pipeline's ensure_embeddings_corpus fills.
+        self.ext_embedding_mask: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -123,17 +127,28 @@ class Corpus:
             dewi = np.array(
                 [float(d.dewi_score or 0.0) for d in documents], np.float32
             )
+        # External embeddings may be partial (e.g. the CLI's --embeddings
+        # file alongside --texts): carry the supplied rows plus a mask so
+        # ensure_embeddings_corpus fills ONLY the missing ones — matching
+        # the object path's per-doc ``ensure_embeddings`` semantics instead
+        # of silently discarding and re-zeroing user vectors.
         emb = None
-        if all(d.embedding is not None for d in documents) and n:
-            dims = {len(d.embedding) for d in documents}
+        ext_mask = np.array([d.embedding is not None for d in documents],
+                            bool)
+        if ext_mask.any() and n:
+            dims = {
+                len(d.embedding) for d in documents
+                if d.embedding is not None
+            }
             if len(dims) == 1:
-                emb = np.stack(
-                    [np.asarray(d.embedding, np.float32) for d in documents]
-                )
+                emb = np.zeros((n, dims.pop()), np.float32)
+                for i, d in enumerate(documents):
+                    if d.embedding is not None:
+                        emb[i] = np.asarray(d.embedding, np.float32)
         images: Any = [d.image_source() for d in documents]
         if not any(s is not None for s in images):
             images = None
-        return cls(
+        corpus = cls(
             ids=[d.doc_id for d in documents],
             texts=[d.text for d in documents],
             images=images,
@@ -141,6 +156,9 @@ class Corpus:
             signals=sig,
             dewi=dewi,
         )
+        if emb is not None and not ext_mask.all():
+            corpus.ext_embedding_mask = ext_mask
+        return corpus
 
     def to_documents(self) -> List:
         """Materialize the parity ``Document`` view (None where a modality
@@ -172,8 +190,15 @@ class Corpus:
             raise ValueError(
                 f"{len(documents)} documents vs corpus of {len(self)}"
             )
+        mask = self.ext_embedding_mask
+        filled = getattr(self, "clip_filled_mask", None)
         for i, d in enumerate(documents):
-            if self.embeddings is not None:
+            # Write a row back only if it was supplied externally or filled
+            # by the CLIP towers — never a zero placeholder row.
+            if self.embeddings is not None and (
+                mask is None or mask[i]
+                or (filled is not None and filled[i])
+            ):
                 d.embedding = self.embeddings[i]
             if self.has_text[i]:
                 d.ht_mean = float(self.signals[i, COL["ht_mean"]])

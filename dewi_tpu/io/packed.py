@@ -167,29 +167,40 @@ class PackedImages:
     def __getitem__(self, i) -> np.ndarray:
         return self.data[i]
 
-    def rows(self, idx_list: Sequence[int], size: int) -> np.ndarray:
-        """``[n, size, size, 3]`` uint8 batch for ``idx_list`` at ``size``.
+    # Downscale requests above this many rows return a lazy view instead of
+    # one materialized [n, size, size, 3] allocation — a corpus-sized
+    # resize request (e.g. the pHash stage over 1M rows) must stream
+    # batch-by-batch, not pre-allocate gigabytes of host RAM.
+    MATERIALIZE_ROWS = 8192
+
+    def rows(self, idx_list: Sequence[int], size: int):
+        """Uint8 batch for ``idx_list`` at ``size``.
 
         Contiguous full-range requests return the mapping itself (zero
-        copy); smaller target sizes downscale in-memory (≈50 µs/img, ~20×
-        cheaper than a decode).
+        copy); small downscale requests return a materialized
+        ``[n, size, size, 3]`` array (≈50 µs/img, ~20× cheaper than a
+        decode); downscale requests beyond :attr:`MATERIALIZE_ROWS` return
+        a lazy per-row view the batch iterators and per-image loops stream
+        through without ever holding the whole resized corpus.
         """
         size = int(size)
         idx = np.asarray(idx_list, dtype=np.int64)
-        if size == self.base_size:
-            if idx.size == len(self) and np.array_equal(
-                idx, np.arange(len(self))
-            ):
-                return self.data
-            return self.data[idx]
-        if size > self.base_size:
-            logger.warning(
-                "Packed corpus holds %dpx but %dpx was requested; serving "
-                "%dpx (the model will upscale). Re-pack at a larger size "
-                "if this stage's fidelity matters.",
-                self.base_size, size, self.base_size,
-            )
-            return self.data[idx]
+        full = idx.size == len(self) and np.array_equal(
+            idx, np.arange(len(self))
+        )
+        if size >= self.base_size:
+            if size > self.base_size:
+                logger.warning(
+                    "Packed corpus holds %dpx but %dpx was requested; "
+                    "serving %dpx (the model will upscale). Re-pack at a "
+                    "larger size if this stage's fidelity matters.",
+                    self.base_size, size, self.base_size,
+                )
+            # Full range: the mapping itself — a fancy-index here would
+            # copy the whole file into RAM.
+            return self.data if full else self.data[idx]
+        if idx.size > self.MATERIALIZE_ROWS:
+            return _ResizedRows(self.data, idx, size)
         out = np.empty((idx.size, size, size, 3), np.uint8)
         for j, i in enumerate(idx):
             out[j] = resize_uint8(self.data[i], size)
@@ -214,6 +225,38 @@ class PackedImages:
             Document(doc_id=str(ids[i]), text=texts[i], image=self.data[i])
             for i in range(n)
         ]
+
+
+class _ResizedRows:
+    """Lazy downscaled view over packed mmap rows.
+
+    Behaves as a sequence of ``[size, size, 3]`` uint8 images: per-item
+    access resizes ONE mmap row, so corpus-scale consumers
+    (``iter_padded_batches`` streaming, ``score_images``'s per-image pHash
+    loop) never hold more than a batch in RAM.  ``np.asarray`` on a small
+    instance still materializes correctly via the iteration protocol.
+    """
+
+    def __init__(self, data: np.ndarray, idx: np.ndarray, size: int) -> None:
+        self._data = data
+        self._idx = idx
+        self._size = int(size)
+
+    def __len__(self) -> int:
+        return int(self._idx.size)
+
+    def __getitem__(self, j):
+        if isinstance(j, (int, np.integer)):
+            return resize_uint8(self._data[self._idx[j]], self._size)
+        sub = self._idx[j]  # slice/array: one materialized sub-batch
+        out = np.empty((sub.size, self._size, self._size, 3), np.uint8)
+        for p, i in enumerate(sub):
+            out[p] = resize_uint8(self._data[i], self._size)
+        return out
+
+    def __iter__(self):
+        for j in range(len(self)):
+            yield self[j]
 
 
 def is_packed_corpus(path: Union[str, Path]) -> bool:

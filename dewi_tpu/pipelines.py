@@ -894,7 +894,10 @@ class DewiPipeline:
         # cost of image-bearing corpora: tower forwards + host->device
         # image transfer.)
         pidx = np.nonzero(corpus.has_text & corpus.has_image)[0]
-        need_emb = corpus.embeddings is None
+        ext_mask = getattr(corpus, "ext_embedding_mask", None)
+        need_emb = corpus.embeddings is None or (
+            ext_mask is not None and not bool(ext_mask.all())
+        )
         t_emb = v_emb = None
         tpos: Dict[int, int] = {}
         vpos: Dict[int, int] = {}
@@ -943,13 +946,29 @@ class DewiPipeline:
         ``_t_emb`` / ``_v_emb`` let :meth:`compute_signals_corpus` pass the
         tower outputs it already computed for the cross-modal stage (rows
         aligned with the text/image index sets) — no re-encode.
+
+        Partial external embeddings (``corpus.ext_embedding_mask``) keep
+        their supplied rows; only the unmasked rows are CLIP-filled —
+        mirroring the object path's per-doc ``ensure_embeddings``.
         """
-        if corpus.embeddings is not None:
+        ext_mask = getattr(corpus, "ext_embedding_mask", None)
+        if corpus.embeddings is not None and (
+            ext_mask is None or bool(ext_mask.all())
+        ):
             if not hasattr(corpus, "clip_embedded"):
                 corpus.clip_embedded = False  # supplied externally
             return corpus
         n = len(corpus)
         dim = self.cross_modal.cfg.d_embed
+        ext = corpus.embeddings
+        if ext is not None and ext.shape[1] != dim:
+            raise ValueError(
+                f"external embeddings are dim {ext.shape[1]} but the CLIP "
+                f"towers emit dim {dim}; cannot fill the "
+                f"{int((~ext_mask).sum())} docs without embeddings in the "
+                "same index space — supply embeddings for every doc or "
+                "match cross_modal.d_embed"
+            )
         emb = np.zeros((n, dim), np.float32)
         cnt = np.zeros(n, np.float32)
         tidx = np.nonzero(corpus.has_text)[0]
@@ -978,8 +997,16 @@ class DewiPipeline:
         emb[nz] /= cnt[nz, None]
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         np.divide(emb, norms, out=emb, where=norms > 0)
+        if ext is not None:
+            # Externally supplied rows win; CLIP fills only the gaps.
+            emb = np.where(ext_mask[:, None], np.asarray(ext, np.float32),
+                           emb)
+            corpus.clip_filled_mask = ~ext_mask
+            corpus.clip_embedded = False
+        else:
+            corpus.clip_filled_mask = np.ones(n, bool)
+            corpus.clip_embedded = True
         corpus.embeddings = emb
-        corpus.clip_embedded = True
         return corpus
 
     def _redundancy_corpus(self, corpus, cache=None):
@@ -1098,9 +1125,14 @@ class DewiPipeline:
         self.ensure_embeddings_corpus(corpus)
         index = self._make_index(dim=int(corpus.embeddings.shape[1]),
                                  **index_kwargs)
+        filled = getattr(corpus, "clip_filled_mask", None)
         if getattr(corpus, "clip_embedded", False):
             index.encoder = {"source": "cross_modal",
                              **self.encoder_provenance()}
+        elif filled is not None and bool(filled.any()):
+            # Some rows external, some CLIP-filled — same "mixed" provenance
+            # the object path records (build_index below).
+            index.encoder = {"source": "mixed", **self.encoder_provenance()}
         else:
             index.encoder = {"source": "external"}
         index.add_batch(list(corpus.ids),

@@ -161,6 +161,10 @@ class MicroBatcher:
 
     def shutdown(self) -> None:
         self._stop.set()
+        # Both threads observe _stop within their 50 ms poll (the worker's
+        # resolve-queue put is stop-aware too), so after these joins the
+        # drains below are race-free; if a join times out mid-device-call,
+        # the worker still fails its own batch via the stop-aware put.
         self._worker.join(timeout=5.0)
         self._resolver.join(timeout=5.0)
         # Fail anything still queued — otherwise a caller blocked on
@@ -237,7 +241,21 @@ class MicroBatcher:
                 qs[n:] = reqs[0].query
             scores, rows = self.index.search_batch(qs, k=k, eta=eta,
                                                    entropy_pref=ep)
-            self._resolve_q.put((reqs, scores, rows))
+            # Stop-aware handoff: a plain blocking put can strand this
+            # batch at shutdown (resolver exits, put blocks forever, and a
+            # late put races shutdown's drain).  Timing out and checking
+            # _stop guarantees every in-flight request is either resolved
+            # or failed.
+            while True:
+                try:
+                    self._resolve_q.put((reqs, scores, rows), timeout=0.05)
+                    break
+                except queue.Full:
+                    if self._stop.is_set():
+                        raise RuntimeError(
+                            "MicroBatcher shut down before resolving this "
+                            "request"
+                        )
         except Exception as e:  # noqa: BLE001 — fail every waiter, keep serving
             for r in reqs:
                 if not r.future.done():

@@ -137,15 +137,20 @@ def make_hf_adapter(tok):
         before the embedding lookup.
         """
 
-        vocab_size = int(tok.vocab_size)
+        # HF ``vocab_size`` EXCLUDES added tokens (chat markers, domain
+        # tokens): ``len(tok)`` is the true id extent.  The pad sentinel
+        # must sit beyond ALL real ids — vocab_size alone would alias the
+        # first added token, silently masking its positions as padding.
+        try:
+            _n_ids = max(int(tok.vocab_size), len(tok))
+        except TypeError:
+            _n_ids = int(tok.vocab_size)
+        vocab_size = _n_ids
         _fast = bool(getattr(tok, "is_fast", False))
         # Exclusive out-of-vocab pad sentinel enables encode_batch_u16.
-        _u16_ok = int(tok.vocab_size) < (1 << 16)
+        _u16_ok = _n_ids < (1 << 16)
         pad_is_exclusive = _u16_ok
-        pad_id = (
-            int(tok.vocab_size) if _u16_ok
-            else int(tok.pad_token_id or 0)
-        )
+        pad_id = _n_ids if _u16_ok else int(tok.pad_token_id or 0)
         bos_id = int(tok.bos_token_id or 0)
 
         def encode(self, text: str, max_len: int) -> List[int]:

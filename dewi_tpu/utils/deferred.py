@@ -95,13 +95,17 @@ class DeferredFetcher:
         self.flush()
         if not self._host:
             return np.zeros((0,), np.float32)
-        out = (
-            self._host[0] if len(self._host) == 1
-            else np.concatenate(self._host, axis=0)
-        )
-        # Pad-stripped parts are views into the flush buffer; copy only the
-        # single-part case (concatenate already materializes fresh memory).
-        return np.ascontiguousarray(out)
+        if len(self._host) > 1:
+            # concatenate materializes fresh memory; views die with it.
+            return np.concatenate(self._host, axis=0)
+        out = self._host[0]
+        # A pad-stripped single part is a leading view into the flush
+        # buffer (contiguous, so ascontiguousarray would pass it through
+        # unchanged) — copy it free of the base so the caller doesn't
+        # retain the padded buffer for its lifetime.
+        if out.base is not None and out.size < out.base.size:
+            return out.copy()
+        return out
 
 
 __all__ = ["DeferredFetcher", "DEFAULT_BUDGET_MB"]

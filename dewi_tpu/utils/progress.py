@@ -72,7 +72,9 @@ class ProgressMeter:
     def close(self) -> None:
         """Final line (always printed once if anything was reported)."""
         if not self.enabled or not self._printed or self.done >= self.total:
+            # done >= total already printed unthrottled in update().
             return
+        self._last_print = -self.interval  # bypass the throttle
         self.update(0)
 
 

@@ -127,6 +127,60 @@ class TestColumnarIndexHandoff:
         idx = pipe.build_index_corpus(c)
         assert idx.encoder == {"source": "external"}
 
+    def test_partial_external_embeddings_preserved(self):
+        # CLI scenario: --texts dir/ plus --embeddings file.npz loads text
+        # docs WITHOUT embeddings alongside embedding-only docs; the
+        # columnar path must keep the supplied vectors and CLIP-fill only
+        # the missing rows (round-3 review finding: they were zeroed).
+        pipe = DewiPipeline(tiny_config())
+        dim = pipe.cross_modal.cfg.d_embed
+        rng = np.random.default_rng(2)
+        ext = rng.normal(size=(2, dim)).astype(np.float32)
+        docs = [
+            create_document("t0", text="the quick brown fox"),
+            create_document("t1", text="lazy dogs sleep all day"),
+            create_document("e0", text=None, embedding=ext[0]),
+            create_document("e1", text=None, embedding=ext[1]),
+        ]
+        corpus = Corpus.from_documents(docs)
+        assert corpus.embeddings is not None
+        assert list(corpus.ext_embedding_mask) == [False, False, True, True]
+        pipe.process_corpus(corpus)
+        # Supplied rows untouched, text rows CLIP-filled (unit norm).
+        np.testing.assert_array_equal(corpus.embeddings[2:], ext)
+        norms = np.linalg.norm(corpus.embeddings[:2], axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+        back = corpus.apply_to_documents(docs)
+        np.testing.assert_array_equal(back[2].embedding, ext[0])
+        idx = pipe.build_index_corpus(corpus)
+        assert idx.encoder["source"] == "mixed"
+        # Parity: the object path records the same mixed provenance.
+        docs2 = [
+            create_document("t0", text="the quick brown fox"),
+            create_document("t1", text="lazy dogs sleep all day"),
+            create_document("e0", text=None, embedding=ext[0]),
+            create_document("e1", text=None, embedding=ext[1]),
+        ]
+        pipe2 = DewiPipeline(tiny_config())
+        idx2 = pipe2.build_index(
+            pipe2.compute_dewi_scores(pipe2.compute_signals(docs2))
+        )
+        assert idx2.encoder["source"] == "mixed"
+        np.testing.assert_array_equal(docs2[2].embedding, ext[0])
+
+    def test_partial_external_dim_mismatch_raises(self):
+        pipe = DewiPipeline(tiny_config())
+        docs = [
+            create_document("t0", text="some text"),
+            create_document(
+                "e0", text=None,
+                embedding=np.ones(7, np.float32),  # != d_embed
+            ),
+        ]
+        corpus = Corpus.from_documents(docs)
+        with pytest.raises(ValueError, match="dim"):
+            pipe.ensure_embeddings_corpus(corpus)
+
     def test_empty_corpus_raises(self):
         pipe = DewiPipeline(tiny_config())
         with pytest.raises(ValueError):

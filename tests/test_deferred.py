@@ -49,3 +49,13 @@ class TestDeferredFetcher:
     def test_empty(self):
         f = DeferredFetcher()
         assert f.result().shape == (0,)
+
+    def test_single_pad_stripped_part_does_not_retain_buffer(self):
+        # A lone pad-stripped part is a leading view of the flush buffer;
+        # result() must return memory independent of the padded buffer
+        # (round-3 review: ascontiguousarray passed the view through).
+        f = DeferredFetcher()
+        f.append(jnp.ones((8, 4), jnp.float32), keep=2)
+        out = f.result()
+        assert out.shape == (2, 4)
+        assert out.base is None or out.base.size == out.size

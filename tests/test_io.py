@@ -273,6 +273,45 @@ class TestPackedCorpus:
         assert got.shape[1] == 32
         assert any("Re-pack" in r.message for r in caplog.records)
 
+    def test_rows_oversize_full_range_zero_copy(self, tmp_path):
+        # size > base with a full-range request must serve the mapping
+        # itself — a fancy-index here copies the whole file into RAM.
+        from dewi_tpu.io.packed import PackedImages, pack_images
+
+        paths = _write_images(tmp_path, 3, size=48)
+        out = tmp_path / "c.npy"
+        pack_images(paths, 32, out, workers=0)
+        pack = PackedImages(out)
+        assert pack.rows(list(range(3)), 64) is pack.data
+
+    def test_corpus_scale_downscale_is_lazy(self, tmp_path, monkeypatch):
+        # Downscale requests past MATERIALIZE_ROWS stream row-by-row
+        # instead of pre-allocating [N, size, size, 3] host RAM.
+        from dewi_tpu.io.packed import PackedImages, _ResizedRows, pack_images
+
+        paths = _write_images(tmp_path, 5, size=48)
+        out = tmp_path / "c.npy"
+        pack_images(paths, 32, out, workers=0)
+        pack = PackedImages(out)
+        monkeypatch.setattr(PackedImages, "MATERIALIZE_ROWS", 2)
+        lazy = pack.rows(list(range(5)), 16)
+        assert isinstance(lazy, _ResizedRows) and len(lazy) == 5
+        eager = np.stack([lazy[j] for j in range(5)])
+        # Per-item, sliced, iterated, and small-eager access all agree.
+        np.testing.assert_array_equal(lazy[1:3], eager[1:3])
+        np.testing.assert_array_equal(np.stack(list(lazy)), eager)
+        monkeypatch.setattr(PackedImages, "MATERIALIZE_ROWS", 8192)
+        np.testing.assert_array_equal(pack.rows(list(range(5)), 16), eager)
+        # The streaming batch iterator consumes the lazy view unchanged.
+        from dewi_tpu.io.images import iter_corpus_batches
+
+        chunks = [
+            c[: len(c) - p] for c, p in
+            iter_corpus_batches(lazy, 16, batch_size=2, threads=1)
+        ]
+        got = np.concatenate([np.asarray(c) for c in chunks])
+        assert got.shape == (5, 16, 16, 3)
+
     def test_is_packed_rejects_other_npy(self, tmp_path):
         from dewi_tpu.io.packed import is_packed_corpus
 

@@ -413,6 +413,26 @@ class TestProgressReporting:
         assert "stage: 40/100" in out and "docs/s" in out
         assert "100/100" in out
 
+    def test_meter_close_bypasses_throttle(self):
+        # An undercounting stage (done < total at close) must still get a
+        # final line even when the interval throttle suppressed the last
+        # update (round-3 review: close()'s update(0) was throttled too).
+        import io
+
+        from dewi_tpu.utils.progress import ProgressMeter
+
+        import time
+
+        buf = io.StringIO()
+        m = ProgressMeter(100, "stage", enabled=True, interval=3600.0,
+                          stream=buf)
+        m.update(40)
+        m._printed = True  # as if something was reported
+        m._last_print = time.perf_counter()  # throttle window just opened
+        m.update(10)   # throttled for sure
+        m.close()      # must still print the final 50/100 state
+        assert "stage: 50/100" in buf.getvalue()
+
     def test_meter_disabled_is_silent(self):
         import io
 

@@ -133,6 +133,27 @@ class TestMicroBatcher:
         finally:
             mb.shutdown()
 
+    def test_shutdown_never_strands_in_flight_requests(self, index):
+        # Round-3 review finding: with two batches in flight at shutdown
+        # (one queued for resolution, the worker blocked on the full
+        # resolve queue), the late put could race shutdown's drain and
+        # strand futures until the HTTP timeout.  Every submitted future
+        # must complete (result or shutdown error) promptly.
+        rng = np.random.default_rng(5)
+        for trial in range(10):
+            mb = MicroBatcher(index, window_ms=0.1, max_batch=2)
+            futures = [
+                mb.submit(rng.normal(size=DIM).astype(np.float32), k=3)
+                for _ in range(32)
+            ]
+            time.sleep(0.002 * trial)  # vary how many batches are in flight
+            mb.shutdown()
+            for f in futures:
+                try:
+                    f.result(timeout=10)  # stranded -> this raises Timeout
+                except RuntimeError:
+                    pass  # shutdown error is the other legal outcome
+
     def test_pipelined_resolution_preserves_order_and_results(self, index):
         # Dispatch is now two-deep (device launch decoupled from host
         # fetch); results must still match direct search per request.

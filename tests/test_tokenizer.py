@@ -68,7 +68,9 @@ class TestByteTokenizer:
 class TestBPEAdapter:
     def test_adapter_basics(self, bpe_tok):
         a = make_hf_adapter(bpe_tok)
-        assert a.vocab_size == bpe_tok.vocab_size
+        # len(tok) includes added tokens (here <|endoftext|> at id ==
+        # bpe_tok.vocab_size) — the adapter's id extent must cover them.
+        assert a.vocab_size == len(bpe_tok) > bpe_tok.vocab_size
         # Small vocab -> exclusive out-of-vocab pad sentinel, u16-capable.
         assert a.pad_is_exclusive and a.pad_id == a.vocab_size
 
@@ -94,6 +96,27 @@ class TestBPEAdapter:
             np.where(derived.astype(bool), u16.astype(np.int32), 0), ids
         )
 
+    def test_added_tokens_never_alias_pad(self, bpe_tok):
+        # HF vocab_size excludes added tokens; the pad sentinel must sit
+        # beyond len(tok) or the first added token's id == pad and its
+        # positions get silently masked (round-3 review finding).
+        import copy
+
+        tok = copy.deepcopy(bpe_tok)
+        tok.add_tokens(["<domain>", "<chat>"])
+        assert len(tok) > tok.vocab_size
+        a = make_hf_adapter(tok)
+        assert a.pad_id >= len(tok)
+        assert a.vocab_size == len(tok)
+        u16 = a.encode_batch_u16(["alpha <domain> beta"], 32, pad_to=32)
+        ids, mask = a.encode_batch(["alpha <domain> beta"], 32, pad_to=32)
+        derived = (u16 != a.pad_id).astype(np.float32)
+        np.testing.assert_array_equal(derived, mask)
+        # The added token's id survives as a real (unmasked) token.
+        added_id = tok.convert_tokens_to_ids("<domain>")
+        assert added_id >= bpe_tok.vocab_size  # beyond the base vocab
+        assert (u16 == added_id).any()
+
     def test_encode_lengths_batch(self, bpe_tok):
         a = make_hf_adapter(bpe_tok)
         lens = a.encode_lengths(TEXTS, 32)
@@ -104,7 +127,7 @@ class TestBPEAdapter:
         a = make_hf_adapter(bpe_tok)
         assert get_tokenizer(a) is a          # adapter passes through
         b = get_tokenizer(bpe_tok)            # raw HF instance wrapped
-        assert b.vocab_size == bpe_tok.vocab_size
+        assert b.vocab_size == len(bpe_tok)
 
 
 class TestBPEEstimator:
@@ -117,7 +140,7 @@ class TestBPEEstimator:
             model_name="tiny", batch_size=4, max_length=32,
             tokenizer=make_hf_adapter(bpe_tok),
         )
-        assert est.cfg.vocab_size == bpe_tok.vocab_size
+        assert est.cfg.vocab_size == len(bpe_tok)
         assert est._packed_ok  # exclusive sentinel enables packed transfer
         means, q90s, _ = est.batch_compute_stats(TEXTS)
         for i, s in enumerate(TEXTS):
