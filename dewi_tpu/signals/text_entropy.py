@@ -583,8 +583,24 @@ class TextEntropyEstimator:
                     in_bytes = ids3.nbytes + mask3.nbytes
                 defer(group, mean3, qs3, in_bytes)
                 pos += S
-            # Remainder: per-batch dispatches (same trace as compute_entropy).
+            # Remainder: per-batch dispatches.  The packed path rides the
+            # superbatch kernel with a leading G=1 axis — same mask-free
+            # uint16 transfer (4x fewer bytes than int32+mask) and the
+            # same lax.map body, one [1, bs, blen] trace per bucket.
             for chunk in batches[pos:]:
+                if self._packed_ok:
+                    ids1 = encode_padded_u16(chunk, blen)[None]
+                    if use_domain:
+                        mean1, qs1 = self._score_super_relative_packed(
+                            self.params, self.domain_params,
+                            jnp.asarray(ids1),
+                        )
+                    else:
+                        mean1, qs1 = self._score_super_packed(
+                            self.params, jnp.asarray(ids1)
+                        )
+                    defer([chunk], mean1, qs1, ids1.nbytes)
+                    continue
                 ids, mask = encode_padded(chunk, blen)
                 if use_domain:
                     _, _, mean, qs = self._score_batch_relative(
