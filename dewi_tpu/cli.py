@@ -189,11 +189,17 @@ def process(
         corpus = None
         with trace_ctx:
             if shard_size:
-                docs = pipeline.process_stream(
-                    documents, shard_size=shard_size, progress=True,
+                # Sharded columnar stream: per-shard signals + resume
+                # (.npz checkpoints keyed to a content digest), global
+                # redundancy + fused fit-and-score — the 1M-doc flow with
+                # no per-Document Python in the hot loop.
+                corpus = _as_corpus(documents, texts, images, embeddings)
+                pipeline.process_stream_corpus(
+                    corpus, shard_size=shard_size, progress=True,
                     checkpoint_dir=checkpoint_dir,
                     delta=cfg.scoring.delta, mode=cfg.scoring.mode,
                 )
+                docs = corpus.apply_to_documents(documents)
             elif checkpoint_dir:
                 # Stage checkpoints are keyed to the Document corpus digest.
                 docs = pipeline.compute_signals(
@@ -206,28 +212,7 @@ def process(
                 # Columnar fast path: signals/scores/index flow as arrays
                 # (no per-Document Python in the hot loop); Documents are
                 # materialized only for artifact serialization.
-                from .corpus import Corpus
-
-                corpus = Corpus.from_documents(documents)
-                # Pure packed-image corpora: hand the pipeline the mmap
-                # pack itself rather than per-doc row views — signal stages
-                # then slice the 4-D mapping directly (and the one-time
-                # device-resident upload applies) instead of copying rows
-                # through the decode cache.
-                from .io.packed import is_packed_corpus
-
-                if (
-                    images and not texts and not embeddings
-                    and is_packed_corpus(images)
-                ):
-                    from .io.packed import PackedImages
-
-                    import numpy as np
-
-                    pack = PackedImages(images)
-                    if len(pack) == len(corpus):
-                        corpus.images = pack
-                        corpus.has_image = np.ones(len(corpus), bool)
+                corpus = _as_corpus(documents, texts, images, embeddings)
                 pipeline.process_corpus(
                     corpus, delta=cfg.scoring.delta, mode=cfg.scoring.mode,
                     progress=True,
@@ -773,6 +758,30 @@ def _load_documents(
             )
 
     return documents
+
+
+def _as_corpus(documents, texts, images, embeddings):
+    """Columnarize loaded documents for the array-native pipeline paths.
+
+    Pure packed-image corpora hand the pipeline the mmap pack itself
+    rather than per-doc row views — signal stages then slice the 4-D
+    mapping directly (and the one-time device-resident upload applies)
+    instead of copying rows through the decode cache.
+    """
+    from .corpus import Corpus
+    from .io.packed import is_packed_corpus
+
+    corpus = Corpus.from_documents(documents)
+    if images and not texts and not embeddings and is_packed_corpus(images):
+        import numpy as np
+
+        from .io.packed import PackedImages
+
+        pack = PackedImages(images)
+        if len(pack) == len(corpus):
+            corpus.images = pack
+            corpus.has_image = np.ones(len(corpus), bool)
+    return corpus
 
 
 def _save_results(documents, output_dir, batch_size: int = 1000) -> None:

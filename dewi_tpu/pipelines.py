@@ -830,8 +830,15 @@ class DewiPipeline:
         di = device_images_or_none(src) if src is not None else None
         return (di, pos) if di is not None else None
 
-    def compute_signals_corpus(self, corpus, progress: bool = False):
-        """Fill ``corpus.signals`` (all 7 columns) stage by stage."""
+    def compute_signals_corpus(self, corpus, progress: bool = False,
+                               include_redundancy: bool = True):
+        """Fill ``corpus.signals`` (all 7 columns) stage by stage.
+
+        ``include_redundancy=False`` skips the cross-document redundancy
+        stage — :meth:`process_stream_corpus` runs it globally after all
+        shards so sharding never changes scores (same contract as the
+        object path's ``process_stream``).
+        """
         from .corpus import COL
         from .utils.progress import ProgressMeter
 
@@ -934,7 +941,8 @@ class DewiPipeline:
             _t_emb=t_emb if need_emb else None,
             _v_emb=v_emb if need_emb else None,
         )
-        self._redundancy_corpus(corpus, cache=cache)
+        if include_redundancy:
+            self._redundancy_corpus(corpus, cache=cache)
         return self._noise_corpus(corpus, cache=cache, dev=dev,
                                   progress=progress)
 
@@ -1107,6 +1115,156 @@ class DewiPipeline:
                        progress: bool = False):
         """Signals + fused fit-and-score, columnar end to end."""
         self.compute_signals_corpus(corpus, progress=progress)
+        scorer = self._make_scorer(weights, delta)
+        corpus.dewi = np.asarray(
+            scorer.fit_and_score(
+                corpus.signals, mode=mode or self.config.scoring.mode
+            ),
+            np.float32,
+        )
+        self._scorer = scorer
+        return corpus
+
+    @staticmethod
+    def _slice_images(images, a: int, b: int):
+        """Row-range view of any supported ``Corpus.images`` container."""
+        if images is None:
+            return None
+        if hasattr(images, "data"):       # PackedImages: mmap slice view
+            return images.data[a:b]
+        return images[a:b]                # ndarray view / list slice
+
+    @staticmethod
+    def _corpus_shard_digest(corpus, a: int, b: int) -> str:
+        """Content digest of shard rows — per-shard resume must recompute
+        when the corpus slice changed (same contract as _StageCheckpoint)."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for i in range(a, b):
+            t = corpus.texts[i] if corpus.texts is not None else None
+            h.update(str(corpus.ids[i]).encode())
+            h.update(str(len(t) if t else 0).encode())
+            h.update(b"1" if corpus.has_image[i] else b"0")
+        return h.hexdigest()[:32]
+
+    def process_stream_corpus(self, corpus, shard_size: Optional[int] = None,
+                              checkpoint_dir: Optional[PathLike] = None,
+                              weights=None, delta: Optional[float] = None,
+                              mode: Optional[str] = None,
+                              progress: bool = False):
+        """Sharded columnar pipeline: per-shard signals (+resume), global
+        redundancy, one fused global fit+score.
+
+        The columnar analogue of :meth:`process_stream`: corpora larger
+        than HBM/RAM stream in ``shard_size`` row ranges (each shard's
+        device-resident image upload covers only its slice), completed
+        shards resume from an ``.npz`` checkpoint keyed to a content
+        digest, and — like the object path — the cross-document redundancy
+        stage and the robust-stat fit run GLOBALLY so sharding never
+        changes a single score.
+        """
+        n = len(corpus)
+        if n == 0:
+            return corpus
+        shard_size = int(shard_size or self.config.runtime.shard_size)
+        ckpt_root = Path(checkpoint_dir) if checkpoint_dir else None
+        if ckpt_root:
+            ckpt_root.mkdir(parents=True, exist_ok=True)
+        n_shards = (n + shard_size - 1) // shard_size
+        ext_mask = getattr(corpus, "ext_embedding_mask", None)
+        # Original EXTERNAL embeddings (what shards may treat as supplied)
+        # vs the accumulator shards fill — conflating them would hand
+        # shard k>0 the zero placeholder rows as "external" vectors.
+        orig_ext = corpus.embeddings
+        emb_parent = (
+            np.array(orig_ext, np.float32) if orig_ext is not None else None
+        )
+        filled_parent = np.zeros(n, bool)
+        any_clip = False
+        for s in range(n_shards):
+            a, b = s * shard_size, min((s + 1) * shard_size, n)
+            if progress:
+                print(f"Shard {s + 1}/{n_shards} ({b - a} docs)")
+            ck = ckpt_root / f"shard_{s:05d}.npz" if ckpt_root else None
+            digest = (
+                self._corpus_shard_digest(corpus, a, b) if ck else None
+            )
+            if ck is not None and ck.exists():
+                try:
+                    data = np.load(ck, allow_pickle=False)
+                    if str(data["digest"]) == digest:
+                        corpus.signals[a:b] = data["signals"]
+                        if data["embeddings"].size:
+                            if emb_parent is None:
+                                emb_parent = np.zeros(
+                                    (n, data["embeddings"].shape[1]),
+                                    np.float32,
+                                )
+                            emb_parent[a:b] = data["embeddings"]
+                        filled_parent[a:b] = data["clip_filled"]
+                        any_clip = any_clip or bool(
+                            data["clip_filled"].any()
+                        )
+                        continue
+                    logger.warning(
+                        "Shard %d checkpoint digest mismatch; recomputing.",
+                        s,
+                    )
+                except Exception as e:  # noqa: BLE001 — corrupt ckpt
+                    logger.warning(
+                        "Shard %d checkpoint unreadable (%s); recomputing.",
+                        s, e,
+                    )
+            from .corpus import Corpus
+
+            sub = Corpus(
+                ids=corpus.ids[a:b],
+                texts=(
+                    corpus.texts[a:b] if corpus.texts is not None else None
+                ),
+                images=self._slice_images(corpus.images, a, b),
+                embeddings=(
+                    np.array(orig_ext[a:b], np.float32)
+                    if orig_ext is not None else None
+                ),
+                signals=corpus.signals[a:b],  # view: stages write through
+            )
+            if ext_mask is not None and not bool(ext_mask[a:b].all()):
+                sub.ext_embedding_mask = ext_mask[a:b]
+            self.compute_signals_corpus(sub, progress=progress,
+                                        include_redundancy=False)
+            if sub.embeddings is not None:
+                if emb_parent is None:
+                    emb_parent = np.zeros(
+                        (n, sub.embeddings.shape[1]), np.float32
+                    )
+                emb_parent[a:b] = sub.embeddings
+            sub_filled = getattr(
+                sub, "clip_filled_mask", np.zeros(b - a, bool)
+            )
+            filled_parent[a:b] = sub_filled
+            any_clip = any_clip or bool(np.asarray(sub_filled).any())
+            if ck is not None:
+                tmp = ck.with_suffix(".tmp.npz")
+                np.savez(
+                    tmp, digest=digest, signals=corpus.signals[a:b],
+                    embeddings=(
+                        sub.embeddings if sub.embeddings is not None
+                        else np.zeros((0, 0), np.float32)
+                    ),
+                    clip_filled=np.asarray(sub_filled, bool),
+                )
+                tmp.replace(ck)
+        corpus.embeddings = emb_parent
+        corpus.clip_filled_mask = filled_parent
+        corpus.clip_embedded = bool(
+            any_clip and (ext_mask is None or not ext_mask.any())
+            and (emb_parent is None or filled_parent.all())
+        )
+        # Cross-document stage LAST and GLOBAL (identical to the
+        # monolithic path — shard boundaries must not hide duplicates).
+        self._redundancy_corpus(corpus)
         scorer = self._make_scorer(weights, delta)
         corpus.dewi = np.asarray(
             scorer.fit_and_score(

@@ -95,6 +95,89 @@ class TestColumnarParity:
         )
 
 
+class TestColumnarStream:
+    def test_sharded_matches_monolithic(self):
+        # Global redundancy + global fit: sharding must not change any
+        # signal or score (same contract as object process_stream).
+        pipe = DewiPipeline(tiny_config())
+        mono = pipe.process_corpus(Corpus.from_documents(make_docs()))
+        pipe2 = DewiPipeline(tiny_config())
+        shard = pipe2.process_stream_corpus(
+            Corpus.from_documents(make_docs()), shard_size=2
+        )
+        np.testing.assert_allclose(shard.signals, mono.signals, atol=1e-4)
+        np.testing.assert_allclose(shard.dewi, mono.dewi, atol=1e-5)
+        np.testing.assert_allclose(
+            shard.embeddings, mono.embeddings, atol=1e-5
+        )
+        assert getattr(shard, "clip_embedded", False)
+
+    def test_shard_resume_skips_completed(self, tmp_path):
+        pipe = DewiPipeline(tiny_config())
+        first = pipe.process_stream_corpus(
+            Corpus.from_documents(make_docs()), shard_size=2,
+            checkpoint_dir=tmp_path,
+        )
+        assert len(list(tmp_path.glob("shard_*.npz"))) == 3
+        # Second run must not recompute any shard's signals.
+        pipe2 = DewiPipeline(tiny_config())
+        calls = []
+        orig = pipe2.compute_signals_corpus
+        pipe2.compute_signals_corpus = (
+            lambda *a, **k: calls.append(1) or orig(*a, **k)
+        )
+        second = pipe2.process_stream_corpus(
+            Corpus.from_documents(make_docs()), shard_size=2,
+            checkpoint_dir=tmp_path,
+        )
+        assert calls == []  # every shard resumed from its checkpoint
+        np.testing.assert_allclose(second.signals, first.signals, atol=1e-6)
+        np.testing.assert_allclose(second.dewi, first.dewi, atol=1e-6)
+        np.testing.assert_allclose(
+            second.embeddings, first.embeddings, atol=1e-6
+        )
+
+    def test_shard_digest_mismatch_recomputes(self, tmp_path):
+        pipe = DewiPipeline(tiny_config())
+        pipe.process_stream_corpus(
+            Corpus.from_documents(make_docs()), shard_size=2,
+            checkpoint_dir=tmp_path,
+        )
+        docs = make_docs()
+        docs[0].text = "edited text, same doc count"  # changes shard 0
+        pipe2 = DewiPipeline(tiny_config())
+        calls = []
+        orig = pipe2.compute_signals_corpus
+        pipe2.compute_signals_corpus = (
+            lambda *a, **k: calls.append(1) or orig(*a, **k)
+        )
+        pipe2.process_stream_corpus(
+            Corpus.from_documents(docs), shard_size=2,
+            checkpoint_dir=tmp_path,
+        )
+        assert len(calls) == 1  # only the edited shard recomputed
+
+    def test_partial_external_embeddings_sharded(self):
+        # The partial-embeddings contract holds across shard boundaries.
+        pipe = DewiPipeline(tiny_config())
+        dim = pipe.cross_modal.cfg.d_embed
+        rng = np.random.default_rng(3)
+        ext = rng.normal(size=(2, dim)).astype(np.float32)
+        docs = [
+            create_document("t0", text="the quick brown fox"),
+            create_document("e0", text=None, embedding=ext[0]),
+            create_document("t1", text="lazy dogs sleep all day"),
+            create_document("e1", text=None, embedding=ext[1]),
+        ]
+        corpus = pipe.process_stream_corpus(
+            Corpus.from_documents(docs), shard_size=3
+        )
+        np.testing.assert_array_equal(corpus.embeddings[1], ext[0])
+        np.testing.assert_array_equal(corpus.embeddings[3], ext[1])
+        idx = pipe.build_index_corpus(corpus)
+        assert idx.encoder["source"] == "mixed"
+
+
 class TestColumnarIndexHandoff:
     def test_build_index_corpus_matches_build_index(self):
         pipe = DewiPipeline(tiny_config())
