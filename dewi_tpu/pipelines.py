@@ -960,8 +960,13 @@ class DewiPipeline:
         mirroring the object path's per-doc ``ensure_embeddings``.
         """
         ext_mask = getattr(corpus, "ext_embedding_mask", None)
+        filled = getattr(corpus, "clip_filled_mask", None)
         if corpus.embeddings is not None and (
             ext_mask is None or bool(ext_mask.all())
+            # Every non-external row already CLIP-filled (e.g. by
+            # process_stream_corpus): re-encoding the towers over the
+            # whole corpus here would redo the dominant cost monolithic.
+            or (filled is not None and bool((ext_mask | filled).all()))
         ):
             if not hasattr(corpus, "clip_embedded"):
                 corpus.clip_embedded = False  # supplied externally
@@ -1127,25 +1132,64 @@ class DewiPipeline:
 
     @staticmethod
     def _slice_images(images, a: int, b: int):
-        """Row-range view of any supported ``Corpus.images`` container."""
-        if images is None:
-            return None
-        if hasattr(images, "data"):       # PackedImages: mmap slice view
-            return images.data[a:b]
-        return images[a:b]                # ndarray view / list slice
+        """Row-range view of any supported ``Corpus.images`` container.
+
+        Plain ``images[a:b]`` covers all three: ndarray view, list slice,
+        and PackedImages (whose ``__getitem__`` forwards slices to the
+        mmap).  Never probe ``.data`` — every ndarray has one (a
+        memoryview) and taking it breaks row indexing downstream.
+        """
+        return None if images is None else images[a:b]
 
     @staticmethod
     def _corpus_shard_digest(corpus, a: int, b: int) -> str:
         """Content digest of shard rows — per-shard resume must recompute
-        when the corpus slice changed (same contract as _StageCheckpoint)."""
+        when the slice changed (same contract as ``_StageCheckpoint``:
+        text CONTENT not length, image identity via path or a strided
+        pixel sample, external embedding bytes, delimited fields so
+        id/text boundaries can't alias across rows)."""
         import hashlib
+        import os
 
         h = hashlib.sha256()
+        texts = corpus.texts
+        emb = corpus.embeddings
+        ext_mask = getattr(corpus, "ext_embedding_mask", None)
+        pack_path = getattr(corpus.images, "path", None)
+        if pack_path is not None:
+            # PackedImages: the pack file IS the image identity — hash its
+            # path/size/mtime plus the row range ONCE instead of sampling
+            # pixels per row (which would fault in the whole mmap).
+            h.update(f"pack:{pack_path}:{a}:{b}".encode())
+            try:
+                st = os.stat(pack_path)
+                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                pass
         for i in range(a, b):
-            t = corpus.texts[i] if corpus.texts is not None else None
             h.update(str(corpus.ids[i]).encode())
-            h.update(str(len(t) if t else 0).encode())
-            h.update(b"1" if corpus.has_image[i] else b"0")
+            h.update(b"\0")
+            t = texts[i] if texts is not None else None
+            h.update((t or "").encode("utf-8", "replace"))
+            h.update(b"\0")
+            if corpus.has_image[i] and pack_path is None:
+                src = corpus.images[i]
+                if isinstance(src, (str, Path)):
+                    h.update(str(src).encode())
+                    try:
+                        st = os.stat(src)
+                        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+                    except OSError:
+                        pass
+                else:
+                    arr = np.ascontiguousarray(src)
+                    h.update(str((arr.shape, str(arr.dtype))).encode())
+                    flat = arr.reshape(-1).view(np.uint8)
+                    h.update(flat[:: max(1, flat.size // 256)].tobytes())
+            h.update(b"\0")
+            if emb is not None and (ext_mask is None or ext_mask[i]):
+                h.update(np.ascontiguousarray(emb[i]).tobytes())
+            h.update(b"\1")
         return h.hexdigest()[:32]
 
     def process_stream_corpus(self, corpus, shard_size: Optional[int] = None,
@@ -1171,6 +1215,20 @@ class DewiPipeline:
         ckpt_root = Path(checkpoint_dir) if checkpoint_dir else None
         if ckpt_root:
             ckpt_root.mkdir(parents=True, exist_ok=True)
+            stale = sorted(
+                p.name for p in ckpt_root.glob("shard_*") if p.is_dir()
+            )
+            if stale:
+                # Object-path process_stream wrote per-stage npz files
+                # under shard_NNNNN/ directories; this columnar format is
+                # one .npz per shard.  Be loud rather than silently
+                # recomputing everything a user thought was checkpointed.
+                logger.warning(
+                    "%s holds %d object-path shard directories (e.g. %s) "
+                    "this columnar run cannot resume from; recomputing. "
+                    "Use DewiPipeline.process_stream for the old format.",
+                    ckpt_root, len(stale), stale[0],
+                )
         n_shards = (n + shard_size - 1) // shard_size
         ext_mask = getattr(corpus, "ext_embedding_mask", None)
         # Original EXTERNAL embeddings (what shards may treat as supplied)

@@ -157,6 +157,74 @@ class TestColumnarStream:
         )
         assert len(calls) == 1  # only the edited shard recomputed
 
+    def test_shard_digest_same_length_edit_recomputes(self, tmp_path):
+        # Digest covers text CONTENT (same contract as _StageCheckpoint) —
+        # a same-length edit must invalidate the shard cache.
+        pipe = DewiPipeline(tiny_config())
+        pipe.process_stream_corpus(
+            Corpus.from_documents(make_docs()), shard_size=2,
+            checkpoint_dir=tmp_path,
+        )
+        docs = make_docs()
+        assert len(docs[0].text) == len(docs[1].text)
+        docs[0].text = docs[0].text[:-1] + "X"  # same length, new content
+        pipe2 = DewiPipeline(tiny_config())
+        calls = []
+        orig = pipe2.compute_signals_corpus
+        pipe2.compute_signals_corpus = (
+            lambda *a, **k: calls.append(1) or orig(*a, **k)
+        )
+        pipe2.process_stream_corpus(
+            Corpus.from_documents(docs), shard_size=2,
+            checkpoint_dir=tmp_path,
+        )
+        assert len(calls) == 1  # shard 0 recomputed, others resumed
+
+    def test_shard_digest_no_field_aliasing(self):
+        # id/text boundaries are delimited: ('x', '12') != ('x1', '2').
+        from dewi_tpu.pipelines import DewiPipeline as P
+
+        c1 = Corpus(ids=["x"], texts=["12"])
+        c2 = Corpus(ids=["x1"], texts=["2"])
+        assert P._corpus_shard_digest(c1, 0, 1) != \
+            P._corpus_shard_digest(c2, 0, 1)
+
+    def test_sharded_dense_image_corpus(self):
+        # _slice_images must hand shards real row views of a dense
+        # [N, S, S, 3] corpus (an ndarray's .data memoryview is NOT one).
+        rng = np.random.default_rng(7)
+        imgs = (rng.random((5, 32, 32, 3)) * 255).astype(np.uint8)
+        pipe = DewiPipeline(tiny_config())
+        corpus = Corpus(
+            ids=[f"i{k}" for k in range(5)],
+            texts=[None] * 5,
+            images=imgs,
+        )
+        pipe.process_stream_corpus(corpus, shard_size=2)
+        assert np.all(corpus.signals[:, COL["hi_mean"]] != 0)
+
+    def test_sharded_build_index_does_not_reencode(self):
+        # After the sharded pass filled every row, build_index_corpus must
+        # not silently redo the full monolithic tower encode.
+        pipe = DewiPipeline(tiny_config())
+        dim = pipe.cross_modal.cfg.d_embed
+        ext = np.random.default_rng(9).normal(size=(1, dim)).astype(
+            np.float32
+        )
+        docs = [
+            create_document("t0", text="the quick brown fox"),
+            create_document("e0", text=None, embedding=ext[0]),
+            create_document("t1", text="lazy dogs sleep"),
+        ]
+        corpus = pipe.process_stream_corpus(
+            Corpus.from_documents(docs), shard_size=2
+        )
+        filled = corpus.embeddings.copy()
+        pipe.cross_modal.encode_texts = None  # any re-encode would crash
+        idx = pipe.build_index_corpus(corpus)
+        assert idx.encoder["source"] == "mixed"
+        np.testing.assert_array_equal(corpus.embeddings, filled)
+
     def test_partial_external_embeddings_sharded(self):
         # The partial-embeddings contract holds across shard boundaries.
         pipe = DewiPipeline(tiny_config())
