@@ -80,13 +80,24 @@ def max_offdiag_similarity(
         emb = jnp.concatenate(
             [emb, jnp.zeros((pad, emb.shape[1]), emb.dtype)], axis=0
         )
-    out = np.empty(n, dtype=np.float32)
+    # Deferred fetches: all block dispatches queue on device, ONE host
+    # round trip for the whole corpus (245 blocks at 1M docs = ~245 saved
+    # RTTs; overlapping clamped-last-block rows recompute identical
+    # values, so write order is irrelevant).
+    from ..utils.deferred import DeferredFetcher
+
+    fetch = DeferredFetcher()
+    spans = []
     for start in range(0, n, block):
         s = min(start, n - block)  # clamp last block; overlap rows recomputed
-        vals = np.asarray(
+        fetch.append(
             _max_offdiag_block(emb, jnp.int32(n), jnp.int32(s), block, chunk)
         )
-        out[s : s + block] = vals
+        spans.append(s)
+    flat = fetch.result()
+    out = np.empty(n, dtype=np.float32)
+    for j, s in enumerate(spans):
+        out[s : s + block] = flat[j * block : (j + 1) * block]
     return out
 
 
@@ -144,13 +155,22 @@ def topk_density(
         emb = jnp.concatenate(
             [emb, jnp.zeros((pad, emb.shape[1]), emb.dtype)], axis=0
         )
-    out = np.empty(n, dtype=np.float32)
+    # Same deferred-fetch pattern as max_offdiag_similarity: one host
+    # round trip for all block dispatches.
+    from ..utils.deferred import DeferredFetcher
+
+    fetch = DeferredFetcher()
+    spans = []
     for start in range(0, n, block):
         s = min(start, n - block)  # clamp last block; overlap rows recomputed
-        vals = np.asarray(_topk_density_block(
+        fetch.append(_topk_density_block(
             emb, jnp.int32(n), jnp.int32(s), block, chunk, top
         ))
-        out[s : s + block] = vals
+        spans.append(s)
+    flat = fetch.result()
+    out = np.empty(n, dtype=np.float32)
+    for j, s in enumerate(spans):
+        out[s : s + block] = flat[j * block : (j + 1) * block]
     return out
 
 
