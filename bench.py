@@ -82,6 +82,39 @@ def main() -> None:
     from dewi_tpu.scorer import DewiScorer
     from dewi_tpu.types import PAYLOAD_FIELDS
 
+    # The dev tunnel wedges in waves (minutes-long silent stalls inside
+    # array setup — see docs/DESIGN.md).  Probe with a tiny op from a
+    # daemon thread; while it stalls, wait and re-probe for up to
+    # DEWI_BENCH_TUNNEL_WAIT_S (default 300, 0 disables) before starting
+    # the real setup, so a wave passing at bench time doesn't eat the run.
+    # Healthy-path cost: one ~ms device call.
+    max_wait = float(os.environ.get("DEWI_BENCH_TUNNEL_WAIT_S", 300))
+    if max_wait > 0:
+        import threading
+
+        deadline = time.perf_counter() + max_wait
+        while True:
+            ok = threading.Event()
+
+            def _probe() -> None:
+                jnp.zeros(4).block_until_ready()
+                ok.set()
+
+            t = threading.Thread(target=_probe, daemon=True)
+            t.start()
+            t.join(timeout=45.0)
+            if ok.is_set():
+                break
+            if time.perf_counter() >= deadline:
+                print("bench: device probe still stalled after "
+                      f"{max_wait:.0f}s; proceeding anyway", file=sys.stderr)
+                break
+            print("bench: device probe stalled; waiting for the tunnel",
+                  file=sys.stderr)
+            # A stuck probe blocks on the in-flight call; give the wave
+            # time to pass before probing again from a fresh thread.
+            time.sleep(30.0)
+
     extras: dict = {}
     key = jax.random.PRNGKey(0)
     k_emb, k_sig, k_q = jax.random.split(key, 3)
