@@ -33,10 +33,10 @@ NEG_INF = float("-inf")  # python float: no backend init at import time
 QUERY_BLOCK = 64
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe", "normalize"))
+@partial(jax.jit, static_argnames=("k", "nprobe", "normalize", "probe_impl"))
 def _ivf_search_kernel(
     centroids: jax.Array,     # [nlist, D]
-    b_emb: jax.Array,         # [nlist, cap, D]
+    b_emb: jax.Array,         # [nlist, cap, D] (f32 or bf16)
     b_pay: jax.Array,         # [nlist, cap, 8]
     b_valid: jax.Array,       # [nlist, cap] bool
     b_docidx: jax.Array,      # [nlist, cap] int32 (-1 pad)
@@ -52,14 +52,19 @@ def _ivf_search_kernel(
     k: int,
     nprobe: int,
     normalize: bool,
+    probe_impl: str = "scan",
 ) -> tuple[jax.Array, jax.Array]:
     q = queries.astype(jnp.float32)
     if normalize:
         q = l2_normalize(q)
-        csim = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+        csim = jnp.dot(
+            q, centroids.astype(jnp.float32).T,
+            preferred_element_type=jnp.float32,
+        )
     else:
-        cn = jnp.sum(centroids * centroids, axis=1)
-        csim = 2.0 * jnp.dot(q, centroids.T, preferred_element_type=jnp.float32) - cn[None, :]
+        c32 = centroids.astype(jnp.float32)
+        cn = jnp.sum(c32 * c32, axis=1)
+        csim = 2.0 * jnp.dot(q, c32.T, preferred_element_type=jnp.float32) - cn[None, :]
     # Empty buckets (clusters with no members, or the zero-centroid padding
     # the sharded searcher appends to split evenly) must not win probe
     # slots: their centroid similarity of ~0 can outrank real centroids
@@ -69,31 +74,60 @@ def _ivf_search_kernel(
     csim = jnp.where(nonempty[None, :], csim, NEG_INF)
     _, probes = jax.lax.top_k(csim, nprobe)  # [Q, nprobe]
 
-    pe = b_emb[probes]                        # [Q, nprobe, cap, D]
-    if normalize:
-        sim = jnp.einsum("qd,qncd->qnc", q, pe, preferred_element_type=jnp.float32)
-    else:
-        dots = jnp.einsum("qd,qncd->qnc", q, pe, preferred_element_type=jnp.float32)
-        qn = jnp.sum(q * q, axis=-1)[:, None, None]
-        sim = 2.0 * dots - b_sqn[probes] - qn
+    qe = q.astype(b_emb.dtype)  # match bucket storage (bf16 halves HBM reads)
+    qn = jnp.sum(q * q, axis=-1)
 
-    pp = b_pay[probes]                        # [Q, nprobe, cap, 8]
-    adj = (
-        (1.0 - eta) * sim
-        + eta * pp[..., 0]
-        + entropy_pref * 0.5 * (pp[..., 1] + pp[..., 3])
-    )
-    adj = jnp.where(b_valid[probes], adj, NEG_INF)
+    def _scores_from(pe, ps, pp, pv, dots):
+        if normalize:
+            sim = dots
+        else:
+            extra = qn[:, None, None] if dots.ndim == 3 else qn[:, None]
+            sim = 2.0 * dots - ps - extra
+        adj = (
+            (1.0 - eta) * sim
+            + eta * pp[..., 0]
+            + entropy_pref * 0.5 * (pp[..., 1] + pp[..., 3])
+        )
+        return jnp.where(pv, adj, NEG_INF)
+
     nq = q.shape[0]
-    flat_scores = adj.reshape(nq, -1)
-    flat_idx = b_docidx[probes].reshape(nq, -1)
+    if probe_impl == "scan":
+        # Stream the probed buckets one probe-rank at a time: each step
+        # gathers only [Q, cap, D] and feeds it straight into the einsum,
+        # so HBM never holds (or re-reads) the [Q, nprobe, cap, D] block
+        # the one-shot gather materializes.  Same contractions with f32
+        # accumulation — scores match "gather" up to reduction order
+        # (different einsum tilings), which cannot reorder top-k ids
+        # beyond genuine FP ties.
+        def step(_, pj):                       # pj: [Q] bucket ids
+            pe = b_emb[pj]                     # [Q, cap, D]
+            dots = jnp.einsum(
+                "qd,qcd->qc", qe, pe, preferred_element_type=jnp.float32
+            )
+            adj = _scores_from(pe, b_sqn[pj], b_pay[pj], b_valid[pj], dots)
+            return None, (adj, b_docidx[pj])
+        _, (adjs, idxs) = jax.lax.scan(step, None, probes.T)
+        # [nprobe, Q, cap] -> [Q, nprobe * cap]
+        flat_scores = adjs.transpose(1, 0, 2).reshape(nq, -1)
+        flat_idx = idxs.transpose(1, 0, 2).reshape(nq, -1)
+    else:
+        pe = b_emb[probes]                     # [Q, nprobe, cap, D]
+        dots = jnp.einsum(
+            "qd,qncd->qnc", qe, pe, preferred_element_type=jnp.float32
+        )
+        adj = _scores_from(
+            pe, b_sqn[probes], b_pay[probes], b_valid[probes], dots
+        )
+        flat_scores = adj.reshape(nq, -1)
+        flat_idx = b_docidx[probes].reshape(nq, -1)
 
-    # Overflow tier: always scanned exactly.
+    # Overflow tier: always scanned exactly (in the bucket storage dtype).
+    qo = q.astype(o_emb.dtype)
     if normalize:
-        osim = jnp.dot(q, o_emb.T, preferred_element_type=jnp.float32)
+        osim = jnp.dot(qo, o_emb.T, preferred_element_type=jnp.float32)
     else:
         osim = (
-            2.0 * jnp.dot(q, o_emb.T, preferred_element_type=jnp.float32)
+            2.0 * jnp.dot(qo, o_emb.T, preferred_element_type=jnp.float32)
             - o_sqn[None, :]
             - jnp.sum(q * q, axis=-1, keepdims=True)
         )
@@ -149,7 +183,7 @@ def _ivf_plan(
     return order, rank, in_bucket
 
 
-@partial(jax.jit, static_argnames=("nlist", "cap", "o_cap"))
+@partial(jax.jit, static_argnames=("nlist", "cap", "o_cap", "emb_dtype"))
 def _ivf_materialize(
     emb: jax.Array,
     sqn: jax.Array,
@@ -161,6 +195,7 @@ def _ivf_materialize(
     nlist: int,
     cap: int,
     o_cap: int,
+    emb_dtype=jnp.float32,
 ):
     """Scatter the planned layout into fixed-shape bucket + overflow arrays,
     all on device (scatters route rejected docs to a trash row/slot that is
@@ -184,13 +219,16 @@ def _ivf_materialize(
 
     b_valid = b_docidx >= 0
     gather = jnp.clip(b_docidx, 0, None)
-    b_emb = jnp.where(b_valid[..., None], emb[gather], 0.0)
+    # Bucket/overflow copies are storage the index owns — bf16 halves their
+    # HBM footprint AND every probe's read traffic; sqn stays f32 (computed
+    # from the f32 source, more accurate than re-deriving from bf16).
+    b_emb = jnp.where(b_valid[..., None], emb[gather], 0.0).astype(emb_dtype)
     b_pay = jnp.where(b_valid[..., None], pay[gather], 0.0)
     b_sqn = jnp.where(b_valid, sqn[gather], 0.0)
 
     o_valid = o_docidx >= 0
     og = jnp.clip(o_docidx, 0, None)
-    o_emb = jnp.where(o_valid[..., None], emb[og], 0.0)
+    o_emb = jnp.where(o_valid[..., None], emb[og], 0.0).astype(emb_dtype)
     o_pay = jnp.where(o_valid[..., None], pay[og], 0.0)
     o_sqn = jnp.where(o_valid, sqn[og], 0.0)
     return (b_emb, b_pay, b_valid, b_docidx, b_sqn), (
@@ -212,6 +250,8 @@ class IVFIndex(BaseIndex):
         train_sample: int = 100_000,
         dewi_tier: int = 1024,
         seed: int = 0,
+        probe_dtype: str = "float32",
+        probe_impl: str = "scan",
         **kwargs,
     ):
         super().__init__(dim, space, **kwargs)
@@ -220,6 +260,21 @@ class IVFIndex(BaseIndex):
         self.bucket_load_factor = float(bucket_load_factor)
         self.kmeans_iters = int(kmeans_iters)
         self.train_sample = int(train_sample)
+        # Bucket/overflow storage dtype: "bfloat16" halves probe HBM traffic
+        # (recall impact mirrors the bf16 exact tier: 1.0 at k=10 measured);
+        # "float32" keeps stage scores bit-identical to the exact tier.
+        aliases = {"bf16": "bfloat16", "f32": "float32", "fp32": "float32"}
+        self.probe_dtype = aliases.get(str(probe_dtype), str(probe_dtype))
+        if self.probe_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"probe_dtype must be float32|bfloat16, got {probe_dtype!r}")
+        # "scan" streams one probe rank at a time ([Q, cap, D] live at once);
+        # "gather" materializes [Q, nprobe, cap, D] in HBM (the round-2
+        # layout, kept for A/B measurement). Same math, same rankings;
+        # scores can differ in the last ulps (einsum reduction order).
+        if probe_impl not in ("scan", "gather"):
+            raise ValueError(f"probe_impl must be scan|gather, got {probe_impl!r}")
+        self.probe_impl = str(probe_impl)
         # DEWI-specific recall guard: the adjusted score mixes in eta*dewi,
         # so at high eta the global ranking is dominated by documents the
         # coarse quantizer has no reason to probe.  The ``dewi_tier`` docs
@@ -241,6 +296,8 @@ class IVFIndex(BaseIndex):
             "train_sample": self.train_sample,
             "dewi_tier": self.dewi_tier,
             "seed": self.seed,
+            "probe_dtype": self.probe_dtype,
+            "probe_impl": self.probe_impl,
         }
 
     # -- build -------------------------------------------------------------
@@ -289,6 +346,7 @@ class IVFIndex(BaseIndex):
         b_arrays, o_arrays = _ivf_materialize(
             emb, sqn, pay, order, rank, in_bucket, assign,
             nlist=nlist, cap=cap, o_cap=o_cap,
+            emb_dtype=jnp.dtype(self.probe_dtype).name,
         )
         self._dev = (
             centroids.astype(jnp.float32),
@@ -316,12 +374,20 @@ class IVFIndex(BaseIndex):
             self.build()
         nprobe = min(int(nprobe or self.nprobe), min(self.nlist, len(self.store)))
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
-        k_eff = min(int(k), len(self.store))
+        # The candidate pool is nprobe buckets + the overflow tier — a k
+        # beyond that (e.g. k=corpus on a small index) must clamp to the
+        # pool, not the corpus, or top_k sees k > its axis.
+        pool = nprobe * int(self._dev[1].shape[1]) + int(self._dev[6].shape[0])
+        k_eff = min(int(k), len(self.store), pool)
 
-        # The probe gather materializes [block, nprobe, cap, D] f32; bound it
-        # to ~1 GB so 1M-doc corpora with large buckets don't OOM the device.
-        bucket_cap = int(self._dev[1].shape[1])
-        bytes_per_q = nprobe * bucket_cap * self.dim * 4
+        # Bound the probe working set to ~1 GB so 1M-doc corpora with large
+        # buckets don't OOM the device: the scan path holds one probe rank
+        # ([block, cap, D]) live at a time, the gather path all nprobe.
+        b_emb = self._dev[1]
+        bucket_cap = int(b_emb.shape[1])
+        itemsize = int(jnp.dtype(b_emb.dtype).itemsize)
+        per_rank = bucket_cap * self.dim * itemsize
+        bytes_per_q = per_rank if self.probe_impl == "scan" else nprobe * per_rank
         block_size = max(1, min(QUERY_BLOCK, (1 << 30) // max(bytes_per_q, 1)))
 
         outs_v, outs_i = [], []
@@ -335,6 +401,7 @@ class IVFIndex(BaseIndex):
                 k=k_eff,
                 nprobe=nprobe,
                 normalize=self.store.normalize,
+                probe_impl=self.probe_impl,
             )
             outs_v.append(v)
             outs_i.append(i)
@@ -354,7 +421,7 @@ class IVFIndex(BaseIndex):
         idx = np.asarray(idx[0])
         pay = self.store.payload_matrix()
         results = []
-        for rank in range(min(int(k), len(self.store))):
+        for rank in range(min(int(k), idx.shape[0])):
             i = int(idx[rank])
             if i < 0:
                 continue

@@ -40,7 +40,17 @@ def main() -> int:
     ap.add_argument("--output", default="docs/perf/ivf_clustered_1m.json")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # The axon dev plugin ignores the JAX_PLATFORMS *env var*; honor it (or
+    # DEWI_BENCH_PLATFORM) through the config API so CPU smoke runs work.
+    plat = os.environ.get("DEWI_BENCH_PLATFORM") or os.environ.get(
+        "JAX_PLATFORMS"
+    )
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
     from dewi_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -109,13 +119,38 @@ def main() -> int:
         metrics[f"recall_at_k{args.k}_nprobe{nprobe}"] = round(r, 4)
         print(f"nprobe={nprobe}: recall@{args.k} = {r:.4f}", flush=True)
 
-    # Batched latency at the default dials.
-    _ = blocked(ivf.search_batch)
-    t0 = time.perf_counter()
-    _ = blocked(ivf.search_batch)
-    metrics["batched_ms_per_query"] = round(
-        (time.perf_counter() - t0) / args.n_queries * 1e3, 4
+    # Batched latency at the default dials, A/B over probe layouts:
+    # scan (streams one probe rank) vs gather (materializes the full
+    # [Q, nprobe, cap, D] block), f32 vs bf16 bucket storage.
+    def timed_ms_per_query():
+        _ = blocked(ivf.search_batch)  # warm the (impl, shape) trace
+        t0 = time.perf_counter()
+        _ = blocked(ivf.search_batch)
+        return round((time.perf_counter() - t0) / args.n_queries * 1e3, 4)
+
+    for impl in ("scan", "gather"):
+        ivf.probe_impl = impl
+        metrics[f"batched_ms_per_query_{impl}_f32"] = timed_ms_per_query()
+        print(f"{impl} f32: {metrics[f'batched_ms_per_query_{impl}_f32']} "
+              "ms/query", flush=True)
+    ivf.probe_impl = "scan"
+    metrics["batched_ms_per_query"] = metrics["batched_ms_per_query_scan_f32"]
+
+    # bf16 bucket tier: half the probe HBM traffic; recall measured against
+    # the same exact ground truth.
+    ivf_bf = IVFIndex(dim=d, nlist=args.nlist, nprobe=args.nprobe,
+                      dewi_tier=1024, kmeans_iters=8, probe_dtype="bf16")
+    ivf_bf.store.attach_device(ids, emb, pay)
+    ivf_bf.build()
+    jax.block_until_ready(ivf_bf._dev[1])
+    got = blocked(ivf_bf.search_batch)
+    metrics[f"recall_at_k{args.k}_bf16"] = round(
+        float(recall_matrix(got, gt)), 4
     )
+    ivf = ivf_bf
+    metrics["batched_ms_per_query_scan_bf16"] = timed_ms_per_query()
+    print(f"bf16: recall {metrics[f'recall_at_k{args.k}_bf16']}, "
+          f"{metrics['batched_ms_per_query_scan_bf16']} ms/query", flush=True)
 
     Path(args.output).parent.mkdir(parents=True, exist_ok=True)
     Path(args.output).write_text(json.dumps(metrics, indent=2))

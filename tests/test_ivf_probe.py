@@ -1,0 +1,102 @@
+"""IVF probe implementations: streaming scan vs one-shot gather, bf16 tier.
+
+The scan path exists purely to keep the probed-bucket working set small on
+TPU HBM ([Q, cap, D] live instead of [Q, nprobe, cap, D]); it computes the
+same contractions with f32 accumulation, so rankings must match and scores
+must agree to reduction-order tolerance (einsum tilings differ between the
+two lowerings).
+"""
+
+import numpy as np
+import pytest
+
+from dewi_tpu.index import IVFIndex
+from dewi_tpu.types import Payload
+
+
+def _build(n=600, d=32, seed=3, **kw):
+    rng = np.random.default_rng(seed)
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    pay = np.abs(rng.normal(size=(n, 8))).astype(np.float32)
+    ix = IVFIndex(dim=d, nlist=16, nprobe=6, kmeans_iters=4, dewi_tier=32,
+                  **kw)
+    ix.add_batch([f"doc{i}" for i in range(n)],
+                 emb, [Payload.from_array(p) for p in pay])
+    ix.build()
+    return ix, emb, rng
+
+
+class TestScanVsGather:
+    def test_rankings_identical_scores_close(self):
+        scan_ix, emb, rng = _build(probe_impl="scan")
+        gather_ix, _, _ = _build(probe_impl="gather")
+        q = rng.normal(size=(9, emb.shape[1])).astype(np.float32)
+        for eta, ep in ((0.0, 0.0), (0.4, 0.2)):
+            vs, is_ = scan_ix.search_batch(q, k=12, eta=eta, entropy_pref=ep)
+            vg, ig = gather_ix.search_batch(q, k=12, eta=eta, entropy_pref=ep)
+            np.testing.assert_array_equal(np.asarray(is_), np.asarray(ig))
+            np.testing.assert_allclose(
+                np.asarray(vs), np.asarray(vg), rtol=1e-5, atol=1e-6
+            )
+
+    def test_rankings_identical_l2_space(self):
+        scan_ix, emb, rng = _build(space="l2", probe_impl="scan")
+        gather_ix, _, _ = _build(space="l2", probe_impl="gather")
+        q = rng.normal(size=(5, emb.shape[1])).astype(np.float32)
+        vs, is_ = scan_ix.search_batch(q, k=7, eta=0.3, entropy_pref=0.1)
+        vg, ig = gather_ix.search_batch(q, k=7, eta=0.3, entropy_pref=0.1)
+        np.testing.assert_array_equal(np.asarray(is_), np.asarray(ig))
+        np.testing.assert_allclose(
+            np.asarray(vs), np.asarray(vg), rtol=1e-5, atol=1e-5
+        )
+
+    def test_bad_impl_rejected(self):
+        with pytest.raises(ValueError, match="probe_impl"):
+            IVFIndex(dim=8, probe_impl="stream")
+
+    def test_k_larger_than_candidate_pool(self):
+        """k=corpus on a small nprobe must clamp to the probed pool
+        (nprobe*cap + overflow), not crash top_k (found by verify drive)."""
+        ix, emb, rng = _build(n=400)
+        q = rng.normal(size=(emb.shape[1],)).astype(np.float32)
+        res = ix.search(q, k=400, eta=0.2, entropy_pref=0.1)
+        assert 0 < len(res) <= 400
+        # search_batch agrees and returns the clamped width.
+        vals, idx = ix.search_batch(q, k=400)
+        assert idx.shape[1] <= 400
+
+
+class TestBf16Tier:
+    def test_bucket_storage_is_bf16(self):
+        ix, _, _ = _build(probe_dtype="bf16")
+        assert ix.probe_dtype == "bfloat16"
+        assert str(ix._dev[1].dtype) == "bfloat16"  # b_emb
+        assert str(ix._dev[6].dtype) == "bfloat16"  # o_emb
+        assert str(ix._dev[5].dtype) == "float32"   # b_sqn stays f32
+
+    def test_bf16_recall_close_to_f32(self):
+        f32_ix, emb, rng = _build(probe_dtype="float32")
+        bf_ix, _, _ = _build(probe_dtype="bf16")
+        q = rng.normal(size=(32, emb.shape[1])).astype(np.float32)
+        _, i32 = f32_ix.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+        _, ibf = bf_ix.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+        i32, ibf = np.asarray(i32), np.asarray(ibf)
+        overlap = np.mean([
+            len(set(i32[r]) & set(ibf[r])) / 10.0 for r in range(q.shape[0])
+        ])
+        assert overlap >= 0.9
+
+    def test_bad_dtype_rejected(self):
+        with pytest.raises(ValueError, match="probe_dtype"):
+            IVFIndex(dim=8, probe_dtype="int8")
+
+    def test_hyperparams_roundtrip(self, tmp_path):
+        ix, emb, rng = _build(probe_dtype="bf16", probe_impl="gather")
+        ix.save(tmp_path / "ix")
+        back = IVFIndex.load(tmp_path / "ix")
+        assert back.probe_dtype == "bfloat16"
+        assert back.probe_impl == "gather"
+        q = rng.normal(size=(4, emb.shape[1])).astype(np.float32)
+        v0, i0 = ix.search_batch(q, k=5)
+        v1, i1 = back.search_batch(q, k=5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
