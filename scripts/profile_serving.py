@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import http.client
 import json
+import os
 import sys
 import threading
 import time
@@ -124,6 +125,14 @@ def main() -> int:
     # layer makes (e.g. the axon nested-Pallas thread guard) are reflected
     # in the traces being warmed.
     import jax
+
+    # The axon dev plugin ignores the JAX_PLATFORMS *env var*; honor it (or
+    # DEWI_BENCH_PLATFORM) through the config API so CPU smoke runs work.
+    _plat = os.environ.get("DEWI_BENCH_PLATFORM") or os.environ.get(
+        "JAX_PLATFORMS"
+    )
+    if _plat:
+        jax.config.update("jax_platforms", _plat)
 
     b = 1
     while b <= args.max_batch:

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -72,6 +73,14 @@ def main() -> int:
     skip = set(filter(None, args.skip.split(",")))
 
     import jax
+
+    # The axon dev plugin ignores the JAX_PLATFORMS *env var*; honor it (or
+    # DEWI_BENCH_PLATFORM) through the config API so CPU smoke runs work.
+    _plat = os.environ.get("DEWI_BENCH_PLATFORM") or os.environ.get(
+        "JAX_PLATFORMS"
+    )
+    if _plat:
+        jax.config.update("jax_platforms", _plat)
 
     from dewi_tpu.signals import (
         CrossModalDependency,
