@@ -1381,7 +1381,9 @@ class DewiPipeline:
             resolved = "ExactIndex"
         if resolved == "IVFIndex":
             kwargs.update(nlist=cfg.nlist, nprobe=cfg.nprobe,
-                          dewi_tier=cfg.dewi_tier)
+                          dewi_tier=cfg.dewi_tier,
+                          probe_dtype=cfg.probe_dtype,
+                          probe_impl=cfg.probe_impl)
         elif resolved == "QuantizedIndex":
             kwargs.update(refine_factor=cfg.refine_factor)
         if self.config.mesh.dtype == "bfloat16":

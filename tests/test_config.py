@@ -57,6 +57,20 @@ def test_partial_dict_uses_defaults():
     assert cfg.scoring.delta == 3.0
 
 
+def test_ivf_probe_dials_reach_backend():
+    """index.probe_dtype/probe_impl flow from config to the IVF backend."""
+    from dewi_tpu.pipelines import DewiPipeline
+
+    cfg = DewiConfig.from_dict(
+        {"index": {"ann": "ivf", "probe_dtype": "bfloat16",
+                   "probe_impl": "gather", "nlist": 8, "nprobe": 2}}
+    )
+    assert cfg.index.probe_dtype == "bfloat16"
+    ix = DewiPipeline(cfg)._make_index(dim=16)
+    assert ix._backend.probe_dtype == "bfloat16"
+    assert ix._backend.probe_impl == "gather"
+
+
 def test_presets():
     expectations = {
         "web": (0.7, 0.3),
