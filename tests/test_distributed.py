@@ -168,6 +168,30 @@ class TestShardedIVF:
         np.testing.assert_allclose(np.asarray(vals), np.asarray(ev),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_sharded_bf16_buckets(self, rng):
+        """ShardedIVFSearcher over a bf16-bucket index: the dtype flows
+        through pad0/shard placement and recall vs local search holds."""
+        from dewi_tpu.index.ivf import IVFIndex
+        from dewi_tpu.parallel import ShardedIVFSearcher
+
+        n, d, k = 600, 16, 10
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pays = make_payloads(rng, n)
+        ids = [f"d{i}" for i in range(n)]
+        ivf = IVFIndex(dim=d, nlist=16, nprobe=16, kmeans_iters=4,
+                       dewi_tier=32, probe_dtype="bf16")
+        ivf.add_batch(ids, emb, pays)
+        ivf.build()
+
+        mesh = make_mesh()
+        searcher = ShardedIVFSearcher(ivf, mesh, k=k, nprobe_per_shard=16)
+        q = rng.normal(size=(8, d)).astype(np.float32)
+        vals, idx = searcher.search_batch(q, eta=0.3, entropy_pref=0.1)
+        lv, li = ivf.search_batch(q, eta=0.3, entropy_pref=0.1, k=k)
+        # Full probing: same candidate set; bf16 scores identical per doc
+        # (same storage dtype in both paths), so rankings must agree.
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(li))
+
     def test_partial_probe_recall(self, rng):
         from dewi_tpu.index.ivf import IVFIndex
         from dewi_tpu.metrics import recall_matrix
