@@ -70,6 +70,17 @@ def test_ivf_probe_dials_reach_backend():
     assert ix._backend.probe_dtype == "bfloat16"
     assert ix._backend.probe_impl == "gather"
 
+    # "auto" (the default) follows mesh.dtype.
+    cfg = DewiConfig.from_dict({"index": {"ann": "ivf"}})
+    assert cfg.index.probe_dtype == "auto"
+    assert DewiPipeline(cfg)._make_index(dim=16)._backend.probe_dtype == \
+        "float32"
+    cfg = DewiConfig.from_dict(
+        {"index": {"ann": "ivf"}, "mesh": {"dtype": "bfloat16"}}
+    )
+    assert DewiPipeline(cfg)._make_index(dim=16)._backend.probe_dtype == \
+        "bfloat16"
+
 
 def test_presets():
     expectations = {
