@@ -105,6 +105,12 @@ def main() -> None:
             t.join(timeout=45.0)
             if ok.is_set():
                 break
+            if not t.is_alive():
+                # Probe DIED (raised) rather than stalled — a real backend
+                # error; don't burn the wait budget, let the run surface it.
+                print("bench: device probe errored; proceeding",
+                      file=sys.stderr)
+                break
             if time.perf_counter() >= deadline:
                 print("bench: device probe still stalled after "
                       f"{max_wait:.0f}s; proceeding anyway", file=sys.stderr)

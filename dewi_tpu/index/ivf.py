@@ -77,7 +77,7 @@ def _ivf_search_kernel(
     qe = q.astype(b_emb.dtype)  # match bucket storage (bf16 halves HBM reads)
     qn = jnp.sum(q * q, axis=-1)
 
-    def _scores_from(pe, ps, pp, pv, dots):
+    def _scores_from(ps, pp, pv, dots):
         if normalize:
             sim = dots
         else:
@@ -104,7 +104,7 @@ def _ivf_search_kernel(
             dots = jnp.einsum(
                 "qd,qcd->qc", qe, pe, preferred_element_type=jnp.float32
             )
-            adj = _scores_from(pe, b_sqn[pj], b_pay[pj], b_valid[pj], dots)
+            adj = _scores_from(b_sqn[pj], b_pay[pj], b_valid[pj], dots)
             return None, (adj, b_docidx[pj])
         _, (adjs, idxs) = jax.lax.scan(step, None, probes.T)
         # [nprobe, Q, cap] -> [Q, nprobe * cap]
@@ -116,7 +116,7 @@ def _ivf_search_kernel(
             "qd,qncd->qnc", qe, pe, preferred_element_type=jnp.float32
         )
         adj = _scores_from(
-            pe, b_sqn[probes], b_pay[probes], b_valid[probes], dots
+            b_sqn[probes], b_pay[probes], b_valid[probes], dots
         )
         flat_scores = adj.reshape(nq, -1)
         flat_idx = b_docidx[probes].reshape(nq, -1)
@@ -262,12 +262,15 @@ class IVFIndex(BaseIndex):
         self.train_sample = int(train_sample)
         # Bucket/overflow storage dtype: "bfloat16" halves probe HBM traffic
         # (recall impact mirrors the bf16 exact tier: 1.0 at k=10 measured);
-        # "float32" keeps stage scores bit-identical to the exact tier.
+        # "float32" keeps stage scores bit-identical to the exact tier;
+        # "auto" follows the store's embedding dtype at build time (a bf16
+        # store never upcasts its bucket copies back to f32).
         aliases = {"bf16": "bfloat16", "f32": "float32", "fp32": "float32"}
         self.probe_dtype = aliases.get(str(probe_dtype), str(probe_dtype))
-        if self.probe_dtype not in ("float32", "bfloat16"):
+        if self.probe_dtype not in ("auto", "float32", "bfloat16"):
             raise ValueError(
-                f"probe_dtype must be float32|bfloat16, got {probe_dtype!r}")
+                "probe_dtype must be auto|float32|bfloat16, "
+                f"got {probe_dtype!r}")
         # "scan" streams one probe rank at a time ([Q, cap, D] live at once);
         # "gather" materializes [Q, nprobe, cap, D] in HBM (the round-2
         # layout, kept for A/B measurement). Same math, same rankings;
@@ -343,10 +346,15 @@ class IVFIndex(BaseIndex):
         o_n = int(jnp.sum(~in_bucket))
         o_cap = max(8, -(-max(o_n, 1) // 8) * 8)
 
+        probe_dtype = self.probe_dtype
+        if probe_dtype == "auto":
+            probe_dtype = (
+                "bfloat16" if emb.dtype == jnp.bfloat16 else "float32"
+            )
         b_arrays, o_arrays = _ivf_materialize(
             emb, sqn, pay, order, rank, in_bucket, assign,
             nlist=nlist, cap=cap, o_cap=o_cap,
-            emb_dtype=jnp.dtype(self.probe_dtype).name,
+            emb_dtype=jnp.dtype(probe_dtype).name,
         )
         self._dev = (
             centroids.astype(jnp.float32),

@@ -176,7 +176,11 @@ def make_sharded_ivf_search(mesh: Mesh, k: int, nprobe_per_shard: int,
                      o_emb, o_pay, o_docidx, o_sqn, queries, eta,
                      entropy_pref):
         nprobe = min(nprobe_per_shard, centroids.shape[0])
-        k_local = min(k, b_docidx.size + o_docidx.shape[0])
+        # Clamp k to the PROBED candidate pool (nprobe buckets + overflow),
+        # not the whole shard — the kernel's top_k axis is the pool.
+        k_local = min(
+            k, nprobe * b_docidx.shape[1] + o_docidx.shape[0]
+        )
         vals, idx = _ivf_search_kernel(
             centroids, b_emb, b_pay, b_valid, b_docidx, b_sqn,
             o_emb, o_pay, o_docidx, o_sqn,

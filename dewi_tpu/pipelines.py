@@ -1380,17 +1380,11 @@ class DewiPipeline:
         except ValueError:
             resolved = "ExactIndex"
         if resolved == "IVFIndex":
-            # probe_dtype "auto" follows the store dtype (mesh.dtype) so a
-            # bf16 store never upcasts its bucket copies back to f32.
-            probe_dtype = cfg.probe_dtype
-            if probe_dtype == "auto":
-                probe_dtype = (
-                    "bfloat16" if self.config.mesh.dtype == "bfloat16"
-                    else "float32"
-                )
+            # probe_dtype "auto" resolves inside IVFIndex.build from the
+            # store's embedding dtype (bf16 store -> bf16 buckets).
             kwargs.update(nlist=cfg.nlist, nprobe=cfg.nprobe,
                           dewi_tier=cfg.dewi_tier,
-                          probe_dtype=probe_dtype,
+                          probe_dtype=cfg.probe_dtype,
                           probe_impl=cfg.probe_impl)
         elif resolved == "QuantizedIndex":
             kwargs.update(refine_factor=cfg.refine_factor)

@@ -72,13 +72,9 @@ def main() -> int:
 
     import jax
 
-    # The axon dev plugin ignores the JAX_PLATFORMS *env var*; honor it (or
-    # DEWI_BENCH_PLATFORM) through the config API so CPU smoke runs work.
-    _plat = os.environ.get("DEWI_BENCH_PLATFORM") or os.environ.get(
-        "JAX_PLATFORMS"
-    )
-    if _plat:
-        jax.config.update("jax_platforms", _plat)
+    from dewi_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
 
     from dewi_tpu.config import DewiConfig
     from dewi_tpu.utils.compile_cache import enable_compilation_cache

@@ -40,17 +40,11 @@ def main() -> int:
     ap.add_argument("--output", default="docs/perf/ivf_clustered_1m.json")
     args = ap.parse_args()
 
-    import os
-
     import jax
 
-    # The axon dev plugin ignores the JAX_PLATFORMS *env var*; honor it (or
-    # DEWI_BENCH_PLATFORM) through the config API so CPU smoke runs work.
-    plat = os.environ.get("DEWI_BENCH_PLATFORM") or os.environ.get(
-        "JAX_PLATFORMS"
-    )
-    if plat:
-        jax.config.update("jax_platforms", plat)
+    from dewi_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
     import jax.numpy as jnp
     from dewi_tpu.utils.compile_cache import enable_compilation_cache
 

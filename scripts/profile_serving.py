@@ -126,13 +126,9 @@ def main() -> int:
     # in the traces being warmed.
     import jax
 
-    # The axon dev plugin ignores the JAX_PLATFORMS *env var*; honor it (or
-    # DEWI_BENCH_PLATFORM) through the config API so CPU smoke runs work.
-    _plat = os.environ.get("DEWI_BENCH_PLATFORM") or os.environ.get(
-        "JAX_PLATFORMS"
-    )
-    if _plat:
-        jax.config.update("jax_platforms", _plat)
+    from dewi_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
 
     b = 1
     while b <= args.max_batch:

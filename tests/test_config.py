@@ -70,16 +70,12 @@ def test_ivf_probe_dials_reach_backend():
     assert ix._backend.probe_dtype == "bfloat16"
     assert ix._backend.probe_impl == "gather"
 
-    # "auto" (the default) follows mesh.dtype.
+    # "auto" (the default) passes through; it resolves to the store's
+    # embedding dtype at build time (see tests/test_ivf_probe.py).
     cfg = DewiConfig.from_dict({"index": {"ann": "ivf"}})
     assert cfg.index.probe_dtype == "auto"
     assert DewiPipeline(cfg)._make_index(dim=16)._backend.probe_dtype == \
-        "float32"
-    cfg = DewiConfig.from_dict(
-        {"index": {"ann": "ivf"}, "mesh": {"dtype": "bfloat16"}}
-    )
-    assert DewiPipeline(cfg)._make_index(dim=16)._backend.probe_dtype == \
-        "bfloat16"
+        "auto"
 
 
 def test_presets():

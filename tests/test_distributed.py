@@ -192,6 +192,26 @@ class TestShardedIVF:
         # (same storage dtype in both paths), so rankings must agree.
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(li))
 
+    def test_sharded_k_beyond_probed_pool(self, rng):
+        """k past the probed pool (nprobe*cap + overflow) must clamp, not
+        crash the per-shard top_k (review finding: the IVFIndex fix had
+        not been applied to the sharded caller)."""
+        from dewi_tpu.index.ivf import IVFIndex
+        from dewi_tpu.parallel import ShardedIVFSearcher
+
+        n, d = 600, 16
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pays = make_payloads(rng, n)
+        ivf = IVFIndex(dim=d, nlist=16, nprobe=2, kmeans_iters=3,
+                       dewi_tier=16)
+        ivf.add_batch([f"d{i}" for i in range(n)], emb, pays)
+        ivf.build()
+        searcher = ShardedIVFSearcher(ivf, make_mesh(), k=599,
+                                      nprobe_per_shard=2)
+        q = rng.normal(size=(4, d)).astype(np.float32)
+        vals, idx = searcher.search_batch(q, eta=0.2, entropy_pref=0.1)
+        assert idx.shape[0] == 4 and 0 < idx.shape[1] <= 599
+
     def test_partial_probe_recall(self, rng):
         from dewi_tpu.index.ivf import IVFIndex
         from dewi_tpu.metrics import recall_matrix

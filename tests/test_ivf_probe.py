@@ -90,6 +90,17 @@ class TestBf16Tier:
         with pytest.raises(ValueError, match="probe_dtype"):
             IVFIndex(dim=8, probe_dtype="int8")
 
+    def test_auto_follows_store_dtype(self):
+        """'auto' (the config default) resolves from the store's embedding
+        dtype at build: f32 store -> f32 buckets, bf16 store -> bf16."""
+        import jax.numpy as jnp
+
+        ix, _, _ = _build(probe_dtype="auto")
+        assert ix.probe_dtype == "auto"           # persisted as given
+        assert str(ix._dev[1].dtype) == "float32"
+        bx, _, _ = _build(probe_dtype="auto", dtype=jnp.bfloat16)
+        assert str(bx._dev[1].dtype) == "bfloat16"
+
     def test_hyperparams_roundtrip(self, tmp_path):
         ix, emb, rng = _build(probe_dtype="bf16", probe_impl="gather")
         ix.save(tmp_path / "ix")
