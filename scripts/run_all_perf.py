@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Run every perf artifact sequentially on the real chip (one process at a
+time — concurrent TPU jobs starve each other on the tunneled dev device).
+
+Order: e2e text -> e2e images -> IVF 1M clustered A/B -> bench sanity.
+Each stage is its own subprocess with a timeout; a stage failure (or a
+wedged tunnel killing one) doesn't stop the rest.  Artifacts land in
+docs/perf/ and bench prints its JSON line to stdout.
+
+Usage:
+  python scripts/run_all_perf.py [--skip e2e_images,bench] [--dry-run]
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+STAGES = [
+    ("e2e_text", 900, [sys.executable, "scripts/profile_e2e.py",
+                       "--n-docs", "16000",
+                       "--output", "docs/perf/e2e_pipeline.json"]),
+    ("e2e_images", 1200, [sys.executable, "scripts/profile_e2e.py",
+                          "--n-docs", "8000", "--images",
+                          "--image-size", "64", "--clip-image-size", "64",
+                          "--skip-object",
+                          "--output", "docs/perf/e2e_pipeline_images.json"]),
+    ("ivf_1m", 1800, [sys.executable, "scripts/profile_ivf_1m.py"]),
+    ("bench", 1200, [sys.executable, "bench.py"]),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--skip", default="", help="comma list of stage names")
+    ap.add_argument("--only", default="", help="comma list of stage names")
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args()
+    skip = {s for s in args.skip.split(",") if s}
+    only = {s for s in args.only.split(",") if s}
+
+    results = {}
+    for name, timeout, cmd in STAGES:
+        if name in skip or (only and name not in only):
+            print(f"== {name}: skipped", flush=True)
+            continue
+        print(f"== {name}: {' '.join(cmd)} (timeout {timeout}s)", flush=True)
+        if args.dry_run:
+            continue
+        t0 = time.time()
+        try:
+            rc = subprocess.run(cmd, cwd=ROOT, timeout=timeout).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        results[name] = (rc, round(time.time() - t0, 1))
+        print(f"== {name}: rc={rc} ({results[name][1]}s)", flush=True)
+    print("== summary:", results, flush=True)
+    return 0 if all(rc == 0 for rc, _ in results.values()) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
