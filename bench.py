@@ -224,7 +224,7 @@ def main() -> None:
             extras["bf16_pallas_error"] = str(e)[:200]
 
     # ---- int8 quantized tier ----------------------------------------------
-    p50_int8 = p50_int8_pallas = None
+    p50_int8 = p50_int8_pallas = p50_int8_s8 = None
     q_emb = q_scales = None
     embp = sqnp = payp = qep = qsp = None
     if "int8" in SECTIONS:
@@ -250,6 +250,30 @@ def main() -> None:
             chained_int8, q_emb, q_scales, emb_d, sqn_d, pay_d, n_d
         )
         extras["int8_p50_ms"] = round(p50_int8, 4)
+
+        # s8xs8 stage-1: quantize the query too — native int8 MXU dot (2x
+        # int8 throughput on v5e, no int8->bf16 convert on the corpus
+        # stream).  Stage-2 f32 refinement absorbs the extra rounding;
+        # recall is measured below and gates headline candidacy.
+        @jax.jit
+        def chained_int8_s8(qe, qs, emb_a, sqn_a, pay_a, n_a, q0):
+            def body(_, carry):
+                q, acc = carry
+                scores, _ = quantized_search(
+                    qe, qs, emb_a, sqn_a, pay_a, q, n_a, eta, ep,
+                    k=K, m=m, normalize=True, approx_select=True,
+                    int8_queries=True,
+                )
+                q = q + 1e-12 * scores[0, 0]
+                return q, acc + scores[0, 0]
+
+            _, acc = jax.lax.fori_loop(0, CHAIN, body, (q0, jnp.float32(0.0)))
+            return acc
+
+        p50_int8_s8 = chained_p50(
+            chained_int8_s8, q_emb, q_scales, emb_d, sqn_d, pay_d, n_d
+        )
+        extras["int8_s8_p50_ms"] = round(p50_int8_s8, 4)
 
         # Batched serving on the int8 tier: 4x less stage-1 HBM read than
         # the bf16 exact scan; 128-query blocks keep the [Q, cap] adjusted
@@ -387,6 +411,7 @@ def main() -> None:
 
     bf16_recall = None  # unmeasured unless the recall section runs
     int8_pallas_recall = 0.0
+    int8_s8_recall = 0.0
     if "recall" in SECTIONS:
         for kk in (10, min(100, N_DOCS)):
             idx_f32 = blocked_idx(
@@ -412,6 +437,17 @@ def main() -> None:
                 extras[f"int8_recall_vs_f32_at_k{kk}"] = round(
                     float(recall_matrix(idx_i8, idx_f32)), 6
                 )
+                if kk == 10 and p50_int8_s8 is not None:
+                    idx_s8 = blocked_idx(
+                        lambda q, k: quantized_search(
+                            q_emb, q_scales, emb_d, sqn_d, pay_d, q, n_d,
+                            eta, ep, k=k, m=m, normalize=True,
+                            approx_select=True, int8_queries=True), kk
+                    )
+                    int8_s8_recall = float(recall_matrix(idx_s8, idx_f32))
+                    extras["int8_s8_recall_vs_f32_at_k10"] = round(
+                        int8_s8_recall, 6
+                    )
             if qep is not None and "int8_pallas_cap_p50_ms" in extras:
                 m = min(max(kk * 8, 32), N_DOCS)
                 idx_i8p = blocked_idx(
@@ -628,6 +664,11 @@ def main() -> None:
         candidates.append((
             p50_int8_pallas, int8_pallas_recall,
             "int8 two-stage refined (Pallas stage-1)",
+        ))
+    if p50_int8_s8 is not None and int8_s8_recall >= 0.99:
+        candidates.append((
+            p50_int8_s8, int8_s8_recall,
+            "int8 two-stage refined (s8xs8 stage-1)",
         ))
     headline, head_recall, head_tier = min(candidates, key=lambda c: c[0])
     extras["latency_method"] = (

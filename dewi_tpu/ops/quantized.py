@@ -45,7 +45,7 @@ def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     jax.jit,
     static_argnames=(
         "k", "m", "normalize", "approx_select", "pallas_stage1",
-        "pallas_block", "interpret"
+        "pallas_block", "interpret", "int8_queries"
     ),
 )
 def quantized_search(
@@ -65,6 +65,7 @@ def quantized_search(
     pallas_stage1: bool = False,
     pallas_block: int = 0,
     interpret: bool = False,
+    int8_queries: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Two-stage int8 -> f32 exact search; returns ([Q, k] scores, [Q, k] idx).
 
@@ -114,6 +115,21 @@ def quantized_search(
             emb_i8, mult, add, q,
             block=pallas_block or SCORES_BLOCK, interpret=interpret,
         )
+    elif int8_queries:
+        # Native s8xs8->s32 MXU path (v5e runs int8 matmuls at 2x bf16
+        # throughput, and the corpus operand skips the int8->bf16 convert
+        # that can bottleneck the scan on the VPU).  The query is
+        # per-row symmetrically quantized; its scale folds into the
+        # epilogue as a per-query column factor, so stage-1 adds query-
+        # quantization error on TOP of int8 storage error — acceptable
+        # because stage 2 re-ranks the m candidates exactly in f32.
+        q_i8, q_scale = quantize_rows(q)
+        acc = jax.lax.dot_general(
+            q_i8, emb_i8,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)                          # [Q, cap]
+        adj1 = acc * (q_scale[:, None] * mult[None, :]) + add[None, :]
     else:
         acc = jax.lax.dot_general(
             q.astype(jnp.bfloat16), emb_i8.astype(jnp.bfloat16),

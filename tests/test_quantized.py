@@ -59,6 +59,42 @@ class TestQuantizedIndex:
         rec = recall_matrix(np.asarray(qi), np.asarray(ei))
         assert rec >= 0.99
 
+    def test_int8_queries_recall(self, corpus):
+        """s8xs8 stage-1 (query quantized too): stage-2 f32 refinement
+        keeps recall vs exact at the gate despite the extra rounding."""
+        ids, emb, pay = corpus
+        exact = ExactIndex(dim=64)
+        exact.add_batch(ids, emb, pay)
+        exact.build()
+        quant = QuantizedIndex(dim=64, refine_factor=8, int8_queries=True)
+        quant.add_batch(ids, emb, pay)
+        quant.build()
+        q = np.random.default_rng(7).normal(size=(32, 64)).astype(np.float32)
+        _, ei = exact.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+        _, qi = quant.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+        rec = recall_matrix(np.asarray(qi), np.asarray(ei))
+        assert rec >= 0.99
+        # Overlapping hits still score exactly (stage-2 is f32).
+        er = exact.search(q[0], k=5, eta=0.25, entropy_pref=0.1)
+        qr = quant.search(q[0], k=5, eta=0.25, entropy_pref=0.1)
+        e_by_id = {d: s for d, s, _ in er}
+        for d, s, _ in qr:
+            if d in e_by_id:
+                assert s == pytest.approx(e_by_id[d], abs=1e-5)
+
+    def test_int8_queries_roundtrip(self, corpus, tmp_path):
+        ids, emb, pay = corpus
+        quant = QuantizedIndex(dim=64, int8_queries=True)
+        quant.add_batch(ids, emb, pay)
+        quant.build()
+        quant.save(tmp_path / "ix")
+        back = QuantizedIndex.load(tmp_path / "ix")
+        assert back.int8_queries is True
+        q = np.random.default_rng(1).normal(size=(3, 64)).astype(np.float32)
+        v0, i0 = quant.search_batch(q, k=5)
+        v1, i1 = back.search_batch(q, k=5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
     def test_scores_close_to_exact(self, corpus):
         ids, emb, pay = corpus
         exact = ExactIndex(dim=64)
