@@ -140,11 +140,19 @@ class Corpus:
                 len(d.embedding) for d in documents
                 if d.embedding is not None
             }
-            if len(dims) == 1:
-                emb = np.zeros((n, dims.pop()), np.float32)
-                for i, d in enumerate(documents):
-                    if d.embedding is not None:
-                        emb[i] = np.asarray(d.embedding, np.float32)
+            if len(dims) != 1:
+                # Silently dropping user vectors here would re-encode the
+                # whole corpus in a different embedding space than the
+                # user's queries — fail loudly instead (the object path
+                # also fails on mixed dims, at index add time).
+                raise ValueError(
+                    "Documents carry external embeddings of mixed "
+                    f"dimensions {sorted(dims)}; supply one dimension."
+                )
+            emb = np.zeros((n, dims.pop()), np.float32)
+            for i, d in enumerate(documents):
+                if d.embedding is not None:
+                    emb[i] = np.asarray(d.embedding, np.float32)
         images: Any = [d.image_source() for d in documents]
         if not any(s is not None for s in images):
             images = None

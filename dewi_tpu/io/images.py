@@ -211,12 +211,15 @@ def iter_padded_batches(
 
     def produce() -> None:
         try:
+            n_src = len(sources)
             for s in starts:
                 if stop.is_set():
                     return
-                chunk = sources[s : s + batch_size]
                 batch = np.zeros((batch_size, size, size, 3), np.uint8)
-                m = len(chunk)
+                # Arithmetic, not sources[s:s+batch_size]: slicing a lazy
+                # view (PackedImages._ResizedRows) RESIZES the whole batch
+                # just to count it, doubling the host resize cost.
+                m = min(batch_size, n_src - s)
 
                 def work(i: int, base: int = s, dst: np.ndarray = batch) -> None:
                     dst[i] = decode_image_uint8(sources[base + i], size)

@@ -81,8 +81,14 @@ def pack_images(
         raise ValueError("No images to pack")
     size = int(size)
     out_path.parent.mkdir(parents=True, exist_ok=True)
+    # Write to a temp file and rename at the end (same discipline as the
+    # pipeline's shard checkpoints): open_memmap pre-allocates the FULL
+    # [N,S,S,3] file up front, so an interrupted pack at the final path
+    # would leave a structurally valid corpus of zero images that later
+    # runs silently accept.
+    tmp_path = out_path.with_name(out_path.name + ".tmp.npy")
     mm = np.lib.format.open_memmap(
-        out_path, mode="w+", dtype=np.uint8, shape=(n, size, size, 3)
+        tmp_path, mode="w+", dtype=np.uint8, shape=(n, size, size, 3)
     )
     nworkers = _n_decode_workers(workers)
     pool = None
@@ -113,11 +119,16 @@ def pack_images(
             mm[s : s + len(rows)] = np.stack(rows)
             if progress is not None:
                 progress(len(rows))
+    except BaseException:
+        del mm
+        tmp_path.unlink(missing_ok=True)  # don't leave a 150 GB stub
+        raise
     finally:
         if pool is not None:
             pool.shutdown()
     mm.flush()
     del mm
+    tmp_path.replace(out_path)
     meta = {
         "version": PACK_VERSION,
         "n_images": int(n),

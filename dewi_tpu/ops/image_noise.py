@@ -129,9 +129,15 @@ def batched_image_noise(
     for s in range(0, n, CHUNK):
         part = imgs[s : s + CHUNK]
         b = part.shape[0]
-        if b < CHUNK and n > CHUNK:
-            pad = xp.zeros((CHUNK - b, *imgs.shape[1:]), imgs.dtype)
-            part = xp.concatenate([part, pad], axis=0)
+        if b < CHUNK:
+            # Large corpora pad the tail to CHUNK (re-hits the full-chunk
+            # program); small/irregular batches (per-shape noise groups
+            # stack arbitrary counts) pad to the next power of two so the
+            # trace count stays O(log CHUNK), not one per distinct size.
+            target = CHUNK if n > CHUNK else max(8, 1 << (b - 1).bit_length())
+            if target > b:
+                pad = xp.zeros((target - b, *imgs.shape[1:]), imgs.dtype)
+                part = xp.concatenate([part, pad], axis=0)
         lv, sf = _image_noise_kernel(
             jnp.asarray(part), blur_size=blur_size, skin_size=skin_size
         )

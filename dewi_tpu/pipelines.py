@@ -909,10 +909,19 @@ class DewiPipeline:
         tpos: Dict[int, int] = {}
         vpos: Dict[int, int] = {}
         if need_emb or pidx.size:
-            # With external embeddings, only the paired docs need encoding
-            # (for I_hat); otherwise every text/image doc does.
-            t_want = tidx if need_emb else pidx
-            v_want = iidx if need_emb else pidx
+            # Encode exactly what downstream needs: the paired docs (for
+            # I_hat) plus — when embeddings must be filled — the rows NOT
+            # covered by an external mask.  Encoding all of tidx/iidx with
+            # a 90%-external corpus would throw away 90% of the dominant
+            # stage cost (tower forwards + image transfer).
+            if not need_emb:
+                t_want = v_want = pidx
+            elif ext_mask is not None:
+                fill = ~ext_mask
+                t_want = np.union1d(pidx, tidx[fill[tidx]]).astype(np.int64)
+                v_want = np.union1d(pidx, iidx[fill[iidx]]).astype(np.int64)
+            else:
+                t_want, v_want = tidx, iidx
             if t_want.size:
                 t_emb = self.cross_modal.encode_texts(
                     [corpus.texts[i] for i in t_want]
@@ -940,6 +949,8 @@ class DewiPipeline:
             corpus, cache=cache, dev=dev,
             _t_emb=t_emb if need_emb else None,
             _v_emb=v_emb if need_emb else None,
+            _t_idx=t_want if need_emb else None,
+            _v_idx=v_want if need_emb else None,
         )
         if include_redundancy:
             self._redundancy_corpus(corpus, cache=cache)
@@ -947,13 +958,15 @@ class DewiPipeline:
                                   progress=progress)
 
     def ensure_embeddings_corpus(self, corpus, cache=None, dev=None,
-                                 _t_emb=None, _v_emb=None):
+                                 _t_emb=None, _v_emb=None,
+                                 _t_idx=None, _v_idx=None):
         """Fill ``corpus.embeddings`` from the CLIP towers (vectorized
         combine; same semantics as :meth:`ensure_embeddings`).
 
-        ``_t_emb`` / ``_v_emb`` let :meth:`compute_signals_corpus` pass the
-        tower outputs it already computed for the cross-modal stage (rows
-        aligned with the text/image index sets) — no re-encode.
+        ``_t_emb``/``_v_emb`` (with their doc-index vectors ``_t_idx``/
+        ``_v_idx``) let :meth:`compute_signals_corpus` pass the tower
+        outputs it already computed for the cross-modal stage — no
+        re-encode as long as they cover the rows being filled.
 
         Partial external embeddings (``corpus.ext_embedding_mask``) keep
         their supplied rows; only the unmasked rows are CLIP-filled —
@@ -984,26 +997,37 @@ class DewiPipeline:
             )
         emb = np.zeros((n, dim), np.float32)
         cnt = np.zeros(n, np.float32)
-        tidx = np.nonzero(corpus.has_text)[0]
+        # Only rows actually being CLIP-filled need tower outputs — with a
+        # partial external mask that's the unmasked rows, not the corpus.
+        fill = np.ones(n, bool) if ext_mask is None else ~ext_mask
+
+        def rows_from(done_emb, done_idx, want):
+            """Reuse tower outputs for ``want`` rows when the caller's
+            encode set covers them; encode just ``want`` otherwise."""
+            if done_emb is not None and done_idx is not None:
+                pos = {int(i): j for j, i in enumerate(done_idx)}
+                if all(int(i) in pos for i in want):
+                    return done_emb[[pos[int(i)] for i in want]]
+            return None
+
+        tidx = np.nonzero(corpus.has_text & fill)[0]
         if tidx.size:
-            t_emb = (
-                _t_emb if _t_emb is not None and len(_t_emb) == tidx.size
-                else self.cross_modal.encode_texts(
+            t_emb = rows_from(_t_emb, _t_idx, tidx)
+            if t_emb is None:
+                t_emb = self.cross_modal.encode_texts(
                     [corpus.texts[i] for i in tidx]
                 )
-            )
             emb[tidx] += t_emb
             cnt[tidx] += 1
-        iidx = np.nonzero(corpus.has_image)[0]
+        iidx = np.nonzero(corpus.has_image & fill)[0]
         if iidx.size:
-            v_emb = (
-                _v_emb if _v_emb is not None and len(_v_emb) == iidx.size
-                else self.cross_modal.encode_images(
+            v_emb = rows_from(_v_emb, _v_idx, iidx)
+            if v_emb is None:
+                v_emb = self.cross_modal.encode_images(
                     self._corpus_rows(corpus, iidx,
                                       self.cross_modal.cfg.image_size,
                                       cache, dev=dev)
                 )
-            )
             emb[iidx] += v_emb
             cnt[iidx] += 1
         nz = cnt > 0

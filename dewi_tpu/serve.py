@@ -103,12 +103,17 @@ class MicroBatcher:
         # both fine).  The batcher dispatches from its worker thread, so on
         # that backend route the served index through its XLA path.  Real
         # TPU runtimes ("tpu" platform) keep the Pallas tier.
+        self._restore_pallas = None  # (backend, saved use_pallas) or None
         try:
             import jax
 
             if jax.devices()[0].platform == "axon":
                 backend = getattr(index, "_backend", index)
                 if getattr(backend, "use_pallas", False):
+                    # Remember the flag: the index object is shared with
+                    # direct (main-thread) callers, for whom Pallas is
+                    # safe — shutdown() puts it back.
+                    self._restore_pallas = (backend, True)
                     backend.use_pallas = False
                     logger.info(
                         "axon backend: nested-Pallas stage-1 disabled for "
@@ -179,6 +184,18 @@ class MicroBatcher:
                     RuntimeError("MicroBatcher shut down before serving "
                                  "this request")
                 )
+        self._fail_queued_resolves()
+        if self._restore_pallas is not None and not self._worker.is_alive():
+            # Only once the worker is truly dead — a straggler dispatch
+            # from its thread must not see the Pallas flag come back.
+            backend, saved = self._restore_pallas
+            backend.use_pallas = saved
+            self._restore_pallas = None
+
+    def _fail_queued_resolves(self) -> None:
+        """Fail every batch still waiting on the resolve queue (used by
+        shutdown's drain AND by the worker after a post-stop put — the
+        resolver may already be gone by then)."""
         while True:
             try:
                 reqs, _, _ = self._resolve_q.get_nowait()
@@ -256,6 +273,13 @@ class MicroBatcher:
                             "MicroBatcher shut down before resolving this "
                             "request"
                         )
+            # A put that SUCCEEDS after shutdown's drain (worker was blocked
+            # in a multi-minute device call while the joins timed out) would
+            # otherwise sit unresolved until the HTTP timeout — the resolver
+            # is gone.  Producer-side drain closes the window: anything
+            # still queued post-stop gets failed here.
+            if self._stop.is_set():
+                self._fail_queued_resolves()
         except Exception as e:  # noqa: BLE001 — fail every waiter, keep serving
             for r in reqs:
                 if not r.future.done():

@@ -326,12 +326,20 @@ class NoiseEstimator:
         if not groups:
             return None
         part = np.full(len(images), np.nan, np.float32)
+        # Stack per dispatch chunk, not per shape group: a corpus-scale
+        # group (e.g. 1M same-shape mmap rows) stacked at once would
+        # materialize the whole corpus in host RAM before the kernel's own
+        # chunking ever sees it.
+        from ..ops.image_noise import CHUNK
+
         for idx_list in groups.values():
-            batch = np.stack([images[i] for i in idx_list])
-            sub = self._array_image_parts(batch, None)
-            if sub is None:  # pragma: no cover - eligibility checked above
-                return None
-            part[np.asarray(idx_list)] = sub
+            for s in range(0, len(idx_list), CHUNK):
+                ids = idx_list[s : s + CHUNK]
+                batch = np.stack([images[i] for i in ids])
+                sub = self._array_image_parts(batch, None)
+                if sub is None:  # pragma: no cover - eligibility above
+                    return None
+                part[np.asarray(ids)] = sub
         return part
 
     def _array_image_parts(

@@ -45,6 +45,18 @@ class TestCorpusContainer:
         assert [d.doc_id for d in back] == [d.doc_id for d in docs]
         assert back[3].text is None and back[3].image is not None
 
+    def test_mixed_dim_external_embeddings_raise(self):
+        """One malformed embedding must fail loudly, not silently discard
+        every user vector and re-encode the corpus in CLIP space."""
+        from dewi_tpu.pipelines import Document
+
+        docs = [
+            Document(doc_id="a", text="x", embedding=np.zeros(8, np.float32)),
+            Document(doc_id="b", text="y", embedding=np.zeros(9, np.float32)),
+        ]
+        with pytest.raises(ValueError, match="mixed"):
+            Corpus.from_documents(docs)
+
     def test_columnar_ctor_validation(self):
         with pytest.raises(ValueError):
             Corpus(ids=["a", "b"], texts=["x"])
@@ -277,6 +289,37 @@ class TestColumnarIndexHandoff:
         pipe.process_corpus(c)
         idx = pipe.build_index_corpus(c)
         assert idx.encoder == {"source": "external"}
+
+    def test_partial_external_skips_covered_tower_rows(self):
+        """Text docs that already carry external embeddings (and aren't
+        cross-modal pairs) must not ride the CLIP text tower — review
+        finding: all of tidx was encoded, then 90% discarded."""
+        pipe = DewiPipeline(tiny_config())
+        dim = pipe.cross_modal.cfg.d_embed
+        rng = np.random.default_rng(4)
+        ext = rng.normal(size=(2, dim)).astype(np.float32)
+        docs = [
+            create_document("t0", text="needs clip fill"),
+            create_document("t1", text="this one too"),
+            create_document("x0", text="has external vector",
+                            embedding=ext[0]),
+            create_document("x1", text="also external", embedding=ext[1]),
+        ]
+        corpus = Corpus.from_documents(docs)
+        sizes = []
+        orig = pipe.cross_modal.encode_texts
+
+        def spy(texts, *a, **kw):
+            sizes.append(len(texts))
+            return orig(texts, *a, **kw)
+
+        pipe.cross_modal.encode_texts = spy
+        pipe.process_corpus(corpus)
+        # Only the 2 fill rows hit the tower (no image docs -> no pairs).
+        assert sizes and max(sizes) <= 2, sizes
+        np.testing.assert_array_equal(corpus.embeddings[2:], ext)
+        norms = np.linalg.norm(corpus.embeddings[:2], axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
 
     def test_partial_external_embeddings_preserved(self):
         # CLI scenario: --texts dir/ plus --embeddings file.npz loads text

@@ -247,6 +247,22 @@ class TestPackedCorpus:
 
         np.testing.assert_array_equal(pack[3], decode_image_uint8(paths[3], 32))
 
+    def test_interrupted_pack_leaves_no_corpus(self, tmp_path):
+        """pack_images writes to a temp file and renames at the end: a
+        decode failure mid-pack must not leave a structurally valid
+        all-zeros corpus at the final path (is_packed_corpus would accept
+        it and later runs would silently score zero images)."""
+        from dewi_tpu.io.packed import is_packed_corpus, pack_images
+
+        paths = _write_images(tmp_path, 4, size=64)
+        paths[2] = tmp_path / "missing.jpg"  # decode raises mid-pack
+        out = tmp_path / "corpus.npy"
+        with pytest.raises(Exception):
+            pack_images(paths, 32, out, workers=0)
+        assert not out.exists()
+        assert not is_packed_corpus(out)
+        assert not (tmp_path / "corpus.npy.tmp.npy").exists()
+
     def test_rows_full_range_zero_copy(self, tmp_path):
         from dewi_tpu.io.packed import PackedImages, pack_images
 
