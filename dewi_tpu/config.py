@@ -133,6 +133,7 @@ class IndexConfig:
     nprobe: int = 32
     dewi_tier: int = 1024   # IVF: top-dewi docs always scanned exactly
     refine_factor: int = 8  # quantized backend: top-(refine_factor*k) refine
+    int8_queries: bool = False  # quantized: native s8xs8 MXU stage-1
     # IVF bucket storage: auto (follow mesh.dtype) | float32 | bfloat16
     probe_dtype: str = "auto"
     probe_impl: str = "scan"      # IVF probe layout: scan | gather

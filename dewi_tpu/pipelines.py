@@ -1411,7 +1411,8 @@ class DewiPipeline:
                           probe_dtype=cfg.probe_dtype,
                           probe_impl=cfg.probe_impl)
         elif resolved == "QuantizedIndex":
-            kwargs.update(refine_factor=cfg.refine_factor)
+            kwargs.update(refine_factor=cfg.refine_factor,
+                          int8_queries=cfg.int8_queries)
         if self.config.mesh.dtype == "bfloat16":
             import jax.numpy as jnp
 

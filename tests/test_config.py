@@ -77,6 +77,12 @@ def test_ivf_probe_dials_reach_backend():
     assert DewiPipeline(cfg)._make_index(dim=16)._backend.probe_dtype == \
         "auto"
 
+    # Quantized: int8_queries flows through too.
+    cfg = DewiConfig.from_dict(
+        {"index": {"ann": "quantized", "int8_queries": True}}
+    )
+    assert DewiPipeline(cfg)._make_index(dim=16)._backend.int8_queries is True
+
 
 def test_presets():
     expectations = {
