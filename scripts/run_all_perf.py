@@ -44,6 +44,20 @@ def main() -> int:
     skip = {s for s in args.skip.split(",") if s}
     only = {s for s in args.only.split(",") if s}
 
+    # Single-core host: perf numbers are garbage if pytest (or any heavy CPU
+    # job) runs concurrently.  Anyone starting such a job touches this lock
+    # file; we wait for it to clear (bounded, in case it's stale).
+    lock = Path("/tmp/dewi_cpu_busy.lock")
+    waited = 0.0
+    while lock.exists() and waited < 2400:
+        if waited == 0:
+            print(f"== waiting on {lock} (CPU-heavy job in flight)", flush=True)
+        time.sleep(30)
+        waited += 30
+    if lock.exists():
+        print(f"== {lock} still present after {waited:.0f}s; proceeding anyway",
+              flush=True)
+
     results = {}
     for name, timeout, cmd in STAGES:
         if name in skip or (only and name not in only):
