@@ -224,7 +224,7 @@ def main() -> None:
             extras["bf16_pallas_error"] = str(e)[:200]
 
     # ---- int8 quantized tier ----------------------------------------------
-    p50_int8 = p50_int8_pallas = p50_int8_s8 = None
+    p50_int8 = p50_int8_pallas = p50_int8_s8 = p50_int8_pallas_s8 = None
     q_emb = q_scales = None
     embp = sqnp = payp = qep = qsp = None
     if "int8" in SECTIONS:
@@ -317,22 +317,27 @@ def main() -> None:
                 payp = jnp.pad(pay_d, ((0, padn), (0, 0)))
                 qep, qsp = quantize_rows(embp)
             jax.block_until_ready(qep)
-            variants = [(True, "int8_pallas_cap_p50_ms")]
+            # (use_pallas, int8_queries, row name).  The s8 variant streams
+            # BOTH operands into the MXU as int8 (pallas_scores_matrix_s8):
+            # no per-element int8->bf16 convert on the corpus read — the
+            # strongest remaining lever on the 0.596 ms Pallas scan.
+            variants = [(True, False, "int8_pallas_cap_p50_ms"),
+                        (True, True, "int8_pallas_s8_p50_ms")]
             if padn == 0:
                 # Same arrays as the int8 row above — alias, don't re-measure.
                 extras["int8_cap_p50_ms"] = extras["int8_p50_ms"]
             else:
-                variants.insert(0, (False, "int8_cap_p50_ms"))
-            for use_pl, name in variants:
+                variants.insert(0, (False, False, "int8_cap_p50_ms"))
+            for use_pl, s8, name in variants:
                 @jax.jit
                 def chained_int8_cap(qe, qs, emb_a, sqn_a, pay_a, n_a, q0,
-                                     _pl=use_pl):
+                                     _pl=use_pl, _s8=s8):
                     def body(_, carry):
                         q, acc = carry
                         scores, _ = quantized_search(
                             qe, qs, emb_a, sqn_a, pay_a, q, n_a, eta, ep,
                             k=K, m=m, normalize=True, approx_select=True,
-                            pallas_stage1=_pl,
+                            pallas_stage1=_pl, int8_queries=_s8,
                         )
                         q = q + 1e-12 * scores[0, 0]
                         return q, acc + scores[0, 0]
@@ -347,11 +352,14 @@ def main() -> None:
                         chained_int8_cap, qep, qsp, embp, sqnp, payp, n_d
                     )
                     extras[name] = round(p50, 4)
-                    if use_pl:
+                    if use_pl and s8:
+                        p50_int8_pallas_s8 = p50
+                    elif use_pl:
                         p50_int8_pallas = p50
-                except Exception as e:  # noqa: BLE001 — Pallas is opt-in
-                    extras["int8_pallas_error"] = str(e)[:200]
-                    break
+                except Exception as e:  # noqa: BLE001 — Pallas is opt-in;
+                    # a per-variant failure (e.g. Mosaic can't legalize the
+                    # s8 dot) must not take down the other rows.
+                    extras[name.replace("_p50_ms", "_error")] = str(e)[:200]
 
             # 8-query packed chained loop (VERDICT r2 #3a): a [1, D] matvec
             # under-fills MXU rows, so stage-1 HBM bandwidth is shared by 8
@@ -412,6 +420,7 @@ def main() -> None:
     bf16_recall = None  # unmeasured unless the recall section runs
     int8_pallas_recall = 0.0
     int8_s8_recall = 0.0
+    int8_pallas_s8_recall = 0.0
     if "recall" in SECTIONS:
         for kk in (10, min(100, N_DOCS)):
             idx_f32 = blocked_idx(
@@ -461,6 +470,21 @@ def main() -> None:
                 extras[f"int8_pallas_recall_vs_f32_at_k{kk}"] = round(r, 6)
                 if kk == 10:
                     int8_pallas_recall = r
+                if kk == 10 and "int8_pallas_s8_p50_ms" in extras:
+                    idx_s8p = blocked_idx(
+                        lambda q, k: quantized_search(
+                            qep, qsp, embp, sqnp, payp, q, n_d,
+                            eta, ep, k=k, m=m, normalize=True,
+                            approx_select=True, pallas_stage1=True,
+                            int8_queries=True), kk,
+                        qblock=32,
+                    )
+                    int8_pallas_s8_recall = float(
+                        recall_matrix(idx_s8p, idx_f32)
+                    )
+                    extras["int8_pallas_s8_recall_vs_f32_at_k10"] = round(
+                        int8_pallas_s8_recall, 6
+                    )
         extras["recall_queries"] = N_QUERIES
     if embp is not None:
         del embp, sqnp, payp, qep, qsp
@@ -669,6 +693,11 @@ def main() -> None:
         candidates.append((
             p50_int8_s8, int8_s8_recall,
             "int8 two-stage refined (s8xs8 stage-1)",
+        ))
+    if p50_int8_pallas_s8 is not None and int8_pallas_s8_recall >= 0.99:
+        candidates.append((
+            p50_int8_pallas_s8, int8_pallas_s8_recall,
+            "int8 two-stage refined (s8xs8 Pallas stage-1)",
         ))
     headline, head_recall, head_tier = min(candidates, key=lambda c: c[0])
     extras["latency_method"] = (

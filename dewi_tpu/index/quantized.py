@@ -46,7 +46,8 @@ class QuantizedIndex(BaseIndex):
         # Quantize QUERIES too: native s8xs8->s32 MXU stage-1 (2x int8
         # throughput on v5e, no int8->bf16 convert on the corpus stream).
         # Adds query-quantization error to stage 1 only — stage 2 refines
-        # in f32.  Takes precedence over the Pallas stage-1 route.
+        # in f32.  Composes with use_pallas: both set routes stage 1
+        # through the streaming s8xs8 Pallas kernel (pallas_scores_matrix_s8).
         self.int8_queries = bool(int8_queries)
         self._q_emb: Optional[jax.Array] = None
         self._q_scales: Optional[jax.Array] = None
@@ -111,8 +112,7 @@ class QuantizedIndex(BaseIndex):
             m=m,
             normalize=self.store.normalize,
             approx_select=self.approx_select,
-            pallas_stage1=(not self.int8_queries
-                           and self._pallas_stage1_ok(int(q.shape[0]))),
+            pallas_stage1=self._pallas_stage1_ok(int(q.shape[0])),
             int8_queries=self.int8_queries,
         )
 

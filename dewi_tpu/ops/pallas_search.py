@@ -345,6 +345,68 @@ def pallas_scores_matrix(
     )
 
 
+def _scores_kernel_s8(q_ref, emb_ref, qscale_ref, mult_ref, add_ref, out_ref):
+    acc = jax.lax.dot_general(
+        q_ref[...], emb_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                      # [Q, BLOCK] i32
+    out_ref[...] = (
+        acc.astype(jnp.float32) * (qscale_ref[...] * mult_ref[...])
+        + add_ref[...]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def pallas_scores_matrix_s8(
+    emb_i8: jax.Array,    # [cap, D] int8, cap % block == 0
+    mult: jax.Array,      # [cap] f32 per-row multiplier (dequant scale fold)
+    add: jax.Array,       # [cap] f32 per-row addend (re-rank + mask fold)
+    q_i8: jax.Array,      # [Q, D] int8 quantized queries
+    q_scale: jax.Array,   # [Q] f32 per-query dequant scales
+    block: int = SCORES_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Native s8xs8 streaming stage-1: ``[Q, cap]`` adjusted scores.
+
+    Same streaming shape as :func:`pallas_scores_matrix`, but both operands
+    enter the MXU as int8 (s32 accumulate) — v5e runs int8 matmuls at 2x
+    bf16 throughput AND the corpus stream skips the per-element int8->bf16
+    VPU convert the bf16 kernel pays on every block.  The query's symmetric
+    quantization scale rides the epilogue as a per-query column factor
+    (``acc * (q_scale·mult) + add``), so this matches the XLA
+    ``int8_queries`` path of ops/quantized.quantized_search bit-for-bit up
+    to f32 multiply-add ordering.  Stage-1 error = int8 storage + int8
+    query rounding; downstream f32 refinement re-ranks exactly.
+    """
+    cap, d = emb_i8.shape
+    nq = q_i8.shape[0]
+    assert cap % block == 0, f"capacity {cap} must be a multiple of {block}"
+    grid = (cap // block,)
+    return pl.pallas_call(
+        _scores_kernel_s8,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nq, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq, cap), jnp.float32),
+        interpret=interpret,
+    )(
+        q_i8,
+        emb_i8,
+        q_scale.reshape(-1, 1).astype(jnp.float32),
+        mult.reshape(1, -1).astype(jnp.float32),
+        add.reshape(1, -1).astype(jnp.float32),
+    )
+
+
 def pallas_available() -> bool:
     """True when the Pallas TPU lowering can be used on this backend."""
     if not _HAS_PALLAS:

@@ -108,7 +108,18 @@ def quantized_search(
     # rounding, not query quantization.  ``pallas_stage1`` swaps the XLA
     # dot+epilogue for the streaming Pallas scores kernel (measured 0.596
     # vs 0.62-0.66 ms at 1M x 256 — the epilogue rides the corpus stream).
-    if pallas_stage1:
+    if pallas_stage1 and int8_queries:
+        # Native s8xs8 MXU streaming kernel: int8 corpus AND int8 query on
+        # the MXU (s32 accumulate), no per-element int8->bf16 convert on
+        # the corpus stream; query scale folded into the epilogue.
+        from .pallas_search import SCORES_BLOCK, pallas_scores_matrix_s8
+
+        q_i8, q_scale = quantize_rows(q)
+        adj1 = pallas_scores_matrix_s8(
+            emb_i8, mult, add, q_i8, q_scale,
+            block=pallas_block or SCORES_BLOCK, interpret=interpret,
+        )
+    elif pallas_stage1:
         from .pallas_search import SCORES_BLOCK, pallas_scores_matrix
 
         adj1 = pallas_scores_matrix(

@@ -60,14 +60,17 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
                                   normalize: bool = True,
                                   pallas_stage1: bool = False,
                                   pallas_block: int = 0,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  int8_queries: bool = False):
     """Sharded two-stage int8 search: local int8 scan + f32 refine per shard,
     then the same all-gather/top-k merge as the exact path.  Stage-1 HBM
     traffic per device is the int8 shard — 4x less than f32.
 
     ``pallas_stage1`` routes each shard's stage-1 through the streaming
     Pallas scores kernel (ops/pallas_search.py; the per-shard corpus block
-    must be a SCORES_BLOCK multiple — callers gate on that)."""
+    must be a SCORES_BLOCK multiple — callers gate on that).
+    ``int8_queries`` quantizes the replicated query too (native s8xs8 MXU
+    stage-1; with ``pallas_stage1`` it selects the streaming s8 kernel)."""
     from ..ops.quantized import quantized_search
 
     def local_search(emb_i8, scales, emb, sqn, pay, queries, n_valid, eta,
@@ -81,6 +84,7 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
             entropy_pref, k=k_local, m=min(m, shard_cap),
             normalize=normalize, pallas_stage1=pallas_stage1,
             pallas_block=pallas_block, interpret=interpret,
+            int8_queries=int8_queries,
         )
         gidx = idx + shard * shard_cap
         all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)

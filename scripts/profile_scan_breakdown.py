@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Decompose the 1M-doc quantized-search latency into its stages.
+
+The headline two-stage search is: int8 stage-1 scan (HBM-bound corpus read)
+-> approx_max_k candidate select -> f32 gather+refine -> top-k.  To know
+where the remaining headroom is (v5e HBM ~819 GB/s puts the 256 MB int8
+scan floor at ~0.31 ms), this script measures each stage in isolation with
+the same chained on-device methodology as bench.py (host RTT through the
+tunnel dwarfs device time, so each number is a fori_loop of CHAIN
+data-dependent iterations inside ONE dispatch, total / CHAIN).
+
+Rows (each also reported as effective GB/s over the bytes it must read):
+  scores_pallas_bf16   — streaming Pallas kernel, int8 corpus -> bf16 MXU
+  scores_pallas_s8     — streaming Pallas kernel, native s8xs8 -> s32 MXU
+  scores_xla_bf16      — XLA dot_general, int8 -> bf16 convert
+  scores_xla_s8        — XLA dot_general, s8xs8 -> s32
+  select_approx        — lax.approx_max_k over a resident [1, cap] score row
+  select_exact         — lax.top_k over the same
+  refine               — gather m f32 rows + einsum + rerank + top-k
+  full_two_stage       — production quantized_search (Pallas s8 stage-1)
+
+Usage: python scripts/profile_scan_breakdown.py [--n-docs 1048576]
+       [--dim 256] [--chain 64] [--output docs/perf/scan_breakdown.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n-docs", type=int, default=1 << 20)
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--chain", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--m", type=int, default=80)
+    ap.add_argument("--output", default="docs/perf/scan_breakdown.json")
+    args = ap.parse_args()
+
+    from dewi_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from dewi_tpu.ops.pallas_search import (
+        SCORES_BLOCK,
+        pallas_available,
+        pallas_scores_matrix,
+        pallas_scores_matrix_s8,
+    )
+    from dewi_tpu.ops.quantized import quantize_rows, quantized_search
+
+    n, d, chain = args.n_docs, args.dim, args.chain
+    assert n % SCORES_BLOCK == 0, f"--n-docs must be a multiple of {SCORES_BLOCK}"
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    emb = jax.random.normal(key, (n, d), dtype=jnp.float32)
+    emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+    emb_i8, scales = quantize_rows(emb)
+    sqn = jnp.sum(emb * emb, axis=1)
+    pay = jnp.asarray(np.abs(rng.normal(size=(n, 8))).astype(np.float32))
+    mult = 0.75 * scales
+    add = 0.25 * pay[:, 0] + 0.1 * 0.5 * (pay[:, 1] + pay[:, 3])
+    q0 = jnp.asarray(rng.normal(size=(1, d)).astype(np.float32))
+    q0 = q0 / jnp.linalg.norm(q0)
+    q0_i8, q0_scale = quantize_rows(q0)
+    jax.block_until_ready((emb_i8, pay, q0_i8))
+
+    corpus_bytes = int(n) * int(d)          # int8 read per scan
+    scores_bytes = int(n) * 4               # f32 score row
+
+    results: dict[str, dict] = {}
+
+    def chained(name, fn, *arrays, read_bytes=None):
+        """Median per-iteration ms of fn chained `chain` times on-device."""
+        @jax.jit
+        def loop(*ar):
+            def body(_, carry):
+                return fn(carry, *ar)
+
+            return jax.lax.fori_loop(0, chain, body, (q0, jnp.float32(0.0)))
+
+        try:
+            jax.block_until_ready(loop(*arrays))  # compile + warm
+            ms = []
+            for _ in range(args.reps):
+                t = time.perf_counter()
+                jax.block_until_ready(loop(*arrays))
+                ms.append((time.perf_counter() - t) * 1e3 / chain)
+            p50 = float(np.percentile(ms, 50))
+            row = {"p50_ms": round(p50, 4)}
+            if read_bytes:
+                row["effective_gbps"] = round(read_bytes / (p50 * 1e-3) / 1e9, 1)
+            results[name] = row
+            print(f"{name:24s} {row}", flush=True)
+        except Exception as e:  # noqa: BLE001 — keep profiling the rest
+            results[name] = {"error": str(e)[:200]}
+            print(f"{name:24s} ERROR {str(e)[:120]}", flush=True)
+
+    # ---- stage-1 scan variants (each reads the full int8 corpus) ----------
+    if pallas_available():
+        def scores_pl(carry, e8, mu, ad):
+            q, acc = carry
+            adj = pallas_scores_matrix(e8, mu, ad, q, block=SCORES_BLOCK)
+            s = jnp.max(adj)
+            return q + 1e-12 * s, acc + s
+
+        chained("scores_pallas_bf16", scores_pl, emb_i8, mult, add,
+                read_bytes=corpus_bytes)
+
+        def scores_pl_s8(carry, e8, mu, ad):
+            q, acc = carry
+            qi, qs = quantize_rows(q)
+            adj = pallas_scores_matrix_s8(e8, mu, ad, qi, qs,
+                                          block=SCORES_BLOCK)
+            s = jnp.max(adj)
+            return q + 1e-12 * s, acc + s
+
+        chained("scores_pallas_s8", scores_pl_s8, emb_i8, mult, add,
+                read_bytes=corpus_bytes)
+    else:
+        print("pallas unavailable on this backend; skipping kernel rows",
+              flush=True)
+
+    def scores_xla_bf16(carry, e8, mu, ad):
+        q, acc = carry
+        a = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), e8.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        adj = a * mu[None, :] + ad[None, :]
+        s = jnp.max(adj)
+        return q + 1e-12 * s, acc + s
+
+    chained("scores_xla_bf16", scores_xla_bf16, emb_i8, mult, add,
+            read_bytes=corpus_bytes)
+
+    def scores_xla_s8(carry, e8, mu, ad):
+        q, acc = carry
+        qi, qs = quantize_rows(q)
+        a = jax.lax.dot_general(
+            qi, e8, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        adj = a * (qs[:, None] * mu[None, :]) + ad[None, :]
+        s = jnp.max(adj)
+        return q + 1e-12 * s, acc + s
+
+    chained("scores_xla_s8", scores_xla_s8, emb_i8, mult, add,
+            read_bytes=corpus_bytes)
+
+    # ---- selection over a resident score row ------------------------------
+    adj_row = jnp.asarray(rng.normal(size=(1, n)).astype(np.float32))
+    jax.block_until_ready(adj_row)
+
+    def select_approx(carry, row):
+        q, acc = carry
+        # The epsilon add keeps each iteration data-dependent (defeats
+        # loop-invariant hoisting) at the cost of one [cap] elementwise add.
+        v, _ = jax.lax.approx_max_k(row + 1e-12 * acc, args.m,
+                                    recall_target=0.95,
+                                    aggregate_to_topk=False)
+        s = v[0, 0]
+        return q, acc + s
+
+    chained("select_approx", select_approx, adj_row, read_bytes=scores_bytes)
+
+    def select_exact(carry, row):
+        q, acc = carry
+        v, _ = jax.lax.top_k(row + 1e-12 * acc, args.m)
+        s = v[0, 0]
+        return q, acc + s
+
+    chained("select_exact", select_exact, adj_row, read_bytes=scores_bytes)
+
+    # ---- refine over m candidates ----------------------------------------
+    cand0 = jnp.asarray(
+        rng.integers(0, n, size=(1, args.m)).astype(np.int32))
+
+    def refine(carry, e, p, cand):
+        q, acc = carry
+        c = (cand + jnp.int32(1e-12 * acc)) % n
+        ce = e[c]
+        sim = jnp.einsum("qd,qmd->qm", q, ce,
+                         preferred_element_type=jnp.float32)
+        cp = p[c]
+        adj = 0.75 * sim + 0.25 * cp[..., 0]
+        v, _ = jax.lax.top_k(adj, 10)
+        s = v[0, 0]
+        return q + 1e-12 * s, acc + s
+
+    chained("refine", refine, emb, pay, cand0)
+
+    # ---- full production path --------------------------------------------
+    def full(carry, e8, sc, e, sq, p):
+        q, acc = carry
+        v, _ = quantized_search(
+            e8, sc, e, sq, p, q, jnp.int32(n), jnp.float32(0.25),
+            jnp.float32(0.1), k=10, m=args.m, normalize=True,
+            approx_select=True, pallas_stage1=pallas_available(),
+            int8_queries=True)
+        s = v[0, 0]
+        return q + 1e-12 * s, acc + s
+
+    chained("full_two_stage", full, emb_i8, scales, emb, sqn, pay,
+            read_bytes=corpus_bytes)
+
+    out = {
+        "n_docs": n, "dim": d, "chain": chain,
+        "device": str(jax.devices()[0]),
+        "hbm_floor_ms_at_819gbps": round(corpus_bytes / 819e9 * 1e3, 4),
+        "results": results,
+    }
+    Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.output).write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

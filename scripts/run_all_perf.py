@@ -31,6 +31,8 @@ STAGES = [
                           "--skip-object",
                           "--output", "docs/perf/e2e_pipeline_images.json"]),
     ("ivf_1m", 1800, [sys.executable, "scripts/profile_ivf_1m.py"]),
+    ("scan_breakdown", 900, [sys.executable,
+                             "scripts/profile_scan_breakdown.py"]),
     ("bench", 1200, [sys.executable, "bench.py"]),
 ]
 

@@ -151,3 +151,58 @@ class TestPallasScoresMatrix:
         np.testing.assert_allclose(
             np.sort(np.asarray(s_x), axis=1)[:, -9:],
             np.sort(np.asarray(s_p), axis=1)[:, -9:], rtol=1e-4, atol=1e-4)
+
+
+class TestPallasScoresMatrixS8:
+    """Native s8xs8 scores kernel: integer stage-1 with folded query scale."""
+
+    def test_matches_int_oracle_multiblock(self):
+        from dewi_tpu.ops.pallas_search import pallas_scores_matrix_s8
+
+        rng = np.random.default_rng(31)
+        cap, d, nq = 2048, 64, 3
+        e8 = rng.integers(-127, 128, size=(cap, d)).astype(np.int8)
+        q8 = rng.integers(-127, 128, size=(nq, d)).astype(np.int8)
+        qs = rng.uniform(0.01, 0.1, size=nq).astype(np.float32)
+        mult = rng.uniform(0.5, 1.5, size=cap).astype(np.float32)
+        add = rng.normal(size=cap).astype(np.float32)
+        add[2000:] = -np.inf
+        got = np.asarray(pallas_scores_matrix_s8(
+            jnp.asarray(e8), jnp.asarray(mult), jnp.asarray(add),
+            jnp.asarray(q8), jnp.asarray(qs), block=256, interpret=True,
+        ))
+        # Integer matmul is exact; only the f32 epilogue rounds.
+        acc = q8.astype(np.int64) @ e8.astype(np.int64).T
+        ref = (acc.astype(np.float32) * (qs[:, None] * mult[None, :])
+               + add[None, :])
+        np.testing.assert_allclose(got[:, :2000], ref[:, :2000],
+                                   rtol=1e-5, atol=1e-5)
+        assert np.all(np.isneginf(got[:, 2000:]))
+
+    def test_quantized_search_s8_pallas_matches_s8_xla(self):
+        # pallas_stage1 + int8_queries routes through the s8 kernel; the
+        # integer stage-1 accumulation is identical to the XLA int8_queries
+        # path, so the full two-stage result must match exactly.
+        from dewi_tpu.ops.quantized import quantize_rows, quantized_search
+
+        rng = np.random.default_rng(32)
+        cap, d, nq, n = 2048, 32, 2, 1800
+        emb = np.asarray(l2_normalize(
+            jnp.asarray(rng.normal(size=(cap, d)).astype(np.float32))))
+        pay = np.abs(rng.normal(size=(cap, 8))).astype(np.float32)
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        e8, sc = quantize_rows(jnp.asarray(emb))
+        sqn = jnp.sum(jnp.asarray(emb) ** 2, axis=1)
+        common = dict(k=10, m=80, normalize=True, approx_select=False,
+                      int8_queries=True)
+        s_x, i_x = quantized_search(
+            e8, sc, jnp.asarray(emb), sqn, jnp.asarray(pay), jnp.asarray(q),
+            jnp.int32(n), jnp.float32(0.3), jnp.float32(0.1),
+            pallas_stage1=False, **common)
+        s_p, i_p = quantized_search(
+            e8, sc, jnp.asarray(emb), sqn, jnp.asarray(pay), jnp.asarray(q),
+            jnp.int32(n), jnp.float32(0.3), jnp.float32(0.1),
+            pallas_stage1=True, pallas_block=256, interpret=True, **common)
+        np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_p))
+        np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_p),
+                                   rtol=1e-6, atol=1e-6)
