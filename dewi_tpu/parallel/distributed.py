@@ -112,13 +112,16 @@ class ShardedQuantizedSearcher:
     """
 
     def __init__(self, store, mesh: Mesh, k: int = 10, refine_factor: int = 8,
-                 use_pallas: bool = True):
+                 use_pallas: bool = True, int8_queries: bool = False):
         from ..ops.pallas_search import SCORES_BLOCK, pallas_available
         from ..ops.quantized import quantize_rows
 
         self.store = store
         self.mesh = mesh
         self.k = k
+        # s8xs8 stage-1 (see QuantizedIndex): quantize the replicated query
+        # too; composes with use_pallas via the streaming s8 kernel.
+        self.int8_queries = bool(int8_queries)
         store.sharding = data_sharding(mesh, rank=2)
         emb, _, _, _ = store.device_arrays()
         # Row-wise quantization preserves the data-axis sharding.
@@ -138,11 +141,13 @@ class ShardedQuantizedSearcher:
             and pallas_available()
         )
         self._fn_xla = make_sharded_quantized_search(
-            mesh, k, m, normalize=store.normalize, pallas_stage1=False
+            mesh, k, m, normalize=store.normalize, pallas_stage1=False,
+            int8_queries=self.int8_queries,
         )
         self._fn_pallas = (
             make_sharded_quantized_search(
-                mesh, k, m, normalize=store.normalize, pallas_stage1=True
+                mesh, k, m, normalize=store.normalize, pallas_stage1=True,
+                int8_queries=self.int8_queries,
             )
             if self._pallas_capable
             else self._fn_xla

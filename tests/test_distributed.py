@@ -110,6 +110,39 @@ class TestShardedQuantized:
         _, qi = quant.search_batch(q, eta=0.25, entropy_pref=0.1)
         assert recall_matrix(np.asarray(qi), np.asarray(ei)) >= 0.99
 
+    def test_int8_queries_matches_sharded_exact(self):
+        # s8xs8 stage-1 on the sharded tier: query quantization adds
+        # stage-1 rounding only; the per-shard f32 refine keeps recall.
+        import numpy as np
+        from dewi_tpu.index.store import DocStore
+        from dewi_tpu.metrics import recall_matrix
+        from dewi_tpu.parallel import (
+            ShardedExactSearcher,
+            ShardedQuantizedSearcher,
+            make_mesh,
+        )
+
+        rng = np.random.default_rng(4)
+        n, d = 8 * 64, 32
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pay = np.abs(rng.normal(size=(n, 8))).astype(np.float32)
+        ids = [str(i) for i in range(n)]
+        mesh = make_mesh(n_data=8, n_model=1)
+
+        s1 = DocStore(dim=d)
+        s1.add_batch(ids, emb, pay)
+        exact = ShardedExactSearcher(s1, mesh, k=10)
+        s2 = DocStore(dim=d)
+        s2.add_batch(ids, emb, pay)
+        quant = ShardedQuantizedSearcher(s2, mesh, k=10, refine_factor=8,
+                                         int8_queries=True)
+        assert quant.int8_queries is True
+
+        q = rng.normal(size=(6, d)).astype(np.float32)
+        _, ei = exact.search_batch(q, eta=0.25, entropy_pref=0.1)
+        _, qi = quant.search_batch(q, eta=0.25, entropy_pref=0.1)
+        assert recall_matrix(np.asarray(qi), np.asarray(ei)) >= 0.99
+
 
 class TestShardingAfterAttach:
     def test_attach_then_shard(self):
