@@ -70,6 +70,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
             ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint64),
         ]
+        # Older cached builds may predate the JPEG pool; probe before binding.
+        if hasattr(lib, "dewi_decode_jpeg_batch"):
+            lib.dewi_has_jpeg.restype = ctypes.c_int32
+            lib.dewi_has_jpeg.argtypes = []
+            lib.dewi_decode_jpeg_batch.restype = ctypes.c_int64
+            lib.dewi_decode_jpeg_batch.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
         _lib = lib
     except OSError as e:
         logger.warning("Native library load failed (%s); using Python.", e)
@@ -204,9 +214,58 @@ def minhash_signatures_native(
     return sigs
 
 
+# ---------------------------------------------------------------------------
+# JPEG decode pool
+# ---------------------------------------------------------------------------
+
+
+def jpeg_pool_available() -> bool:
+    """True when the native library was built against libjpeg."""
+    lib = _load()
+    return (
+        lib is not None
+        and hasattr(lib, "dewi_decode_jpeg_batch")
+        and bool(lib.dewi_has_jpeg())
+    )
+
+
+def decode_jpeg_batch(
+    paths: Sequence[str], size: int, threads: int = 4
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """GIL-free batched JPEG decode: ``([n, size, size, 3] uint8, [n] bool)``.
+
+    The bool mask marks slots that decoded natively; the caller decodes the
+    rest (non-JPEG bytes, CMYK, truncated files) through the PIL path.
+    Returns ``None`` when the native pool is unavailable (caller falls back
+    wholesale).  Decode uses the same DCT-scale draft trick as the PIL path
+    (reference image decode is per-estimator and full-resolution,
+    reference image_entropy.py:39-49); resize is center-aligned bilinear.
+    """
+    if not paths or not jpeg_pool_available():
+        return None
+    if any("\n" in p for p in paths):
+        return None
+    lib = _load()
+    assert lib is not None
+    n = len(paths)
+    out = np.empty((n, size, size, 3), dtype=np.uint8)
+    ok = np.zeros(n, dtype=np.uint8)
+    rc = lib.dewi_decode_jpeg_batch(
+        "\n".join(paths).encode("utf-8"), ctypes.c_int64(n),
+        ctypes.c_int32(int(size)), ctypes.c_int32(max(1, int(threads))),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc < 0:
+        return None
+    return out, ok.astype(bool)
+
+
 __all__ = [
     "available",
     "write_payloads_jsonl",
     "read_payloads_jsonl",
     "minhash_signatures_native",
+    "jpeg_pool_available",
+    "decode_jpeg_batch",
 ]

@@ -116,6 +116,70 @@ class TestBatchAndPrefetch:
         it.close()  # generator closed mid-stream: producer must unwind
 
 
+class TestNativeJpegPool:
+    """GIL-free libjpeg decode pool (native/dewi_jpeg.cpp)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_pool(self):
+        from dewi_tpu import native
+
+        if not native.jpeg_pool_available():
+            pytest.skip("native jpeg pool unavailable")
+
+    def test_batch_matches_pil_closely(self, tmp_path):
+        from dewi_tpu import native
+
+        paths = _write_images(tmp_path, 5, size=96, fmt="JPEG")
+        res = native.decode_jpeg_batch(paths, 48, threads=2)
+        assert res is not None
+        dec, ok = res
+        assert dec.shape == (5, 48, 48, 3) and dec.dtype == np.uint8
+        assert ok.all()
+        for i, p in enumerate(paths):
+            # Same libjpeg decode; only the resize filters differ slightly.
+            pil = decode_image_uint8(p, 48).astype(np.float32)
+            assert np.abs(dec[i].astype(np.float32) - pil).mean() < 8.0
+
+    def test_draft_scale_engages(self, tmp_path):
+        # 512 -> 64 is a 1/8 DCT-space decode on both paths.
+        from dewi_tpu import native
+
+        rng = np.random.default_rng(5)
+        base = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        smooth = np.asarray(
+            Image.fromarray(base).resize((512, 512), Image.BILINEAR)
+        )
+        p = tmp_path / "big.jpg"
+        Image.fromarray(smooth).save(p, quality=92)
+        dec, ok = native.decode_jpeg_batch([str(p)], 64)
+        assert ok.all()
+        pil = decode_image_uint8(str(p), 64).astype(np.float32)
+        assert np.abs(dec[0].astype(np.float32) - pil).mean() < 4.0
+
+    def test_non_jpeg_and_missing_flagged(self, tmp_path):
+        from dewi_tpu import native
+
+        paths = _write_images(tmp_path, 2, size=32, fmt="PNG")
+        paths.append(str(tmp_path / "missing.jpg"))
+        dec, ok = native.decode_jpeg_batch(paths, 32)
+        assert not ok.any()
+
+    def test_decode_batch_mixed_fallback(self, tmp_path):
+        # JPEGs decode natively; the PNG slot falls back to PIL bit-exactly.
+        jpgs = _write_images(tmp_path, 2, size=64, fmt="JPEG")
+        arr = np.random.default_rng(9).integers(
+            0, 256, (32, 32, 3), dtype=np.uint8
+        )
+        png = tmp_path / "exact.png"
+        Image.fromarray(arr).save(png)
+        got = decode_batch(jpgs + [str(png)], 32, threads=2)
+        assert got.shape == (3, 32, 32, 3)
+        np.testing.assert_array_equal(got[2], arr)
+        for i, p in enumerate(jpgs):
+            pil = decode_image_uint8(p, 32).astype(np.float32)
+            assert np.abs(got[i].astype(np.float32) - pil).mean() < 8.0
+
+
 class TestImageCache:
     def test_cache_serves_all_sizes(self, tmp_path):
         paths = _write_images(tmp_path, 6, size=64)
