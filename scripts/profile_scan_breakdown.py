@@ -27,10 +27,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
@@ -40,11 +43,14 @@ def main() -> int:
     ap.add_argument("--chain", type=int, default=64)
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--m", type=int, default=80)
+    ap.add_argument("--sweep-blocks", default="4096,16384,32768")
     ap.add_argument("--output", default="docs/perf/scan_breakdown.json")
     args = ap.parse_args()
 
     from dewi_tpu.utils.compile_cache import enable_compilation_cache
+    from dewi_tpu.utils.platform import apply_platform_override
 
+    apply_platform_override()
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
@@ -125,6 +131,23 @@ def main() -> int:
 
         chained("scores_pallas_s8", scores_pl_s8, emb_i8, mult, add,
                 read_bytes=corpus_bytes)
+
+        # Block-size sweep for the s8 kernel (VMEM per step = 2 x block x D
+        # int8 double-buffered + the [Q, block] f32 out tile; oversized
+        # blocks fail Mosaic allocation and are recorded as error rows).
+        for blk in (int(b) for b in args.sweep_blocks.split(",") if b):
+            if blk == SCORES_BLOCK or n % blk != 0:
+                continue
+
+            def scores_s8_blk(carry, e8, mu, ad, _b=blk):
+                q, acc = carry
+                qi, qs = quantize_rows(q)
+                adj = pallas_scores_matrix_s8(e8, mu, ad, qi, qs, block=_b)
+                s = jnp.max(adj)
+                return q + 1e-12 * s, acc + s
+
+            chained(f"scores_pallas_s8_b{blk}", scores_s8_blk,
+                    emb_i8, mult, add, read_bytes=corpus_bytes)
     else:
         print("pallas unavailable on this backend; skipping kernel rows",
               flush=True)
