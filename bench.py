@@ -470,6 +470,11 @@ def main() -> None:
                 extras[f"int8_pallas_recall_vs_f32_at_k{kk}"] = round(r, 6)
                 if kk == 10:
                     int8_pallas_recall = r
+            if qep is not None:
+                m = min(max(kk * 8, 32), N_DOCS)
+                # Independent of the bf16-Pallas variant's success: the s8
+                # row must gate its own headline candidacy on its own
+                # measured recall even if the sibling variant errored.
                 if kk == 10 and "int8_pallas_s8_p50_ms" in extras:
                     idx_s8p = blocked_idx(
                         lambda q, k: quantized_search(

@@ -61,16 +61,25 @@ class QuantizedIndex(BaseIndex):
         }
 
     def _pallas_stage1_ok(self, n_queries: int) -> bool:
-        from ..ops.pallas_search import SCORES_BLOCK, pallas_available
+        from ..ops.pallas_search import (
+            SCORES_BLOCK,
+            pallas_available,
+            s8_kernel_supported,
+        )
 
         cap = self.store.capacity
-        return (
+        ok = (
             self.use_pallas
             and cap >= SCORES_BLOCK
             and cap % SCORES_BLOCK == 0
             and n_queries <= 32          # [Q, block] out tile stays <= 1 MB
             and pallas_available()
         )
+        if ok and self.int8_queries:
+            # The s8 composition needs Mosaic to legalize the int8 dot;
+            # probe once and fall back to the XLA s8 path if it can't.
+            ok = s8_kernel_supported()
+        return ok
 
     def build(self, **kwargs) -> None:
         if len(self.store) == 0:

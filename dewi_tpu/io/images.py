@@ -14,10 +14,11 @@ first-class pipeline stage:
   resize to the target square.  Output stays **uint8**: 4× less host RAM
   and host→device transfer than f32; normalization to [0,1] runs on device
   inside the jitted forward (see ``normalize_images`` below).
-* :func:`decode_batch` — ordered parallel decode.  Path sources go through
-  the native GIL-free JPEG pool (``native/dewi_jpeg.cpp``: libjpeg +
-  ``std::thread``, real core scaling; 1.6× PIL even single-threaded) with
-  per-slot PIL fallback; other sources use a PIL thread pool.
+* :func:`decode_batch` — ordered parallel decode.  JPEG-suffixed path
+  sources go through the native GIL-free JPEG pool (``native/
+  dewi_jpeg.cpp``: libjpeg + ``std::thread``, real core scaling;
+  1.26–1.49× PIL even single-threaded — docs/perf/ingest_native.json)
+  with per-slot PIL fallback; other sources use a PIL thread pool.
 * :func:`iter_padded_batches` — a bounded-queue prefetcher: worker threads
   decode batches N+1…N+depth while the caller's device step runs on batch
   N, overlapping host IO with TPU compute.
@@ -175,19 +176,30 @@ def decode_batch(
     threads = effective_threads(threads, sources)
 
     todo = list(range(n))
-    str_idx = [i for i in todo if isinstance(sources[i], str)]
-    if str_idx:
+    # Extension gate: only JPEG-suffixed paths enter the native pool —
+    # probing a PNG there reads the whole file before the header check
+    # fails, doubling IO on non-JPEG corpora.  Odd-suffixed JPEGs just
+    # take the (correct, slower) PIL route.
+    jpg_idx = [
+        i for i in todo
+        if isinstance(sources[i], str)
+        and sources[i].lower().endswith((".jpg", ".jpeg", ".mpo"))
+    ]
+    if jpg_idx:
         from ..native import decode_jpeg_batch
 
+        whole = len(jpg_idx) == n and out.flags["C_CONTIGUOUS"]
         res = decode_jpeg_batch(
-            [sources[i] for i in str_idx], size, threads=native_threads
+            [sources[i] for i in jpg_idx], size, threads=native_threads,
+            out=out if whole else None,
         )
         if res is not None:
             dec, ok = res
             done = set()
-            for j, i in enumerate(str_idx):
+            for j, i in enumerate(jpg_idx):
                 if ok[j]:
-                    out[i] = dec[j]
+                    if not whole:
+                        out[i] = dec[j]
                     done.add(i)
             todo = [i for i in todo if i not in done]
 

@@ -102,6 +102,11 @@ def pack_images(
         1 for c in sample if c.lower().endswith((".jpg", ".jpeg", ".mpo"))
     ) >= len(sample)
     use_native_pool = bool(mostly_jpeg) and _native.jpeg_pool_available()
+    # The caller's `workers` bounds the native pool too (workers=0/1 means
+    # serial decode — e.g. keeping a shared host quiet); default scales to
+    # the core count, which is the native pool's whole point.
+    ncpu = os.cpu_count() or 1
+    native_threads = ncpu if workers is None else max(1, min(int(workers), ncpu))
     pool = None
     if nworkers > 0 and not use_native_pool:
         # spawn (not fork): the parent may hold a live TPU client whose
@@ -129,7 +134,7 @@ def pack_images(
             elif use_native_pool:
                 from .images import decode_batch
 
-                decode_batch(chunk, size, threads=os.cpu_count() or 1,
+                decode_batch(chunk, size, threads=native_threads,
                              out=mm[s : s + len(chunk)])
             else:
                 mm[s : s + len(chunk)] = np.stack(

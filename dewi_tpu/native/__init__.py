@@ -40,15 +40,30 @@ def _load() -> Optional[ctypes.CDLL]:
     _tried = True
     if os.environ.get("DEWI_TPU_NO_NATIVE", "").lower() in ("1", "true", "yes"):
         return None
-    if not _LIB_PATH.exists() and (_SRC_DIR / "Makefile").exists():
+    if (_SRC_DIR / "Makefile").exists():
+        # Build when absent OR stale (a cached .so from before a source
+        # change would silently lack newer entry points, e.g. the JPEG
+        # pool); make itself is a no-op when everything is current.
         try:
-            subprocess.run(
-                ["make", "-C", str(_SRC_DIR)],
-                check=True, capture_output=True, timeout=120,
+            stale = not _LIB_PATH.exists() or any(
+                src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+                for src in list(_SRC_DIR.glob("*.cpp"))
+                + [_SRC_DIR / "Makefile"]
             )
-        except Exception as e:  # noqa: BLE001
-            logger.warning("Native build failed (%s); using Python codecs.", e)
-            return None
+        except OSError:
+            stale = not _LIB_PATH.exists()
+        if stale:
+            try:
+                subprocess.run(
+                    ["make", "-C", str(_SRC_DIR)],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception as e:  # noqa: BLE001
+                logger.warning(
+                    "Native build failed (%s); using Python codecs.", e
+                )
+                if not _LIB_PATH.exists():
+                    return None
     if not _LIB_PATH.exists():
         return None
     try:
@@ -230,7 +245,8 @@ def jpeg_pool_available() -> bool:
 
 
 def decode_jpeg_batch(
-    paths: Sequence[str], size: int, threads: int = 4
+    paths: Sequence[str], size: int, threads: int = 4,
+    out: Optional[np.ndarray] = None,
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """GIL-free batched JPEG decode: ``([n, size, size, 3] uint8, [n] bool)``.
 
@@ -248,7 +264,13 @@ def decode_jpeg_batch(
     lib = _load()
     assert lib is not None
     n = len(paths)
-    out = np.empty((n, size, size, 3), dtype=np.uint8)
+    if out is None:
+        out = np.empty((n, size, size, 3), dtype=np.uint8)
+    else:
+        # Decode straight into the caller's buffer (e.g. a pack memmap
+        # slice) — failed slots are left untouched for the PIL fallback.
+        assert out.shape == (n, size, size, 3) and out.dtype == np.uint8
+        assert out.flags["C_CONTIGUOUS"], "out must be C-contiguous"
     ok = np.zeros(n, dtype=np.uint8)
     rc = lib.dewi_decode_jpeg_batch(
         "\n".join(paths).encode("utf-8"), ctypes.c_int64(n),

@@ -407,6 +407,42 @@ def pallas_scores_matrix_s8(
     )
 
 
+_S8_SUPPORTED: bool | None = None
+
+
+def s8_kernel_supported() -> bool:
+    """True when Mosaic compiles the s8xs8 dot on this backend (probed once).
+
+    The s8 kernel relies on Mosaic legalizing an int8xint8->int32
+    ``dot_general``; rather than let a production search discover a
+    legalization failure at dispatch time, callers gate on this tiny
+    one-time compile probe (cached per process, and cheap again across
+    processes via the persistent XLA compile cache)."""
+    global _S8_SUPPORTED
+    if _S8_SUPPORTED is not None:
+        return _S8_SUPPORTED
+    if not pallas_available():
+        _S8_SUPPORTED = False
+        return False
+    try:
+        e8 = jnp.zeros((256, 128), jnp.int8)
+        z = jnp.zeros((256,), jnp.float32)
+        q8 = jnp.zeros((1, 128), jnp.int8)
+        pallas_scores_matrix_s8.lower(
+            e8, z, z, q8, jnp.ones((1,), jnp.float32), block=256
+        ).compile()
+        _S8_SUPPORTED = True
+    except Exception as e:  # noqa: BLE001 — any lowering/compile failure
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "s8 Pallas kernel unsupported on this backend (%s); "
+            "int8_queries searches use the XLA s8 path.", str(e)[:200]
+        )
+        _S8_SUPPORTED = False
+    return _S8_SUPPORTED
+
+
 def pallas_available() -> bool:
     """True when the Pallas TPU lowering can be used on this backend."""
     if not _HAS_PALLAS:
@@ -421,7 +457,9 @@ __all__ = [
     "pallas_fused_search",
     "pallas_int8_search",
     "pallas_scores_matrix",
+    "pallas_scores_matrix_s8",
     "pallas_available",
+    "s8_kernel_supported",
     "BLOCK",
     "SCORES_BLOCK",
 ]

@@ -113,7 +113,11 @@ class ShardedQuantizedSearcher:
 
     def __init__(self, store, mesh: Mesh, k: int = 10, refine_factor: int = 8,
                  use_pallas: bool = True, int8_queries: bool = False):
-        from ..ops.pallas_search import SCORES_BLOCK, pallas_available
+        from ..ops.pallas_search import (
+            SCORES_BLOCK,
+            pallas_available,
+            s8_kernel_supported,
+        )
         from ..ops.quantized import quantize_rows
 
         self.store = store
@@ -139,6 +143,9 @@ class ShardedQuantizedSearcher:
             and shard_cap >= SCORES_BLOCK
             and shard_cap % SCORES_BLOCK == 0
             and pallas_available()
+            # The s8 composition additionally needs the Mosaic int8-dot
+            # legalization probe to pass (falls back to XLA s8 otherwise).
+            and (not self.int8_queries or s8_kernel_supported())
         )
         self._fn_xla = make_sharded_quantized_search(
             mesh, k, m, normalize=store.normalize, pallas_stage1=False,

@@ -47,16 +47,18 @@ def main() -> int:
     only = {s for s in args.only.split(",") if s}
 
     # Single-core host: perf numbers are garbage if pytest (or any heavy CPU
-    # job) runs concurrently.  Anyone starting such a job touches this lock
-    # file; we wait for it to clear (bounded, in case it's stale).
+    # job) runs concurrently.  Convention (manual, not enforced anywhere in
+    # the library): whoever starts such a job does `touch
+    # /tmp/dewi_cpu_busy.lock` and removes it after; we wait for it to
+    # clear (bounded, in case a crashed job left it behind).
     lock = Path("/tmp/dewi_cpu_busy.lock")
     waited = 0.0
-    while lock.exists() and waited < 2400:
+    while not args.dry_run and lock.exists() and waited < 2400:
         if waited == 0:
             print(f"== waiting on {lock} (CPU-heavy job in flight)", flush=True)
         time.sleep(30)
         waited += 30
-    if lock.exists():
+    if not args.dry_run and lock.exists():
         print(f"== {lock} still present after {waited:.0f}s; proceeding anyway",
               flush=True)
 
