@@ -220,6 +220,47 @@ def main() -> int:
 
     chained("refine", refine, emb, pay, cand0)
 
+    # ---- batched-Q A/B: scores-matrix write vs in-VMEM top-k --------------
+    # At Q=1 the in-VMEM running top-k loses to XLA select (round-1 lesson);
+    # at Q=128 the [Q, cap] f32 scores writeback (512 MB at 1M docs) costs
+    # as much as the corpus read, which the in-VMEM kernel never pays.
+    qb = jnp.asarray(rng.normal(size=(128, d)).astype(np.float32))
+    qb = qb / jnp.linalg.norm(qb, axis=1, keepdims=True)
+
+    def batched_two_stage(carry, e8, sc, e, sq, p, q128):
+        q, acc = carry
+        v, _ = quantized_search(
+            e8, sc, e, sq, p, q128 + 1e-12 * acc, jnp.int32(n),
+            jnp.float32(0.25), jnp.float32(0.1), k=10, m=args.m,
+            normalize=True, approx_select=True, int8_queries=True)
+        s = v[0, 0]
+        return q, acc + s
+
+    chained("batched128_two_stage", batched_two_stage,
+            emb_i8, scales, emb, sqn, pay, qb, read_bytes=corpus_bytes)
+    if "batched128_two_stage" in results and \
+            "p50_ms" in results["batched128_two_stage"]:
+        results["batched128_two_stage"]["per_query_us"] = round(
+            results["batched128_two_stage"]["p50_ms"] / 128 * 1e3, 2)
+
+    if pallas_available():
+        from dewi_tpu.ops.pallas_search import pallas_int8_search
+
+        def batched_invmem(carry, e8, sc, p, q128):
+            q, acc = carry
+            v, _ = pallas_int8_search(
+                e8, sc, p, q128 + 1e-12 * acc, jnp.int32(n),
+                jnp.float32(0.25), jnp.float32(0.1), k=10, block=2048)
+            s = v[0, 0]
+            return q, acc + s
+
+        chained("batched128_invmem_topk", batched_invmem,
+                emb_i8, scales, pay, qb, read_bytes=corpus_bytes)
+        if "batched128_invmem_topk" in results and \
+                "p50_ms" in results["batched128_invmem_topk"]:
+            results["batched128_invmem_topk"]["per_query_us"] = round(
+                results["batched128_invmem_topk"]["p50_ms"] / 128 * 1e3, 2)
+
     # ---- full production path --------------------------------------------
     def full(carry, e8, sc, e, sq, p):
         q, acc = carry
