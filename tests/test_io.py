@@ -164,6 +164,33 @@ class TestNativeJpegPool:
         dec, ok = native.decode_jpeg_batch(paths, 32)
         assert not ok.any()
 
+    def test_truncated_and_garbage_jpeg_no_crash(self, tmp_path):
+        # libjpeg's default error handler exit()s the process; the pool's
+        # setjmp error manager must contain per-file failures instead.
+        from dewi_tpu import native
+
+        (good,) = _write_images(tmp_path, 1, size=64, fmt="JPEG")
+        data = (tmp_path / "img_000.jpeg").read_bytes() \
+            if (tmp_path / "img_000.jpeg").exists() else open(good, "rb").read()
+        trunc = tmp_path / "trunc.jpg"
+        trunc.write_bytes(data[: len(data) // 2])
+        garbage = tmp_path / "garbage.jpg"
+        garbage.write_bytes(bytes(np.random.default_rng(0).integers(
+            0, 256, 4096, dtype=np.uint8)))
+        empty = tmp_path / "empty.jpg"
+        empty.write_bytes(b"")
+        dec, ok = native.decode_jpeg_batch(
+            [good, str(trunc), str(garbage), str(empty)], 32, threads=2
+        )
+        assert ok[0]            # the valid file still decodes
+        assert not ok[2] and not ok[3]
+        # (truncated JPEGs may decode partially or fail; either is fine —
+        # the only contract is no crash and a set flag)
+        # Through decode_batch, an undecodable slot falls back to PIL which
+        # keeps the existing raise-on-garbage contract.
+        with pytest.raises(Exception):
+            decode_batch([good, str(garbage)], 32)
+
     def test_decode_batch_mixed_fallback(self, tmp_path):
         # JPEGs decode natively; the PNG slot falls back to PIL bit-exactly.
         jpgs = _write_images(tmp_path, 2, size=64, fmt="JPEG")
