@@ -168,14 +168,25 @@ def make_hf_adapter(tok):
                     [self.encode_length(t, max_len) for t in texts],
                     np.int64,
                 )
-            enc = tok(list(texts), truncation=True, max_length=max_len)
+            enc = self._encode_all(texts, max_len)
             return np.fromiter(
-                (len(e) for e in enc["input_ids"]), np.int64,
-                count=len(texts),
+                (len(e) for e in enc), np.int64, count=len(texts),
             )
 
         def _encode_all(self, texts, max_len):
             if self._fast:
+                # The raw Rust encode_batch_fast skips offset/word-id
+                # tracking the estimators never read — measured 1.0-1.2x
+                # the transformers __call__ depending on corpus shape,
+                # never slower, identical ids (docs/perf/tokenize.json).
+                # Truncation state lives on
+                # the backend object and is also mutated by any
+                # transformers-level call, so set it explicitly every
+                # time rather than caching.
+                bt = getattr(tok, "backend_tokenizer", None)
+                if bt is not None and hasattr(bt, "encode_batch_fast"):
+                    bt.enable_truncation(max_length=max_len)
+                    return [e.ids for e in bt.encode_batch_fast(list(texts))]
                 return tok(
                     list(texts), truncation=True, max_length=max_len
                 )["input_ids"]

@@ -117,6 +117,22 @@ class TestBPEAdapter:
         assert added_id >= bpe_tok.vocab_size  # beyond the base vocab
         assert (u16 == added_id).any()
 
+    def test_interleaved_max_lens_do_not_leak(self, bpe_tok):
+        # _encode_all uses the raw Rust encode_batch_fast, whose
+        # truncation length lives as state on the shared backend object
+        # (also mutated by transformers-level calls).  Interleaving
+        # different max_lens must each truncate correctly.
+        a = make_hf_adapter(bpe_tok)
+        long = ["alpha beta gamma delta " * 40] * 3
+        ids16, _ = a.encode_batch(long, 16, pad_to=16)
+        ids64, _ = a.encode_batch(long, 64, pad_to=64)
+        ids16b, _ = a.encode_batch(long, 16, pad_to=16)
+        assert ids64.shape[1] == 64
+        # 64-token encode genuinely kept more than 16 tokens
+        assert (ids64[:, 16:] != 0).any()
+        np.testing.assert_array_equal(ids16, ids16b)
+        np.testing.assert_array_equal(ids16, ids64[:, :16])
+
     def test_encode_lengths_batch(self, bpe_tok):
         a = make_hf_adapter(bpe_tok)
         lens = a.encode_lengths(TEXTS, 32)
