@@ -146,7 +146,9 @@ def main() -> None:
     index = ExactIndex(dim=DIM)
     index.store.attach_device(doc_ids, emb, pay)
     index.build()
-    jax.block_until_ready(index.store.device_arrays()[0])
+    # sync via value fetch (block_until_ready can return early through the
+    # tunnel); fetching one element waits for the producing program.
+    float(index.store.device_arrays()[0][0, 0])
     build_s = time.perf_counter() - t0
     extras["index_score_build_s"] = round(build_s, 2)
     extras["index_docs_per_sec"] = round(N_DOCS / build_s, 1)
@@ -174,13 +176,39 @@ def main() -> None:
         q, acc = jax.lax.fori_loop(0, CHAIN, body, (q0, jnp.float32(0.0)))
         return acc
 
+    # Sync by FETCHING the scalar result, never block_until_ready: through
+    # the dev tunnel block_until_ready can return without waiting for
+    # execution (measured: 0.012 ms "block" then a 7.2 s value fetch), and
+    # the chained total includes one full host round trip which at
+    # CHAIN=128 silently inflates every per-iteration number by
+    # ~RTT/CHAIN (~0.3 ms here — ~45% of the round-2 headline).  The null
+    # round trip is measured and subtracted.
+    @jax.jit
+    def _null(s):
+        return s * 2.0
+
+    float(_null(np.float32(0.0)))
+    _floor = []
+    for i in range(8):
+        t = time.perf_counter()
+        float(_null(np.float32(i + 1.0)))
+        _floor.append(time.perf_counter() - t)
+    sync_floor_s = float(np.median(_floor))
+    extras["sync_floor_ms"] = round(sync_floor_s * 1e3, 3)
+
+    def vsync(x) -> float:
+        """Sync by fetching one scalar element of (the first leaf of) x."""
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return float(jnp.ravel(leaf)[0])
+
     def chained_p50(fn, *args, reps: int = 6) -> float:
-        jax.block_until_ready(fn(*args, queries_h[:1]))  # compile
+        float(fn(*args, queries_h[:1]))  # compile + settle
         ms = []
         for i in range(min(reps, N_QUERIES)):
             t = time.perf_counter()
-            jax.block_until_ready(fn(*args, queries_h[i : i + 1]))
-            ms.append((time.perf_counter() - t) * 1e3 / CHAIN)
+            float(fn(*args, queries_h[i : i + 1]))
+            dt = time.perf_counter() - t - sync_floor_s
+            ms.append(max(dt, 0.0) * 1e3 / CHAIN)
         return float(np.percentile(ms, 50))
 
     p50_device = chained_p50(chained, emb_d, sqn_d, pay_d, n_d)
@@ -287,7 +315,7 @@ def main() -> None:
                     k=K, m=m, normalize=True, approx_select=True,
                 )
                 outs.append(v)
-            jax.block_until_ready(outs[-1])
+            float(outs[-1][0, 0])  # value-fetch sync
 
         int8_batched_pass()  # compile
         t0 = time.perf_counter()
@@ -386,19 +414,18 @@ def main() -> None:
                     return acc
 
                 try:
-                    jax.block_until_ready(chained_int8_packed8(
+                    float(chained_int8_packed8(
                         qep, qsp, embp, sqnp, payp, n_d, queries_h[:8]
                     ))
                     ms = []
                     for i in range(6):
                         t = time.perf_counter()
-                        jax.block_until_ready(chained_int8_packed8(
+                        float(chained_int8_packed8(
                             qep, qsp, embp, sqnp, payp, n_d,
                             queries_h[8 * i : 8 * i + 8],
                         ))
-                        ms.append(
-                            (time.perf_counter() - t) * 1e3 / (CHAIN * 8)
-                        )
+                        dt = time.perf_counter() - t - sync_floor_s
+                        ms.append(max(dt, 0.0) * 1e3 / (CHAIN * 8))
                     extras["int8_pallas_packed8_per_query_p50_ms"] = round(
                         float(np.percentile(ms, 50)), 4
                     )
@@ -496,15 +523,13 @@ def main() -> None:
 
     # ---- raw single-dispatch latency (includes host<->device RTT) --------
     q0 = queries_h[:1]
-    jax.block_until_ready(
-        index.search_batch(q0, k=K, eta=0.25, entropy_pref=0.1)[0]
-    )
+    float(index.search_batch(q0, k=K, eta=0.25, entropy_pref=0.1)[0][0, 0])
     raw_ms = []
     for i in range(min(50, N_QUERIES)):
         t = time.perf_counter()
         s, _ = index.search_batch(queries_h[i : i + 1], k=K, eta=0.25,
                                   entropy_pref=0.1)
-        jax.block_until_ready(s)
+        float(s[0, 0])
         raw_ms.append((time.perf_counter() - t) * 1e3)
     extras["raw_dispatch_p50_ms_incl_host_rtt"] = round(
         float(np.percentile(raw_ms, 50)), 4
@@ -512,13 +537,13 @@ def main() -> None:
 
     # ---- batched QPS (all queries in one fused call) -----------------------
     s, _ = index.search_batch(queries_h, k=K, eta=0.25, entropy_pref=0.1)
-    jax.block_until_ready(s)  # compile the [Q, D] shape
+    float(s[0, 0])  # compile the [Q, D] shape
     batch_s = []
     for _ in range(3):
         t = time.perf_counter()
         s, _ = index.search_batch(queries_h, k=K, eta=0.25, entropy_pref=0.1)
-        jax.block_until_ready(s)
-        batch_s.append(time.perf_counter() - t)
+        float(s[0, 0])
+        batch_s.append(max(time.perf_counter() - t - sync_floor_s, 0.0))
     batch_s = min(batch_s)
     extras["batched_qps"] = round(N_QUERIES / batch_s, 1)
     extras["batched_ms_per_query"] = round(batch_s / N_QUERIES * 1e3, 4)
@@ -540,25 +565,26 @@ def main() -> None:
         ivf.store.attach_device(doc_ids, emb, pay)  # exact-length arrays
         t0 = time.perf_counter()
         ivf.build()
-        jax.block_until_ready(ivf._dev[1])
+        vsync(ivf._dev[1])
         extras["ivf_build_s_device_side"] = round(time.perf_counter() - t0, 1)
         # Warm rebuild: same shapes, traces cached — the steady-state build
         # cost (the cold number above is dominated by jit compiles, which a
         # production process pays once).
         t0 = time.perf_counter()
         ivf.build()
-        jax.block_until_ready(ivf._dev[1])
+        vsync(ivf._dev[1])
         extras["ivf_build_warm_s_device_side"] = round(
             time.perf_counter() - t0, 2
         )
 
         vi, ii = ivf.search_batch(queries_h, k=K, eta=0.25, entropy_pref=0.1)
-        jax.block_until_ready(vi)
+        vsync(vi)
         t0 = time.perf_counter()
         vi, ii = ivf.search_batch(queries_h, k=K, eta=0.25, entropy_pref=0.1)
-        jax.block_until_ready(vi)
+        vsync(vi)
         extras["ivf_batched_ms_per_query"] = round(
-            (time.perf_counter() - t0) / N_QUERIES * 1e3, 4
+            max(time.perf_counter() - t0 - sync_floor_s, 0.0)
+            / N_QUERIES * 1e3, 4
         )
         idx_f32 = blocked_idx(
             lambda q, k: fused_search(emb_d, sqn_d, pay_d, q, n_d, eta, ep,
@@ -650,24 +676,26 @@ def main() -> None:
         mask0 = np.ones((bs, 256), np.float32)
         ids3 = jnp.asarray(np.broadcast_to(ids0, (S,) + ids0.shape))
         mask3 = jnp.asarray(np.broadcast_to(mask0, (S,) + mask0.shape))
-        jax.block_until_ready(est._score_super(est.params, ids3, mask3))
+        vsync(est._score_super(est.params, ids3, mask3))
         t0 = time.perf_counter()
         for _ in range(4):
             out = est._score_super(est.params, ids3, mask3)
-        jax.block_until_ready(out)
-        dps = S * bs * 4 / (time.perf_counter() - t0)
+        vsync(out)
+        dps = S * bs * 4 / max(time.perf_counter() - t0 - sync_floor_s, 1e-9)
         extras["signals_text_docs_per_sec_device"] = round(dps, 1)
         per_doc += 1.0 / dps
 
         ie = ImageEntropyEstimator(model_name="small", batch_size=64)
         img4 = jnp.zeros((ie.superbatch, 64, 224, 224, 3), jnp.float32)
         rngs = jax.random.split(jax.random.PRNGKey(0), ie.superbatch)
-        jax.block_until_ready(ie._stats_super(ie.params, img4, rngs))
+        vsync(ie._stats_super(ie.params, img4, rngs))
         t0 = time.perf_counter()
         for _ in range(4):
             out = ie._stats_super(ie.params, img4, rngs)
-        jax.block_until_ready(out)
-        dps = ie.superbatch * 64 * 4 / (time.perf_counter() - t0)
+        vsync(out)
+        dps = ie.superbatch * 64 * 4 / max(
+            time.perf_counter() - t0 - sync_floor_s, 1e-9
+        )
         extras["signals_image_docs_per_sec_device"] = round(dps, 1)
         per_doc += 2.0 / dps  # MAE + ~CLIP-image-tower-equivalent cost
 

@@ -3,11 +3,13 @@
 
 The headline two-stage search is: int8 stage-1 scan (HBM-bound corpus read)
 -> approx_max_k candidate select -> f32 gather+refine -> top-k.  To know
-where the remaining headroom is (v5e HBM ~819 GB/s puts the 256 MB int8
-scan floor at ~0.31 ms), this script measures each stage in isolation with
-the same chained on-device methodology as bench.py (host RTT through the
-tunnel dwarfs device time, so each number is a fori_loop of CHAIN
-data-dependent iterations inside ONE dispatch, total / CHAIN).
+where the remaining headroom is (v5e practical HBM is 740 GB/s measured —
+docs/perf/hbm_bw.json — putting the 256 MB int8 scan floor at ~0.36 ms),
+this script measures each stage in isolation with the same chained
+on-device methodology as bench.py: a fori_loop of CHAIN data-dependent
+iterations inside ONE dispatch, synced by fetching the scalar result
+(block_until_ready can return early through the tunnel), minus the
+measured null round trip, / CHAIN.
 
 Rows (each also reported as effective GB/s over the bytes it must read):
   scores_pallas_bf16   — streaming Pallas kernel, int8 corpus -> bf16 MXU
@@ -78,6 +80,23 @@ def main() -> int:
     q0 = q0 / jnp.linalg.norm(q0)
     q0_i8, q0_scale = quantize_rows(q0)
     jax.block_until_ready((emb_i8, pay, q0_i8))
+    q0_h = np.asarray(q0)
+
+    # Null round trip (dispatch + scalar value fetch): subtracted from every
+    # chained total.  block_until_ready is NOT used anywhere — through the
+    # dev tunnel it can return without waiting for execution; only a value
+    # fetch provably waits (see scripts/probe_hbm_bw.py).
+    @jax.jit
+    def _null(s):
+        return s * 2.0
+
+    float(_null(np.float32(0.0)))
+    _floor = []
+    for i in range(8):
+        t = time.perf_counter()
+        float(_null(np.float32(i + 1.0)))
+        _floor.append(time.perf_counter() - t)
+    rtt_floor_s = float(np.median(_floor))
 
     corpus_bytes = int(n) * int(d)          # int8 read per scan
     scores_bytes = int(n) * 4               # f32 score row
@@ -85,21 +104,27 @@ def main() -> int:
     results: dict[str, dict] = {}
 
     def chained(name, fn, *arrays, read_bytes=None):
-        """Median per-iteration ms of fn chained `chain` times on-device."""
+        """Median per-iteration ms of fn chained `chain` times on-device.
+
+        Each rep feeds a DISTINCT fresh host query (identical re-dispatches
+        are served from a tunnel-side cache), syncs by fetching the scalar
+        accumulator, and subtracts the measured null round trip."""
         @jax.jit
-        def loop(*ar):
+        def loop(qq, *ar):
             def body(_, carry):
                 return fn(carry, *ar)
 
-            return jax.lax.fori_loop(0, chain, body, (q0, jnp.float32(0.0)))
+            return jax.lax.fori_loop(0, chain, body, (qq, jnp.float32(0.0)))
 
         try:
-            jax.block_until_ready(loop(*arrays))  # compile + warm
+            float(loop(q0_h, *arrays)[1])  # compile + settle
             ms = []
-            for _ in range(args.reps):
+            for i in range(args.reps):
+                qi = q0_h + np.float32(1e-9 * (i + 1))
                 t = time.perf_counter()
-                jax.block_until_ready(loop(*arrays))
-                ms.append((time.perf_counter() - t) * 1e3 / chain)
+                float(loop(qi, *arrays)[1])
+                dt = time.perf_counter() - t - rtt_floor_s
+                ms.append(max(dt, 0.0) * 1e3 / chain)
             p50 = float(np.percentile(ms, 50))
             row = {"p50_ms": round(p50, 4)}
             if read_bytes:
@@ -275,8 +300,26 @@ def main() -> int:
     chained("full_two_stage", full, emb_i8, scales, emb, sqn, pay,
             read_bytes=corpus_bytes)
 
+    # Exact stage-1 select: the resident score row is only n*4 bytes (4 MB
+    # at 1M), and measured lax.top_k over it is ~20x faster than
+    # approx_max_k (0.005 vs 0.106 ms) — approx_select is a pessimization
+    # at this shape.
+    def full_exact_sel(carry, e8, sc, e, sq, p):
+        q, acc = carry
+        v, _ = quantized_search(
+            e8, sc, e, sq, p, q, jnp.int32(n), jnp.float32(0.25),
+            jnp.float32(0.1), k=10, m=args.m, normalize=True,
+            approx_select=False, pallas_stage1=pallas_available(),
+            int8_queries=True)
+        s = v[0, 0]
+        return q + 1e-12 * s, acc + s
+
+    chained("full_two_stage_exact_select", full_exact_sel,
+            emb_i8, scales, emb, sqn, pay, read_bytes=corpus_bytes)
+
     out = {
         "n_docs": n, "dim": d, "chain": chain,
+        "rtt_floor_ms": round(rtt_floor_s * 1e3, 3),
         "device": str(jax.devices()[0]),
         "hbm_floor_ms_at_819gbps": round(corpus_bytes / 819e9 * 1e3, 4),
         "results": results,
