@@ -134,6 +134,7 @@ class IndexConfig:
     dewi_tier: int = 1024   # IVF: top-dewi docs always scanned exactly
     refine_factor: int = 8  # quantized backend: top-(refine_factor*k) refine
     int8_queries: bool = False  # quantized: native s8xs8 MXU stage-1
+    bf16_scores: bool = False   # quantized: bf16 stage-1 score matrix
     # IVF bucket storage: auto (follow mesh.dtype) | float32 | bfloat16
     probe_dtype: str = "auto"
     probe_impl: str = "scan"      # IVF probe layout: scan | gather

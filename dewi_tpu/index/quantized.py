@@ -32,6 +32,7 @@ class QuantizedIndex(BaseIndex):
         approx_select: bool = True,
         use_pallas: bool = True,
         int8_queries: bool = False,
+        bf16_scores: bool = False,
         **kwargs,
     ):
         super().__init__(dim, space, **kwargs)
@@ -49,6 +50,11 @@ class QuantizedIndex(BaseIndex):
         # in f32.  Composes with use_pallas: both set routes stage 1
         # through the streaming s8xs8 Pallas kernel (pallas_scores_matrix_s8).
         self.int8_queries = bool(int8_queries)
+        # Materialize the stage-1 [Q, cap] score matrix in bf16: halves its
+        # HBM writeback + selection read.  Only matters for batched Q (at
+        # Q=1 the matrix is ~2% of the corpus stream); stage 2 re-ranks the
+        # candidates exactly in f32 either way.
+        self.bf16_scores = bool(bf16_scores)
         self._q_emb: Optional[jax.Array] = None
         self._q_scales: Optional[jax.Array] = None
 
@@ -58,6 +64,7 @@ class QuantizedIndex(BaseIndex):
             "approx_select": self.approx_select,
             "use_pallas": self.use_pallas,
             "int8_queries": self.int8_queries,
+            "bf16_scores": self.bf16_scores,
         }
 
     def _pallas_stage1_ok(self, n_queries: int) -> bool:
@@ -123,6 +130,7 @@ class QuantizedIndex(BaseIndex):
             approx_select=self.approx_select,
             pallas_stage1=self._pallas_stage1_ok(int(q.shape[0])),
             int8_queries=self.int8_queries,
+            bf16_scores=self.bf16_scores,
         )
 
     def search(

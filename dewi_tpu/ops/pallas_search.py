@@ -296,10 +296,12 @@ def _scores_kernel(q_ref, emb_ref, mult_ref, add_ref, out_ref):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                      # [Q, BLOCK]
-    out_ref[...] = acc * mult_ref[...] + add_ref[...]
+    out_ref[...] = (acc * mult_ref[...] + add_ref[...]).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "out_dtype")
+)
 def pallas_scores_matrix(
     emb_i8: jax.Array,    # [cap, D] int8, cap % block == 0
     mult: jax.Array,      # [cap] f32 per-row multiplier (dequant scale fold)
@@ -307,6 +309,7 @@ def pallas_scores_matrix(
     queries: jax.Array,   # [Q, D] f32, pre-normalized if cosine
     block: int = SCORES_BLOCK,
     interpret: bool = False,
+    out_dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     """Streaming int8 stage-1: ``[Q, cap]`` adjusted scores, selection outside.
 
@@ -319,6 +322,13 @@ def pallas_scores_matrix(
     equivalent XLA stage-1 at 1M x 256, Q=1 (chained, one v5e chip).  The
     [Q, cap] f32 writeback (4 MB/query at 1M) is ~2%% of the 256 MB corpus
     read, so the scores-only shape stays bandwidth-optimal.
+
+    ``out_dtype=jnp.bfloat16`` halves the scores writeback AND the
+    selection pass's read — irrelevant at Q=1 but material for batched Q,
+    where the [Q, cap] matrix is Q·cap·4 bytes (512 MB at Q=128, 1M docs).
+    Selection consumes only the candidate *indices*; stage 2 re-ranks the
+    candidates exactly in f32, so bf16 score rounding only perturbs which
+    candidates make the top-m (recall-gated in bench).
     """
     cap, d = emb_i8.shape
     nq = queries.shape[0]
@@ -335,7 +345,7 @@ def pallas_scores_matrix(
         ],
         out_specs=pl.BlockSpec((nq, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nq, cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nq, cap), out_dtype),
         interpret=interpret,
     )(
         queries.astype(jnp.float32),
@@ -354,10 +364,12 @@ def _scores_kernel_s8(q_ref, emb_ref, qscale_ref, mult_ref, add_ref, out_ref):
     out_ref[...] = (
         acc.astype(jnp.float32) * (qscale_ref[...] * mult_ref[...])
         + add_ref[...]
-    )
+    ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "out_dtype")
+)
 def pallas_scores_matrix_s8(
     emb_i8: jax.Array,    # [cap, D] int8, cap % block == 0
     mult: jax.Array,      # [cap] f32 per-row multiplier (dequant scale fold)
@@ -366,6 +378,7 @@ def pallas_scores_matrix_s8(
     q_scale: jax.Array,   # [Q] f32 per-query dequant scales
     block: int = SCORES_BLOCK,
     interpret: bool = False,
+    out_dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     """Native s8xs8 streaming stage-1: ``[Q, cap]`` adjusted scores.
 
@@ -396,7 +409,7 @@ def pallas_scores_matrix_s8(
         ],
         out_specs=pl.BlockSpec((nq, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nq, cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nq, cap), out_dtype),
         interpret=interpret,
     )(
         q_i8,

@@ -45,7 +45,7 @@ def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     jax.jit,
     static_argnames=(
         "k", "m", "normalize", "approx_select", "pallas_stage1",
-        "pallas_block", "interpret", "int8_queries"
+        "pallas_block", "interpret", "int8_queries", "bf16_scores"
     ),
 )
 def quantized_search(
@@ -66,6 +66,7 @@ def quantized_search(
     pallas_block: int = 0,
     interpret: bool = False,
     int8_queries: bool = False,
+    bf16_scores: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Two-stage int8 -> f32 exact search; returns ([Q, k] scores, [Q, k] idx).
 
@@ -73,7 +74,16 @@ def quantized_search(
     ``lax.approx_max_k`` (unaggregated) instead of exact ``top_k`` — measured
     0.93 vs 1.59 ms at 1M docs (the exact top-m dominates the two-stage path)
     at 0.995 recall@10 vs f32 exact; ``False`` restores exact selection
-    (recall 1.0 within int8 stage-1 resolution)."""
+    (recall 1.0 within int8 stage-1 resolution).
+
+    ``bf16_scores=True`` materializes the stage-1 ``[Q, cap]`` score matrix
+    in bf16 — halving its HBM writeback and the selection pass's read.
+    Irrelevant at Q=1 (4 MB at 1M docs, ~2% of the corpus stream) but
+    material for batched Q: at Q=128 x 1M the f32 matrix is 512 MB
+    (write + re-read) vs 256 MB in bf16.  Selection consumes only the
+    candidate *indices* and stage 2 re-ranks the candidates exactly in
+    f32, so bf16 rounding only perturbs which candidates make the
+    top-``m`` — recall-gated in tests/bench like the int8 tiers."""
     q = queries.astype(jnp.float32)
     if normalize:
         q = l2_normalize(q)
@@ -88,7 +98,7 @@ def quantized_search(
     # L2 (sim = 2*e.q - |e|^2 - |q|^2 with e.q = acc*scale):
     #   adj = acc * [2(1-eta)*scale]
     #       + [-(1-eta)*|e|^2 + eta*dewi + ep*ent - inf_pad]
-    #       - (1-eta)*|q|^2   (per-query column broadcast)
+    #       - (1-eta)*|q|^2   (per-query constant — omitted: see NOTE below)
     ent = 0.5 * (payloads[:, 1] + payloads[:, 3])
     one_m_eta = 1.0 - eta
     add = eta * payloads[:, 0] + entropy_pref * ent
@@ -98,6 +108,15 @@ def quantized_search(
         mult = 2.0 * one_m_eta * scales
         add = add - one_m_eta * sqnorms
     valid = jnp.arange(emb_i8.shape[0], dtype=jnp.int32) < n_valid
+    if bf16_scores:
+        # Center the fold's additive term on its valid-row mean (a scalar
+        # shift, identical across docs, so per-query ranking is invariant).
+        # Under L2 ``add`` carries -(1-eta)*|e|^2 — large common magnitude
+        # that bf16 would round away from the tiny score *differences*
+        # that decide the top-m (measured: recall 0.9896 uncentered vs
+        # 0.9990 centered at 20k x 128, refine 8, real TPU).
+        denom = jnp.maximum(n_valid.astype(jnp.float32), 1.0)
+        add = add - jnp.sum(jnp.where(valid, add, 0.0)) / denom
     add = jnp.where(valid, add, NEG_INF)
 
     # Stage 1: int8 corpus read with the dequant fused into the dot's
@@ -118,6 +137,7 @@ def quantized_search(
         adj1 = pallas_scores_matrix_s8(
             emb_i8, mult, add, q_i8, q_scale,
             block=pallas_block or SCORES_BLOCK, interpret=interpret,
+            out_dtype=jnp.bfloat16 if bf16_scores else jnp.float32,
         )
     elif pallas_stage1:
         from .pallas_search import SCORES_BLOCK, pallas_scores_matrix
@@ -125,6 +145,7 @@ def quantized_search(
         adj1 = pallas_scores_matrix(
             emb_i8, mult, add, q,
             block=pallas_block or SCORES_BLOCK, interpret=interpret,
+            out_dtype=jnp.bfloat16 if bf16_scores else jnp.float32,
         )
     elif int8_queries:
         # Native s8xs8->s32 MXU path (v5e runs int8 matmuls at 2x bf16
@@ -148,8 +169,16 @@ def quantized_search(
             preferred_element_type=jnp.float32,
         )                                              # [Q, cap]
         adj1 = acc * mult[None, :] + add[None, :]
-    if not normalize:
-        adj1 = adj1 - one_m_eta * jnp.sum(q * q, -1, keepdims=True)
+    if bf16_scores and adj1.dtype != jnp.bfloat16:
+        # XLA paths: the cast fuses into the matmul epilogue, so only the
+        # bf16 matrix ever hits HBM.
+        adj1 = adj1.astype(jnp.bfloat16)
+    # NOTE: the L2 identity also carries a -(1-eta)*|q|^2 per-query column.
+    # Stage-1 *values* are discarded below (both selection branches keep
+    # only candidate indices, and stage 2 recomputes scores exactly), and a
+    # per-query constant can't change within-query ranking — so the column
+    # correction is deliberately omitted: one less [Q, cap] pass, and under
+    # bf16 it would only push scores away from zero, costing mantissa.
     if approx_select and adj1.shape[1] > 4 * m:
         # Unsorted approximate candidate set (order fixed by the refine).
         _, cand = jax.lax.approx_max_k(

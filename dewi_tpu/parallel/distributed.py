@@ -61,7 +61,8 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
                                   pallas_stage1: bool = False,
                                   pallas_block: int = 0,
                                   interpret: bool = False,
-                                  int8_queries: bool = False):
+                                  int8_queries: bool = False,
+                                  bf16_scores: bool = False):
     """Sharded two-stage int8 search: local int8 scan + f32 refine per shard,
     then the same all-gather/top-k merge as the exact path.  Stage-1 HBM
     traffic per device is the int8 shard — 4x less than f32.
@@ -84,7 +85,7 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
             entropy_pref, k=k_local, m=min(m, shard_cap),
             normalize=normalize, pallas_stage1=pallas_stage1,
             pallas_block=pallas_block, interpret=interpret,
-            int8_queries=int8_queries,
+            int8_queries=int8_queries, bf16_scores=bf16_scores,
         )
         gidx = idx + shard * shard_cap
         all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
@@ -112,7 +113,8 @@ class ShardedQuantizedSearcher:
     """
 
     def __init__(self, store, mesh: Mesh, k: int = 10, refine_factor: int = 8,
-                 use_pallas: bool = True, int8_queries: bool = False):
+                 use_pallas: bool = True, int8_queries: bool = False,
+                 bf16_scores: bool = False):
         from ..ops.pallas_search import (
             SCORES_BLOCK,
             pallas_available,
@@ -126,6 +128,9 @@ class ShardedQuantizedSearcher:
         # s8xs8 stage-1 (see QuantizedIndex): quantize the replicated query
         # too; composes with use_pallas via the streaming s8 kernel.
         self.int8_queries = bool(int8_queries)
+        # bf16 stage-1 score matrix (see QuantizedIndex): halves the per-
+        # shard [Q, shard_cap] writeback + selection read for batched Q.
+        self.bf16_scores = bool(bf16_scores)
         store.sharding = data_sharding(mesh, rank=2)
         emb, _, _, _ = store.device_arrays()
         # Row-wise quantization preserves the data-axis sharding.
@@ -149,12 +154,12 @@ class ShardedQuantizedSearcher:
         )
         self._fn_xla = make_sharded_quantized_search(
             mesh, k, m, normalize=store.normalize, pallas_stage1=False,
-            int8_queries=self.int8_queries,
+            int8_queries=self.int8_queries, bf16_scores=self.bf16_scores,
         )
         self._fn_pallas = (
             make_sharded_quantized_search(
                 mesh, k, m, normalize=store.normalize, pallas_stage1=True,
-                int8_queries=self.int8_queries,
+                int8_queries=self.int8_queries, bf16_scores=self.bf16_scores,
             )
             if self._pallas_capable
             else self._fn_xla

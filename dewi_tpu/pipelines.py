@@ -1412,7 +1412,8 @@ class DewiPipeline:
                           probe_impl=cfg.probe_impl)
         elif resolved == "QuantizedIndex":
             kwargs.update(refine_factor=cfg.refine_factor,
-                          int8_queries=cfg.int8_queries)
+                          int8_queries=cfg.int8_queries,
+                          bf16_scores=cfg.bf16_scores)
         if self.config.mesh.dtype == "bfloat16":
             import jax.numpy as jnp
 

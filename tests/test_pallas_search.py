@@ -123,6 +123,29 @@ class TestPallasScoresMatrix:
                                    rtol=1e-5, atol=1e-4)
         assert np.all(np.isneginf(got[:, 2000:]))
 
+    def test_bf16_out_dtype(self):
+        """out_dtype=bf16 writes a bf16 matrix equal to the f32 one rounded."""
+        from dewi_tpu.ops.pallas_search import pallas_scores_matrix
+
+        rng = np.random.default_rng(23)
+        cap, d, nq = 1024, 64, 2
+        e8 = rng.integers(-127, 128, size=(cap, d)).astype(np.int8)
+        mult = rng.uniform(0.5, 1.5, size=cap).astype(np.float32)
+        add = rng.normal(size=cap).astype(np.float32)
+        add[1000:] = -np.inf
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        args = (jnp.asarray(e8), jnp.asarray(mult), jnp.asarray(add),
+                jnp.asarray(q))
+        f32 = pallas_scores_matrix(*args, block=256, interpret=True)
+        b16 = pallas_scores_matrix(*args, block=256, interpret=True,
+                                   out_dtype=jnp.bfloat16)
+        assert b16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(b16[:, :1000], dtype=np.float32),
+            np.asarray(f32[:, :1000].astype(jnp.bfloat16), dtype=np.float32))
+        assert np.all(np.isneginf(np.asarray(b16[:, 1000:],
+                                             dtype=np.float32)))
+
     def test_quantized_search_pallas_stage1_parity(self):
         from dewi_tpu.ops.quantized import quantize_rows, quantized_search
         from dewi_tpu.ops.pallas_search import SCORES_BLOCK

@@ -82,6 +82,45 @@ class TestQuantizedIndex:
             if d in e_by_id:
                 assert s == pytest.approx(e_by_id[d], abs=1e-5)
 
+    def test_bf16_scores_recall(self, corpus):
+        """bf16 stage-1 score matrix: f32 stage-2 refinement keeps recall
+        at the gate despite bf16 rounding of the candidate selection, and
+        also under L2 (the per-query column correction must stay bf16)."""
+        ids, emb, pay = corpus
+        q = np.random.default_rng(7).normal(size=(32, 64)).astype(np.float32)
+        for space in ("cosine", "l2"):
+            exact = ExactIndex(dim=64, space=space)
+            exact.add_batch(ids, emb, pay)
+            exact.build()
+            quant = QuantizedIndex(dim=64, space=space, refine_factor=8,
+                                   bf16_scores=True)
+            quant.add_batch(ids, emb, pay)
+            quant.build()
+            _, ei = exact.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+            _, qi = quant.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+            rec = recall_matrix(np.asarray(qi), np.asarray(ei))
+            assert rec >= 0.99, space
+        # Overlapping hits still score exactly (stage-2 is f32).
+        er = exact.search(q[0], k=5, eta=0.25, entropy_pref=0.1)
+        qr = quant.search(q[0], k=5, eta=0.25, entropy_pref=0.1)
+        e_by_id = {d: s for d, s, _ in er}
+        for d, s, _ in qr:
+            if d in e_by_id:
+                assert s == pytest.approx(e_by_id[d], abs=1e-5)
+
+    def test_bf16_scores_roundtrip(self, corpus, tmp_path):
+        ids, emb, pay = corpus
+        quant = QuantizedIndex(dim=64, bf16_scores=True)
+        quant.add_batch(ids, emb, pay)
+        quant.build()
+        quant.save(tmp_path / "ix")
+        back = QuantizedIndex.load(tmp_path / "ix")
+        assert back.bf16_scores is True
+        q = np.random.default_rng(1).normal(size=(3, 64)).astype(np.float32)
+        _, i0 = quant.search_batch(q, k=5)
+        _, i1 = back.search_batch(q, k=5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
     def test_int8_queries_roundtrip(self, corpus, tmp_path):
         ids, emb, pay = corpus
         quant = QuantizedIndex(dim=64, int8_queries=True)
