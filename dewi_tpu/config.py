@@ -137,7 +137,7 @@ class IndexConfig:
     bf16_scores: bool = False   # quantized: bf16 stage-1 score matrix
     # IVF bucket storage: auto (follow mesh.dtype) | float32 | bfloat16
     probe_dtype: str = "auto"
-    probe_impl: str = "scan"      # IVF probe layout: scan | gather
+    probe_impl: str = "auto"      # IVF probe layout: auto | scan | gather
 
 
 @dataclass

@@ -251,7 +251,7 @@ class IVFIndex(BaseIndex):
         dewi_tier: int = 1024,
         seed: int = 0,
         probe_dtype: str = "float32",
-        probe_impl: str = "scan",
+        probe_impl: str = "auto",
         **kwargs,
     ):
         super().__init__(dim, space, **kwargs)
@@ -271,12 +271,19 @@ class IVFIndex(BaseIndex):
             raise ValueError(
                 "probe_dtype must be auto|float32|bfloat16, "
                 f"got {probe_dtype!r}")
-        # "scan" streams one probe rank at a time ([Q, cap, D] live at once);
-        # "gather" materializes [Q, nprobe, cap, D] in HBM (the round-2
-        # layout, kept for A/B measurement). Same math, same rankings;
-        # scores can differ in the last ulps (einsum reduction order).
-        if probe_impl not in ("scan", "gather"):
-            raise ValueError(f"probe_impl must be scan|gather, got {probe_impl!r}")
+        # "gather" expresses the probe as one indexed einsum over
+        # [Q, nprobe, cap, D]; "scan" streams one probe rank at a time
+        # ([Q, cap, D] live).  Same math, same rankings; scores can differ
+        # in the last ulps (einsum reduction order).  Measured winners flip
+        # by platform — on TPU, Mosaic fuses the bucket gather into the
+        # einsum so nothing [Q, nprobe, cap, D]-shaped ever hits HBM, and
+        # the scan's nprobe small sequential dispatches lose 3.5x
+        # (0.84 vs 2.95 ms/q at 1M clustered, docs/perf/ivf_clustered_1m
+        # .json); on CPU the scan's bounded working set wins 2.3x.
+        # "auto" (default) picks per backend at dispatch time.
+        if probe_impl not in ("auto", "scan", "gather"):
+            raise ValueError(
+                f"probe_impl must be auto|scan|gather, got {probe_impl!r}")
         self.probe_impl = str(probe_impl)
         # DEWI-specific recall guard: the adjusted score mixes in eta*dewi,
         # so at high eta the global ranking is dominated by documents the
@@ -302,6 +309,12 @@ class IVFIndex(BaseIndex):
             "probe_dtype": self.probe_dtype,
             "probe_impl": self.probe_impl,
         }
+
+    def _resolved_probe_impl(self) -> str:
+        """``auto`` → the measured per-platform winner (see ``__init__``)."""
+        if self.probe_impl != "auto":
+            return self.probe_impl
+        return "scan" if jax.default_backend() == "cpu" else "gather"
 
     # -- build -------------------------------------------------------------
 
@@ -395,7 +408,8 @@ class IVFIndex(BaseIndex):
         bucket_cap = int(b_emb.shape[1])
         itemsize = int(jnp.dtype(b_emb.dtype).itemsize)
         per_rank = bucket_cap * self.dim * itemsize
-        bytes_per_q = per_rank if self.probe_impl == "scan" else nprobe * per_rank
+        probe_impl = self._resolved_probe_impl()
+        bytes_per_q = per_rank if probe_impl == "scan" else nprobe * per_rank
         block_size = max(1, min(QUERY_BLOCK, (1 << 30) // max(bytes_per_q, 1)))
 
         outs_v, outs_i = [], []
@@ -409,7 +423,7 @@ class IVFIndex(BaseIndex):
                 k=k_eff,
                 nprobe=nprobe,
                 normalize=self.store.normalize,
-                probe_impl=self.probe_impl,
+                probe_impl=probe_impl,
             )
             outs_v.append(v)
             outs_i.append(i)

@@ -127,8 +127,13 @@ def main() -> int:
         metrics[f"batched_ms_per_query_{impl}_f32"] = timed_ms_per_query()
         print(f"{impl} f32: {metrics[f'batched_ms_per_query_{impl}_f32']} "
               "ms/query", flush=True)
-    ivf.probe_impl = "scan"
-    metrics["batched_ms_per_query"] = metrics["batched_ms_per_query_scan_f32"]
+    # Headline = what the default config (probe_impl="auto") dispatches
+    # on this platform: gather on TPU, scan on CPU (see index/ivf.py).
+    ivf.probe_impl = "auto"
+    resolved = ivf._resolved_probe_impl()
+    metrics["probe_impl_auto_resolved"] = resolved
+    metrics["batched_ms_per_query"] = metrics[
+        f"batched_ms_per_query_{resolved}_f32"]
 
     # bf16 bucket tier: half the probe HBM traffic; recall measured against
     # the same exact ground truth.
@@ -142,9 +147,13 @@ def main() -> int:
         float(recall_matrix(got, gt)), 4
     )
     ivf = ivf_bf
-    metrics["batched_ms_per_query_scan_bf16"] = timed_ms_per_query()
-    print(f"bf16: recall {metrics[f'recall_at_k{args.k}_bf16']}, "
-          f"{metrics['batched_ms_per_query_scan_bf16']} ms/query", flush=True)
+    for impl in ("scan", "gather"):
+        ivf.probe_impl = impl
+        metrics[f"batched_ms_per_query_{impl}_bf16"] = timed_ms_per_query()
+        print(f"{impl} bf16: "
+              f"{metrics[f'batched_ms_per_query_{impl}_bf16']} ms/query",
+              flush=True)
+    print(f"bf16 recall: {metrics[f'recall_at_k{args.k}_bf16']}", flush=True)
 
     Path(args.output).parent.mkdir(parents=True, exist_ok=True)
     Path(args.output).write_text(json.dumps(metrics, indent=2))

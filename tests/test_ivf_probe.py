@@ -54,6 +54,25 @@ class TestScanVsGather:
         with pytest.raises(ValueError, match="probe_impl"):
             IVFIndex(dim=8, probe_impl="stream")
 
+    def test_auto_resolves_per_platform(self, tmp_path):
+        """'auto' (the config default) picks the measured winner at dispatch
+        (scan on CPU, gather on TPU), persists as 'auto', and matches the
+        forced layout's rankings."""
+        import jax
+
+        ix, emb, rng = _build(probe_impl="auto")
+        resolved = ix._resolved_probe_impl()
+        expect = "scan" if jax.default_backend() == "cpu" else "gather"
+        assert resolved == expect
+        forced_ix, _, _ = _build(probe_impl=resolved)
+        q = rng.normal(size=(6, emb.shape[1])).astype(np.float32)
+        _, ia = ix.search_batch(q, k=8, eta=0.3, entropy_pref=0.1)
+        _, ifc = forced_ix.search_batch(q, k=8, eta=0.3, entropy_pref=0.1)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ifc))
+        ix.save(tmp_path / "ix")
+        back = IVFIndex.load(tmp_path / "ix")
+        assert back.probe_impl == "auto"
+
     def test_k_larger_than_candidate_pool(self):
         """k=corpus on a small nprobe must clamp to the probed pool
         (nprobe*cap + overflow), not crash top_k (found by verify drive)."""
