@@ -135,6 +135,9 @@ class IndexConfig:
     refine_factor: int = 8  # quantized backend: top-(refine_factor*k) refine
     int8_queries: bool = False  # quantized: native s8xs8 MXU stage-1
     bf16_scores: bool = False   # quantized: bf16 stage-1 score matrix
+    # quantized: hierarchical sub-block-max candidate selection (exact
+    # w.r.t. stage-1 scores; ~= approx_max_k speed at equal recall)
+    blockmax_select: bool = False
     # IVF bucket storage: auto (follow mesh.dtype) | float32 | bfloat16
     probe_dtype: str = "auto"
     probe_impl: str = "auto"      # IVF probe layout: auto | scan | gather

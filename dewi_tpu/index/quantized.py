@@ -33,6 +33,7 @@ class QuantizedIndex(BaseIndex):
         use_pallas: bool = True,
         int8_queries: bool = False,
         bf16_scores: bool = False,
+        blockmax_select: bool = False,
         **kwargs,
     ):
         super().__init__(dim, space, **kwargs)
@@ -55,6 +56,14 @@ class QuantizedIndex(BaseIndex):
         # Q=1 the matrix is ~2% of the corpus stream); stage 2 re-ranks the
         # candidates exactly in f32 either way.
         self.bf16_scores = bool(bf16_scores)
+        # Hierarchical sub-block-max candidate selection: exact w.r.t.
+        # stage-1 scores (top-s 128-doc blocks provably contain the stage-1
+        # top-s docs) with a block-granular contiguous refine gather.
+        # Measured at 1M x 256 Q=1 chained: 0.438 ms vs approx_max_k's
+        # 0.442 at equal 0.999 recall — a wash on speed (selection overlaps
+        # the scan across chained steps) but deterministic selection
+        # semantics; takes precedence over approx_select when both are set.
+        self.blockmax_select = bool(blockmax_select)
         self._q_emb: Optional[jax.Array] = None
         self._q_scales: Optional[jax.Array] = None
 
@@ -65,6 +74,7 @@ class QuantizedIndex(BaseIndex):
             "use_pallas": self.use_pallas,
             "int8_queries": self.int8_queries,
             "bf16_scores": self.bf16_scores,
+            "blockmax_select": self.blockmax_select,
         }
 
     def _pallas_stage1_ok(self, n_queries: int) -> bool:
@@ -131,6 +141,7 @@ class QuantizedIndex(BaseIndex):
             pallas_stage1=self._pallas_stage1_ok(int(q.shape[0])),
             int8_queries=self.int8_queries,
             bf16_scores=self.bf16_scores,
+            blockmax_select=self.blockmax_select,
         )
 
     def search(

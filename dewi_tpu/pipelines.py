@@ -1413,7 +1413,8 @@ class DewiPipeline:
         elif resolved == "QuantizedIndex":
             kwargs.update(refine_factor=cfg.refine_factor,
                           int8_queries=cfg.int8_queries,
-                          bf16_scores=cfg.bf16_scores)
+                          bf16_scores=cfg.bf16_scores,
+                          blockmax_select=cfg.blockmax_select)
         if self.config.mesh.dtype == "bfloat16":
             import jax.numpy as jnp
 

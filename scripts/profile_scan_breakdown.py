@@ -300,6 +300,22 @@ def main() -> int:
     chained("full_two_stage", full, emb_i8, scales, emb, sqn, pay,
             read_bytes=corpus_bytes)
 
+    # Hierarchical block-max selection (exact w.r.t. stage-1 scores,
+    # contiguous block-granular refine gathers) — measured a wash vs
+    # approx_max_k at equal recall; kept as an A/B row.
+    def full_blockmax(carry, e8, sc, e, sq, p):
+        q, acc = carry
+        v, _ = quantized_search(
+            e8, sc, e, sq, p, q, jnp.int32(n), jnp.float32(0.25),
+            jnp.float32(0.1), k=10, m=args.m, normalize=True,
+            blockmax_select=True, pallas_stage1=pallas_available(),
+            int8_queries=True)
+        s = v[0, 0]
+        return q + 1e-12 * s, acc + s
+
+    chained("full_two_stage_blockmax", full_blockmax,
+            emb_i8, scales, emb, sqn, pay, read_bytes=corpus_bytes)
+
     # Exact stage-1 select: the resident score row is only n*4 bytes (4 MB
     # at 1M), and measured lax.top_k over it is ~20x faster than
     # approx_max_k (0.005 vs 0.106 ms) — approx_select is a pessimization

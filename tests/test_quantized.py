@@ -108,6 +108,55 @@ class TestQuantizedIndex:
             if d in e_by_id:
                 assert s == pytest.approx(e_by_id[d], abs=1e-5)
 
+    def test_blockmax_select_matches_exact_selection(self, corpus):
+        """blockmax selection is exact w.r.t. stage-1 scores: on a corpus
+        whose capacity is a 128-multiple, its top-k ids must equal the
+        m=capacity exact-selection path's (both refine in f32), in both
+        spaces and with int8 queries."""
+        from dewi_tpu.ops.quantized import quantize_rows, quantized_search
+        import jax.numpy as jnp
+
+        ids, emb, pay = corpus
+        q = np.random.default_rng(7).normal(size=(8, 64)).astype(np.float32)
+        for space in ("cosine", "l2"):
+            for i8q in (False, True):
+                exact_sel = QuantizedIndex(dim=64, space=space,
+                                           refine_factor=10**9,
+                                           approx_select=False,
+                                           int8_queries=i8q)
+                exact_sel.add_batch(ids, emb, pay)
+                exact_sel.build()
+                bm = QuantizedIndex(dim=64, space=space, refine_factor=8,
+                                    blockmax_select=True, int8_queries=i8q)
+                bm.add_batch(ids, emb, pay)
+                bm.build()
+                assert bm.store.capacity % 128 == 0  # blockmax path taken
+                ve, ie = exact_sel.search_batch(q, k=10, eta=0.25,
+                                                entropy_pref=0.1)
+                vb, ib = bm.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+                np.testing.assert_array_equal(np.asarray(ie), np.asarray(ib))
+                np.testing.assert_allclose(np.asarray(ve), np.asarray(vb),
+                                           rtol=1e-5)
+
+    def test_blockmax_select_recall_and_roundtrip(self, corpus, tmp_path):
+        ids, emb, pay = corpus
+        exact = ExactIndex(dim=64)
+        exact.add_batch(ids, emb, pay)
+        exact.build()
+        bm = QuantizedIndex(dim=64, refine_factor=8, blockmax_select=True)
+        bm.add_batch(ids, emb, pay)
+        bm.build()
+        q = np.random.default_rng(7).normal(size=(32, 64)).astype(np.float32)
+        _, ei = exact.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+        _, bi = bm.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+        assert recall_matrix(np.asarray(bi), np.asarray(ei)) >= 0.99
+        bm.save(tmp_path / "ix")
+        back = QuantizedIndex.load(tmp_path / "ix")
+        assert back.blockmax_select is True
+        _, i1 = back.search_batch(q[:3], k=5)
+        _, i0 = bm.search_batch(q[:3], k=5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
     def test_bf16_scores_roundtrip(self, corpus, tmp_path):
         ids, emb, pay = corpus
         quant = QuantizedIndex(dim=64, bf16_scores=True)
