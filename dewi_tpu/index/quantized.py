@@ -59,10 +59,12 @@ class QuantizedIndex(BaseIndex):
         # Hierarchical sub-block-max candidate selection: exact w.r.t.
         # stage-1 scores (top-s 128-doc blocks provably contain the stage-1
         # top-s docs) with a block-granular contiguous refine gather.
-        # Measured at 1M x 256 Q=1 chained: 0.438 ms vs approx_max_k's
-        # 0.442 at equal 0.999 recall — a wash on speed (selection overlaps
-        # the scan across chained steps) but deterministic selection
-        # semantics; takes precedence over approx_select when both are set.
+        # Paired A/Bs at 1M x 256 Q=1 chained: 0.4425 vs approx_max_k's
+        # 0.4754 ms at recall 0.9986 vs 0.9982 — the bench headline tier.
+        # Takes precedence over approx_select when both are set, but only
+        # for small query batches (see search_batch): the refine reads
+        # s*128 docs PER QUERY, a large-batch pessimization (1.5 GB of
+        # refine gathers at Q=1000 vs approx's 82 MB).
         self.blockmax_select = bool(blockmax_select)
         self._q_emb: Optional[jax.Array] = None
         self._q_scales: Optional[jax.Array] = None
@@ -141,7 +143,10 @@ class QuantizedIndex(BaseIndex):
             pallas_stage1=self._pallas_stage1_ok(int(q.shape[0])),
             int8_queries=self.int8_queries,
             bf16_scores=self.bf16_scores,
-            blockmax_select=self.blockmax_select,
+            # Q-gate (same bound as the Pallas stage-1 tile guard): blockmax
+            # refine traffic grows s*128 docs per query, so large batches
+            # fall back to approx_max_k selection automatically.
+            blockmax_select=self.blockmax_select and int(q.shape[0]) <= 32,
         )
 
     def search(

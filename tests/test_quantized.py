@@ -157,6 +157,22 @@ class TestQuantizedIndex:
         _, i0 = bm.search_batch(q[:3], k=5)
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
 
+    def test_blockmax_large_batch_falls_back(self, corpus):
+        """Q>32 batches must auto-fall-back to approx selection (blockmax
+        refine traffic is s*128 docs per query) and stay at the recall
+        gate."""
+        ids, emb, pay = corpus
+        exact = ExactIndex(dim=64)
+        exact.add_batch(ids, emb, pay)
+        exact.build()
+        bm = QuantizedIndex(dim=64, refine_factor=8, blockmax_select=True)
+        bm.add_batch(ids, emb, pay)
+        bm.build()
+        q = np.random.default_rng(9).normal(size=(64, 64)).astype(np.float32)
+        _, ei = exact.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+        _, bi = bm.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+        assert recall_matrix(np.asarray(bi), np.asarray(ei)) >= 0.99
+
     def test_bf16_scores_roundtrip(self, corpus, tmp_path):
         ids, emb, pay = corpus
         quant = QuantizedIndex(dim=64, bf16_scores=True)
