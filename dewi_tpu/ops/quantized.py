@@ -27,6 +27,9 @@ from .similarity import l2_normalize
 NEG_INF = float("-inf")  # python float: no backend init at import time
 
 BLOCKMAX_SUB = 128  # sub-block width for blockmax_select (one VPU lane row)
+# approx_max_k only engages above this capacity: below it, exact top_k is
+# ~free and approx's coarse reduction can dip under the 0.99 recall gate.
+APPROX_SELECT_MIN_CAP = 1 << 17
 
 
 @jax.jit
@@ -223,8 +226,13 @@ def quantized_search(
         cp = payloads.reshape(nb, BLOCKMAX_SUB, payloads.shape[1])[bid]
         cp = cp.reshape(nq, s * BLOCKMAX_SUB, payloads.shape[1])
         csq = sqnorms.reshape(nb, BLOCKMAX_SUB)[bid].reshape(nq, -1)
-    elif approx_select and cap > 4 * m:
+    elif approx_select and cap > max(4 * m, APPROX_SELECT_MIN_CAP):
         # Unsorted approximate candidate set (order fixed by the refine).
+        # Only engaged at scale: below APPROX_SELECT_MIN_CAP the exact
+        # top_k costs microseconds while approx_max_k's coarse reduction
+        # measurably dips below the 0.99 recall gate (0.987 on a 6k-doc
+        # corpus at Q=100, k=10, m=80 — real TPU), so small corpora get
+        # exact selection for free.
         _, cand = jax.lax.approx_max_k(
             adj1, m, recall_target=0.95, aggregate_to_topk=False
         )
