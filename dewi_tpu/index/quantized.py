@@ -100,6 +100,22 @@ class QuantizedIndex(BaseIndex):
             ok = s8_kernel_supported()
         return ok
 
+    def _fused_bmax_ok(self, n_queries: int) -> bool:
+        """Gate the fused stage-1+blockmax kernel (no [Q, cap] scores in HBM).
+
+        Requires the blockmax tier to be active for this dispatch, the
+        Pallas stage-1 conditions, capacity alignment to the kernel's
+        lane-aligned stream block, and a one-time Mosaic compile probe."""
+        from ..ops.pallas_search import BMAX_BLOCK, bmax_kernel_supported
+
+        return (
+            self.blockmax_select
+            and n_queries <= 32
+            and self._pallas_stage1_ok(n_queries)
+            and self.store.capacity % BMAX_BLOCK == 0
+            and bmax_kernel_supported(self.int8_queries)
+        )
+
     def build(self, **kwargs) -> None:
         if len(self.store) == 0:
             raise ValueError("No embeddings to build index from")
@@ -147,6 +163,7 @@ class QuantizedIndex(BaseIndex):
             # refine traffic grows s*128 docs per query, so large batches
             # fall back to approx_max_k selection automatically.
             blockmax_select=self.blockmax_select and int(q.shape[0]) <= 32,
+            fused_bmax=self._fused_bmax_ok(int(q.shape[0])),
         )
 
     def search(

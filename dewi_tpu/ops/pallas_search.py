@@ -420,6 +420,172 @@ def pallas_scores_matrix_s8(
     )
 
 
+BMAX_BLOCK = 16384  # corpus rows per grid step for the fused bmax kernels:
+# the [Q, block/128] out tile must stay lane-aligned (128 sub-block maxima
+# per step), which pins block = 128 * 128.  Measured cost of the larger
+# stream block vs 8192 is +7 us at 1M x 256 (docs/perf/scan_breakdown.json
+# scores_pallas_s8_b16384) — bought back several times over by skipping the
+# [Q, cap] scores writeback AND the separate select max-reduce pass.
+
+
+def _bmax_epilogue(adj: jax.Array, sub: int) -> jax.Array:
+    nq, blk = adj.shape
+    return jnp.max(adj.reshape(nq, blk // sub, sub), axis=-1)
+
+
+def _bmax_kernel(q_ref, emb_ref, mult_ref, add_ref, out_ref, *, sub):
+    acc = jax.lax.dot_general(
+        q_ref[...].astype(jnp.bfloat16), emb_ref[...].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [Q, BLOCK]
+    out_ref[...] = _bmax_epilogue(acc * mult_ref[...] + add_ref[...], sub)
+
+
+def _bmax_kernel_s8(q_ref, emb_ref, qscale_ref, mult_ref, add_ref, out_ref,
+                    *, sub):
+    acc = jax.lax.dot_general(
+        q_ref[...], emb_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                      # [Q, BLOCK] i32
+    adj = (acc.astype(jnp.float32) * (qscale_ref[...] * mult_ref[...])
+           + add_ref[...])
+    out_ref[...] = _bmax_epilogue(adj, sub)
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "block", "interpret"))
+def pallas_bmax(
+    emb_i8: jax.Array,    # [cap, D] int8, cap % block == 0
+    mult: jax.Array,      # [cap] f32 per-row multiplier (dequant scale fold)
+    add: jax.Array,       # [cap] f32 per-row addend (re-rank + mask fold)
+    queries: jax.Array,   # [Q, D] f32, pre-normalized if cosine
+    sub: int = 128,
+    block: int = BMAX_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused stage-1 + sub-block max: ``[Q, cap/sub]`` block maxima only.
+
+    The blockmax selection path (ops/quantized.quantized_search,
+    ``blockmax_select=True``) discards stage-1 score *values* — stage 2
+    re-ranks the winning blocks exactly in f32 — so materializing the
+    ``[Q, cap]`` scores matrix in HBM and re-reading it for the max-reduce
+    is pure waste.  This kernel reduces each 128-wide sub-block to its max
+    in VMEM while the next corpus tile streams in; only the ``[Q, cap/128]``
+    maxima (8 KB/query at 1M docs vs 4 MB of scores) ever reach HBM.
+    Selection downstream is an exact ``lax.top_k`` over the maxima.
+    """
+    cap, d = emb_i8.shape
+    nq = queries.shape[0]
+    assert cap % block == 0, f"capacity {cap} must be a multiple of {block}"
+    assert block % sub == 0
+    grid = (cap // block,)
+    kernel = functools.partial(_bmax_kernel, sub=sub)
+    nb_step = block // sub
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nq, nb_step), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq, cap // sub), jnp.float32),
+        interpret=interpret,
+    )(
+        queries.astype(jnp.float32),
+        emb_i8,
+        mult.reshape(1, -1).astype(jnp.float32),
+        add.reshape(1, -1).astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "block", "interpret"))
+def pallas_bmax_s8(
+    emb_i8: jax.Array,    # [cap, D] int8, cap % block == 0
+    mult: jax.Array,      # [cap] f32 per-row multiplier (dequant scale fold)
+    add: jax.Array,       # [cap] f32 per-row addend (re-rank + mask fold)
+    q_i8: jax.Array,      # [Q, D] int8 quantized queries
+    q_scale: jax.Array,   # [Q] f32 per-query dequant scales
+    sub: int = 128,
+    block: int = BMAX_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    """s8×s8 variant of :func:`pallas_bmax` (native int8 MXU stage-1)."""
+    cap, d = emb_i8.shape
+    nq = q_i8.shape[0]
+    assert cap % block == 0, f"capacity {cap} must be a multiple of {block}"
+    assert block % sub == 0
+    grid = (cap // block,)
+    kernel = functools.partial(_bmax_kernel_s8, sub=sub)
+    nb_step = block // sub
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nq, nb_step), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq, cap // sub), jnp.float32),
+        interpret=interpret,
+    )(
+        q_i8,
+        emb_i8,
+        q_scale.reshape(-1, 1).astype(jnp.float32),
+        mult.reshape(1, -1).astype(jnp.float32),
+        add.reshape(1, -1).astype(jnp.float32),
+    )
+
+
+_BMAX_SUPPORTED: dict[bool, bool] = {}
+
+
+def bmax_kernel_supported(int8_queries: bool) -> bool:
+    """True when Mosaic compiles the fused bmax kernel on this backend.
+
+    Probed once per variant (the in-kernel ``[Q, block] -> [Q, nb, 128]``
+    reshape + max is the legalization risk, on top of the s8 dot for the
+    int8-queries variant); cached per process and cheap across processes
+    via the persistent XLA compile cache."""
+    key = bool(int8_queries)
+    if key in _BMAX_SUPPORTED:
+        return _BMAX_SUPPORTED[key]
+    if not pallas_available():
+        _BMAX_SUPPORTED[key] = False
+        return False
+    try:
+        e8 = jnp.zeros((BMAX_BLOCK, 128), jnp.int8)
+        z = jnp.zeros((BMAX_BLOCK,), jnp.float32)
+        if int8_queries:
+            q8 = jnp.zeros((1, 128), jnp.int8)
+            pallas_bmax_s8.lower(
+                e8, z, z, q8, jnp.ones((1,), jnp.float32)
+            ).compile()
+        else:
+            q = jnp.zeros((1, 128), jnp.float32)
+            pallas_bmax.lower(e8, z, z, q).compile()
+        _BMAX_SUPPORTED[key] = True
+    except Exception as e:  # noqa: BLE001 — any lowering/compile failure
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "fused bmax Pallas kernel unsupported on this backend (%s); "
+            "blockmax selection uses the two-pass scores path.", str(e)[:200]
+        )
+        _BMAX_SUPPORTED[key] = False
+    return _BMAX_SUPPORTED[key]
+
+
 _S8_SUPPORTED: bool | None = None
 
 
@@ -471,8 +637,12 @@ __all__ = [
     "pallas_int8_search",
     "pallas_scores_matrix",
     "pallas_scores_matrix_s8",
+    "pallas_bmax",
+    "pallas_bmax_s8",
     "pallas_available",
     "s8_kernel_supported",
+    "bmax_kernel_supported",
     "BLOCK",
     "SCORES_BLOCK",
+    "BMAX_BLOCK",
 ]

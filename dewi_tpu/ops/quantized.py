@@ -51,7 +51,7 @@ def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     static_argnames=(
         "k", "m", "normalize", "approx_select", "pallas_stage1",
         "pallas_block", "interpret", "int8_queries", "bf16_scores",
-        "blockmax_select",
+        "blockmax_select", "fused_bmax",
     ),
 )
 def quantized_search(
@@ -74,6 +74,7 @@ def quantized_search(
     int8_queries: bool = False,
     bf16_scores: bool = False,
     blockmax_select: bool = False,
+    fused_bmax: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Two-stage int8 -> f32 exact search; returns ([Q, k] scores, [Q, k] idx).
 
@@ -103,7 +104,15 @@ def quantized_search(
     max >= the s-th best score, so the top-``s`` sub-blocks contain ALL
     stage-1 top-``s`` >= top-``k`` docs — selection is exact w.r.t.
     stage-1 scores (recall can only beat ``approx_max_k``'s 0.95
-    target); residual error is int8 stage-1 rounding, as before."""
+    target); residual error is int8 stage-1 rounding, as before.
+
+    ``fused_bmax=True`` (with ``blockmax_select`` + ``pallas_stage1``)
+    fuses the sub-block max-reduce INTO the streaming stage-1 kernel
+    (ops/pallas_search.pallas_bmax{,_s8}): the ``[Q, cap]`` scores matrix
+    is never written to HBM and the selection pass never re-reads it —
+    only the ``[Q, cap/128]`` maxima leave the kernel.  Selection math is
+    identical to the two-pass blockmax path; callers gate on
+    ``bmax_kernel_supported()`` (Mosaic legalization probe)."""
     q = queries.astype(jnp.float32)
     if normalize:
         q = l2_normalize(q)
@@ -127,8 +136,26 @@ def quantized_search(
     else:
         mult = 2.0 * one_m_eta * scales
         add = add - one_m_eta * sqnorms
+    nq, cap = q.shape[0], emb_i8.shape[0]
+    blockmax_ok = (
+        blockmax_select and cap % BLOCKMAX_SUB == 0
+        and cap >= 4 * BLOCKMAX_SUB
+    )
+    # Fused stage-1+max kernel: engaged only when the caller vouches for
+    # Mosaic support (fused_bmax) AND the shapes line up; otherwise the
+    # two-pass blockmax path below stays bit-identical.  All static.
+    use_fused = False
+    bmax_block = 0
+    if fused_bmax and blockmax_ok and pallas_stage1:
+        from .pallas_search import BMAX_BLOCK
+
+        bmax_block = pallas_block or BMAX_BLOCK
+        use_fused = (
+            cap % bmax_block == 0 and bmax_block % BLOCKMAX_SUB == 0
+        )
+
     valid = jnp.arange(emb_i8.shape[0], dtype=jnp.int32) < n_valid
-    if bf16_scores:
+    if bf16_scores and not use_fused:
         # Center the fold's additive term on its valid-row mean (a scalar
         # shift, identical across docs, so per-query ranking is invariant).
         # Under L2 ``add`` carries -(1-eta)*|e|^2 — large common magnitude
@@ -147,7 +174,23 @@ def quantized_search(
     # rounding, not query quantization.  ``pallas_stage1`` swaps the XLA
     # dot+epilogue for the streaming Pallas scores kernel (measured 0.596
     # vs 0.62-0.66 ms at 1M x 256 — the epilogue rides the corpus stream).
-    if pallas_stage1 and int8_queries:
+    adj1: jax.Array | None = None
+    bmax: jax.Array | None = None
+    if use_fused:
+        from .pallas_search import pallas_bmax, pallas_bmax_s8
+
+        if int8_queries:
+            q_i8, q_scale = quantize_rows(q)
+            bmax = pallas_bmax_s8(
+                emb_i8, mult, add, q_i8, q_scale,
+                sub=BLOCKMAX_SUB, block=bmax_block, interpret=interpret,
+            )
+        else:
+            bmax = pallas_bmax(
+                emb_i8, mult, add, q,
+                sub=BLOCKMAX_SUB, block=bmax_block, interpret=interpret,
+            )
+    elif pallas_stage1 and int8_queries:
         # Native s8xs8 MXU streaming kernel: int8 corpus AND int8 query on
         # the MXU (s32 accumulate), no per-element int8->bf16 convert on
         # the corpus stream; query scale folded into the epilogue.
@@ -189,7 +232,7 @@ def quantized_search(
             preferred_element_type=jnp.float32,
         )                                              # [Q, cap]
         adj1 = acc * mult[None, :] + add[None, :]
-    if bf16_scores and adj1.dtype != jnp.bfloat16:
+    if bf16_scores and adj1 is not None and adj1.dtype != jnp.bfloat16:
         # XLA paths: the cast fuses into the matmul epilogue, so only the
         # bf16 matrix ever hits HBM.
         adj1 = adj1.astype(jnp.bfloat16)
@@ -199,8 +242,7 @@ def quantized_search(
     # per-query constant can't change within-query ranking — so the column
     # correction is deliberately omitted: one less [Q, cap] pass, and under
     # bf16 it would only push scores away from zero, costing mantissa.
-    nq, cap = adj1.shape
-    if blockmax_select and cap % BLOCKMAX_SUB == 0 and cap >= 4 * BLOCKMAX_SUB:
+    if blockmax_ok:
         # Hierarchical select (see docstring): [Q, cap] -> [Q, nb, 128]
         # max-reduce -> exact top-s over the [Q, nb] maxima -> expand each
         # winning sub-block to its 128 doc ids.  Padded rows carry NEG_INF
@@ -210,7 +252,9 @@ def quantized_search(
         # stage-1 rank displacement past rank k (measured at 1M x 256,
         # k=10: s=10 -> recall 0.993, s=12 -> 0.999 = the approx path).
         s = min(nb, max(k + 2, -(-m // BLOCKMAX_SUB)))
-        bmax = jnp.max(adj1.reshape(nq, nb, BLOCKMAX_SUB), axis=-1)
+        if bmax is None:
+            assert adj1 is not None  # not use_fused => stage-1 materialized
+            bmax = jnp.max(adj1.reshape(nq, nb, BLOCKMAX_SUB), axis=-1)
         _, bid = jax.lax.top_k(bmax, s)                 # [Q, s]
         cand = (
             bid[:, :, None] * BLOCKMAX_SUB
@@ -233,11 +277,13 @@ def quantized_search(
         # measurably dips below the 0.99 recall gate (0.987 on a 6k-doc
         # corpus at Q=100, k=10, m=80 — real TPU), so small corpora get
         # exact selection for free.
+        assert adj1 is not None  # use_fused implies blockmax_ok
         _, cand = jax.lax.approx_max_k(
             adj1, m, recall_target=0.95, aggregate_to_topk=False
         )
         ce, cp, csq = emb_f32[cand], payloads[cand], sqnorms[cand]
     else:
+        assert adj1 is not None  # use_fused implies blockmax_ok
         _, cand = jax.lax.top_k(adj1, m)                # [Q, m]
         ce, cp, csq = emb_f32[cand], payloads[cand], sqnorms[cand]
 

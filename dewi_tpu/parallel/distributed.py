@@ -62,7 +62,9 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
                                   pallas_block: int = 0,
                                   interpret: bool = False,
                                   int8_queries: bool = False,
-                                  bf16_scores: bool = False):
+                                  bf16_scores: bool = False,
+                                  blockmax_select: bool = False,
+                                  fused_bmax: bool = False):
     """Sharded two-stage int8 search: local int8 scan + f32 refine per shard,
     then the same all-gather/top-k merge as the exact path.  Stage-1 HBM
     traffic per device is the int8 shard — 4x less than f32.
@@ -71,7 +73,12 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
     Pallas scores kernel (ops/pallas_search.py; the per-shard corpus block
     must be a SCORES_BLOCK multiple — callers gate on that).
     ``int8_queries`` quantizes the replicated query too (native s8xs8 MXU
-    stage-1; with ``pallas_stage1`` it selects the streaming s8 kernel)."""
+    stage-1; with ``pallas_stage1`` it selects the streaming s8 kernel).
+    ``blockmax_select`` swaps the per-shard candidate select for the exact
+    hierarchical sub-block-max (ops/quantized.py); with ``fused_bmax`` the
+    max-reduce fuses into the streaming kernel so the per-shard [Q, cap]
+    scores matrix never touches HBM (callers gate on the Mosaic probe +
+    shard alignment, see ShardedQuantizedSearcher)."""
     from ..ops.quantized import quantized_search
 
     def local_search(emb_i8, scales, emb, sqn, pay, queries, n_valid, eta,
@@ -86,6 +93,7 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
             normalize=normalize, pallas_stage1=pallas_stage1,
             pallas_block=pallas_block, interpret=interpret,
             int8_queries=int8_queries, bf16_scores=bf16_scores,
+            blockmax_select=blockmax_select, fused_bmax=fused_bmax,
         )
         gidx = idx + shard * shard_cap
         all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
@@ -114,9 +122,11 @@ class ShardedQuantizedSearcher:
 
     def __init__(self, store, mesh: Mesh, k: int = 10, refine_factor: int = 8,
                  use_pallas: bool = True, int8_queries: bool = False,
-                 bf16_scores: bool = False):
+                 bf16_scores: bool = False, blockmax_select: bool = False):
         from ..ops.pallas_search import (
+            BMAX_BLOCK,
             SCORES_BLOCK,
+            bmax_kernel_supported,
             pallas_available,
             s8_kernel_supported,
         )
@@ -131,6 +141,10 @@ class ShardedQuantizedSearcher:
         # bf16 stage-1 score matrix (see QuantizedIndex): halves the per-
         # shard [Q, shard_cap] writeback + selection read for batched Q.
         self.bf16_scores = bool(bf16_scores)
+        # Hierarchical sub-block-max candidate selection per shard (see
+        # QuantizedIndex.blockmax_select); the small-Q gate lives in
+        # search_batch alongside the Pallas tile guard.
+        self.blockmax_select = bool(blockmax_select)
         store.sharding = data_sharding(mesh, rank=2)
         emb, _, _, _ = store.device_arrays()
         # Row-wise quantization preserves the data-axis sharding.
@@ -152,27 +166,46 @@ class ShardedQuantizedSearcher:
             # legalization probe to pass (falls back to XLA s8 otherwise).
             and (not self.int8_queries or s8_kernel_supported())
         )
-        self._fn_xla = make_sharded_quantized_search(
+        # Fused stage-1+blockmax kernel per shard: needs the blockmax tier,
+        # Pallas capability, shard alignment to the kernel's lane-aligned
+        # stream block, and the Mosaic compile probe (see QuantizedIndex
+        # ._fused_bmax_ok) — all checked once here, not per dispatch.
+        self._fused_bmax = (
+            self.blockmax_select
+            and self._pallas_capable
+            and shard_cap % BMAX_BLOCK == 0
+            and bmax_kernel_supported(self.int8_queries)
+        )
+        # Large batches (Q > 32) always take the XLA approx-select path:
+        # blockmax refine traffic grows s*128 docs per query (see
+        # QuantizedIndex) and the Pallas out tile would overflow VMEM.
+        self._fn_large = make_sharded_quantized_search(
             mesh, k, m, normalize=store.normalize, pallas_stage1=False,
             int8_queries=self.int8_queries, bf16_scores=self.bf16_scores,
         )
-        self._fn_pallas = (
+        self._fn_small = (
             make_sharded_quantized_search(
-                mesh, k, m, normalize=store.normalize, pallas_stage1=True,
+                mesh, k, m, normalize=store.normalize,
+                pallas_stage1=self._pallas_capable,
                 int8_queries=self.int8_queries, bf16_scores=self.bf16_scores,
+                blockmax_select=self.blockmax_select,
+                fused_bmax=self._fused_bmax,
             )
-            if self._pallas_capable
-            else self._fn_xla
+            if (self._pallas_capable or self.blockmax_select)
+            else self._fn_large
         )
+        # Back-compat aliases (pre-blockmax attribute names).
+        self._fn_xla = self._fn_large
+        self._fn_pallas = self._fn_small
 
     def search_batch(self, queries, eta: float = 0.5,
                      entropy_pref: float = 0.0):
         emb, sqn, pay, n = self.store.device_arrays()
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
         # Same VMEM-bound query-count guard as QuantizedIndex: the Pallas
-        # kernel materialises a [Q, SCORES_BLOCK] out tile per step.
-        fn = self._fn_pallas if (self._pallas_capable and q.shape[0] <= 32) \
-            else self._fn_xla
+        # kernel materialises a [Q, SCORES_BLOCK] out tile per step, and
+        # blockmax selection is a large-batch pessimization.
+        fn = self._fn_small if q.shape[0] <= 32 else self._fn_large
         return fn(
             self._q_emb, self._scales, emb, sqn, pay, q, n,
             jnp.float32(eta), jnp.float32(entropy_pref),

@@ -173,6 +173,21 @@ def main() -> int:
 
             chained(f"scores_pallas_s8_b{blk}", scores_s8_blk,
                     emb_i8, mult, add, read_bytes=corpus_bytes)
+
+        # Fused stage-1 + sub-block max: only [1, n/128] maxima leave the
+        # kernel — no [Q, cap] scores writeback, no separate select pass.
+        from dewi_tpu.ops.pallas_search import BMAX_BLOCK, pallas_bmax_s8
+
+        if n % BMAX_BLOCK == 0:
+            def bmax_s8(carry, e8, mu, ad):
+                q, acc = carry
+                qi, qs = quantize_rows(q)
+                bm = pallas_bmax_s8(e8, mu, ad, qi, qs)
+                s = jnp.max(bm)
+                return q + 1e-12 * s, acc + s
+
+            chained("bmax_s8", bmax_s8, emb_i8, mult, add,
+                    read_bytes=corpus_bytes)
     else:
         print("pallas unavailable on this backend; skipping kernel rows",
               flush=True)
@@ -314,6 +329,21 @@ def main() -> int:
         return q + 1e-12 * s, acc + s
 
     chained("full_two_stage_blockmax", full_blockmax,
+            emb_i8, scales, emb, sqn, pay, read_bytes=corpus_bytes)
+
+    # Fused variant: the sub-block max-reduce rides the streaming kernel,
+    # so the [1, n] scores matrix is never written to (or re-read from) HBM.
+    def full_blockmax_fused(carry, e8, sc, e, sq, p):
+        q, acc = carry
+        v, _ = quantized_search(
+            e8, sc, e, sq, p, q, jnp.int32(n), jnp.float32(0.25),
+            jnp.float32(0.1), k=10, m=args.m, normalize=True,
+            blockmax_select=True, pallas_stage1=pallas_available(),
+            fused_bmax=True, int8_queries=True)
+        s = v[0, 0]
+        return q + 1e-12 * s, acc + s
+
+    chained("full_two_stage_blockmax_fused", full_blockmax_fused,
             emb_i8, scales, emb, sqn, pay, read_bytes=corpus_bytes)
 
     # Exact stage-1 select: the resident score row is only n*4 bytes (4 MB

@@ -202,6 +202,79 @@ class TestPallasScoresMatrixS8:
                                    rtol=1e-5, atol=1e-5)
         assert np.all(np.isneginf(got[:, 2000:]))
 
+    def test_bmax_kernels_match_oracle(self):
+        """Fused stage-1+max kernels: [Q, cap/sub] maxima == two-pass oracle."""
+        from dewi_tpu.ops.pallas_search import pallas_bmax, pallas_bmax_s8
+
+        rng = np.random.default_rng(41)
+        cap, d, nq, sub = 2048, 64, 3, 128
+        e8 = rng.integers(-127, 128, size=(cap, d)).astype(np.int8)
+        mult = rng.uniform(0.5, 1.5, size=cap).astype(np.float32)
+        add = rng.normal(size=cap).astype(np.float32)
+        add[2000:] = -np.inf
+        # s8 variant: integer matmul is exact, f32 epilogue + max.
+        q8 = rng.integers(-127, 128, size=(nq, d)).astype(np.int8)
+        qs = rng.uniform(0.01, 0.1, size=nq).astype(np.float32)
+        got = np.asarray(pallas_bmax_s8(
+            jnp.asarray(e8), jnp.asarray(mult), jnp.asarray(add),
+            jnp.asarray(q8), jnp.asarray(qs), sub=sub, block=512,
+            interpret=True))
+        acc = q8.astype(np.int64) @ e8.astype(np.int64).T
+        adj = (acc.astype(np.float32) * (qs[:, None] * mult[None, :])
+               + add[None, :])
+        ref = adj.reshape(nq, cap // sub, sub).max(axis=-1)
+        assert got.shape == (nq, cap // sub)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+        # bf16-query variant (same operand cast as pallas_scores_matrix).
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        got_b = np.asarray(pallas_bmax(
+            jnp.asarray(e8), jnp.asarray(mult), jnp.asarray(add),
+            jnp.asarray(q), sub=sub, block=512, interpret=True))
+        acc_b = np.asarray(jax.lax.dot_general(
+            jnp.asarray(q).astype(jnp.bfloat16),
+            jnp.asarray(e8).astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        adj_b = acc_b * mult[None, :] + add[None, :]
+        ref_b = adj_b.reshape(nq, cap // sub, sub).max(axis=-1)
+        np.testing.assert_allclose(got_b, ref_b, rtol=1e-5, atol=1e-4)
+
+    def test_quantized_search_fused_bmax_matches_two_pass(self):
+        # fused_bmax routes stage 1 through the bmax kernel; selection math
+        # is identical to the two-pass blockmax path, and the s8 integer
+        # stage-1 is exact, so results must match bit-for-bit.
+        from dewi_tpu.ops.quantized import quantize_rows, quantized_search
+
+        rng = np.random.default_rng(42)
+        cap, d, nq, n = 2048, 32, 2, 1800
+        emb = np.asarray(l2_normalize(
+            jnp.asarray(rng.normal(size=(cap, d)).astype(np.float32))))
+        pay = np.abs(rng.normal(size=(cap, 8))).astype(np.float32)
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        e8, sc = quantize_rows(jnp.asarray(emb))
+        sqn = jnp.sum(jnp.asarray(emb) ** 2, axis=1)
+        for i8q in (True, False):
+            common = dict(k=10, m=80, normalize=True, blockmax_select=True,
+                          int8_queries=i8q)
+            s_x, i_x = quantized_search(
+                e8, sc, jnp.asarray(emb), sqn, jnp.asarray(pay),
+                jnp.asarray(q), jnp.int32(n), jnp.float32(0.3),
+                jnp.float32(0.1), pallas_stage1=False, **common)
+            s_f, i_f = quantized_search(
+                e8, sc, jnp.asarray(emb), sqn, jnp.asarray(pay),
+                jnp.asarray(q), jnp.int32(n), jnp.float32(0.3),
+                jnp.float32(0.1), pallas_stage1=True, fused_bmax=True,
+                pallas_block=256, interpret=True, **common)
+            if i8q:
+                np.testing.assert_array_equal(np.asarray(i_x),
+                                              np.asarray(i_f))
+                np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_f),
+                                           rtol=1e-6, atol=1e-6)
+            else:
+                # bf16 operand cast noise can reorder the candidate tail.
+                for a, b in zip(np.asarray(i_x), np.asarray(i_f)):
+                    assert len(set(a.tolist()) & set(b.tolist())) >= 9
+
     def test_quantized_search_s8_pallas_matches_s8_xla(self):
         # pallas_stage1 + int8_queries routes through the s8 kernel; the
         # integer stage-1 accumulation is identical to the XLA int8_queries
