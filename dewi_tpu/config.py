@@ -136,8 +136,12 @@ class IndexConfig:
     int8_queries: bool = False  # quantized: native s8xs8 MXU stage-1
     bf16_scores: bool = False   # quantized: bf16 stage-1 score matrix
     # quantized: hierarchical sub-block-max candidate selection (exact
-    # w.r.t. stage-1 scores; ~= approx_max_k speed at equal recall)
-    blockmax_select: bool = False
+    # w.r.t. stage-1 scores).  Default ON: it beats the approx_max_k
+    # fallback on BOTH latency and recall where its shape gates hold
+    # (0.4425 vs 0.4754 ms at recall 0.9986 vs 0.9982, 1M x 256 Q=1 on
+    # one v5e); misaligned capacities / large batches fall back
+    # automatically (ops/quantized.quantized_search gating).
+    blockmax_select: bool = True
     # IVF bucket storage: auto (follow mesh.dtype) | float32 | bfloat16
     probe_dtype: str = "auto"
     probe_impl: str = "auto"      # IVF probe layout: auto | scan | gather

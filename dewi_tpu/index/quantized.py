@@ -33,7 +33,7 @@ class QuantizedIndex(BaseIndex):
         use_pallas: bool = True,
         int8_queries: bool = False,
         bf16_scores: bool = False,
-        blockmax_select: bool = False,
+        blockmax_select: bool = True,
         **kwargs,
     ):
         super().__init__(dim, space, **kwargs)
@@ -60,7 +60,8 @@ class QuantizedIndex(BaseIndex):
         # stage-1 scores (top-s 128-doc blocks provably contain the stage-1
         # top-s docs) with a block-granular contiguous refine gather.
         # Paired A/Bs at 1M x 256 Q=1 chained: 0.4425 vs approx_max_k's
-        # 0.4754 ms at recall 0.9986 vs 0.9982 — the bench headline tier.
+        # 0.4754 ms at recall 0.9986 vs 0.9982 — the bench headline tier,
+        # and the default (it wins on BOTH axes; shape misfits fall back).
         # Takes precedence over approx_select when both are set, but only
         # for small query batches (see search_batch): the refine reads
         # s*128 docs PER QUERY, a large-batch pessimization (1.5 GB of

@@ -122,7 +122,7 @@ class ShardedQuantizedSearcher:
 
     def __init__(self, store, mesh: Mesh, k: int = 10, refine_factor: int = 8,
                  use_pallas: bool = True, int8_queries: bool = False,
-                 bf16_scores: bool = False, blockmax_select: bool = False):
+                 bf16_scores: bool = False, blockmax_select: bool = True):
         from ..ops.pallas_search import (
             BMAX_BLOCK,
             SCORES_BLOCK,

@@ -157,6 +157,16 @@ class TestQuantizedIndex:
         _, i0 = bm.search_batch(q[:3], k=5)
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
 
+    def test_blockmax_select_is_the_default(self):
+        """The headline selection tier ships ON by default: it beats the
+        approx_max_k fallback on BOTH latency and recall where its shape
+        gates hold, and quantized_search falls back automatically when
+        they don't (misaligned capacity, Q>32)."""
+        from dewi_tpu.config import IndexConfig
+
+        assert QuantizedIndex(dim=16).blockmax_select is True
+        assert IndexConfig().blockmax_select is True
+
     def test_small_corpus_uses_exact_selection(self, corpus):
         """Below APPROX_SELECT_MIN_CAP, approx_select=True must route
         through exact top_k (approx_max_k's coarse reduction measured
