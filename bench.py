@@ -214,10 +214,35 @@ def main() -> None:
     p50_device = chained_p50(chained, emb_d, sqn_d, pay_d, n_d)
     extras["f32_p50_ms"] = round(p50_device, 4)
 
+    # Blockmax selection — the ExactIndex DEFAULT since round 3: value-
+    # exact hierarchical select replacing the flat [Q, cap] lax.top_k
+    # (scan_breakdown: Q=1 within noise of flat, Q=128 batched 76x).
+    @jax.jit
+    def chained_bm(emb_a, sqn_a, pay_a, n_a, q0):
+        def body(_, carry):
+            q, acc = carry
+            scores, _ = fused_search(
+                emb_a, sqn_a, pay_a, q, n_a, eta, ep, k=K, normalize=True,
+                blockmax_select=True,
+            )
+            q = q + 1e-12 * scores[0, 0]
+            return q, acc + scores[0, 0]
+
+        _, acc = jax.lax.fori_loop(0, CHAIN, body, (q0, jnp.float32(0.0)))
+        return acc
+
+    p50_f32_bm = chained_p50(chained_bm, emb_d, sqn_d, pay_d, n_d)
+    extras["f32_blockmax_p50_ms"] = round(p50_f32_bm, 4)
+    p50_device = min(p50_device, p50_f32_bm)  # same values; best route
+
     # ---- bf16 storage variant (the recommended serving config) -----------
     emb16 = emb_d.astype(jnp.bfloat16)
     p50_bf16 = chained_p50(chained, emb16, sqn_d, pay_d, n_d)
     extras["bf16_store_p50_ms"] = round(p50_bf16, 4)
+    p50_bf16_bm = chained_p50(chained_bm, emb16, sqn_d, pay_d, n_d)
+    extras["bf16_blockmax_p50_ms"] = round(p50_bf16_bm, 4)
+    if p50_bf16_bm < p50_bf16:
+        p50_bf16 = p50_bf16_bm
 
     # bf16 exact via the streaming Pallas scores kernel (ExactIndex's
     # default route for bf16 stores): identical results, epilogue rides

@@ -135,12 +135,14 @@ class IndexConfig:
     refine_factor: int = 8  # quantized backend: top-(refine_factor*k) refine
     int8_queries: bool = False  # quantized: native s8xs8 MXU stage-1
     bf16_scores: bool = False   # quantized: bf16 stage-1 score matrix
-    # quantized: hierarchical sub-block-max candidate selection (exact
-    # w.r.t. stage-1 scores).  Default ON: it beats the approx_max_k
-    # fallback on BOTH latency and recall where its shape gates hold
-    # (0.4425 vs 0.4754 ms at recall 0.9986 vs 0.9982, 1M x 256 Q=1 on
-    # one v5e); misaligned capacities / large batches fall back
-    # automatically (ops/quantized.quantized_search gating).
+    # hierarchical sub-block-max candidate selection.  Quantized tier:
+    # exact w.r.t. stage-1 scores; beats the approx_max_k fallback on
+    # BOTH latency and recall where its shape gates hold (0.4425 vs
+    # 0.4754 ms at recall 0.9986 vs 0.9982, 1M x 256 Q=1 on one v5e);
+    # misaligned capacities / large batches fall back automatically.
+    # Exact tier: value-exact at EVERY batch size (selection runs on the
+    # final adjusted scores) and the fix for flat lax.top_k's collapse on
+    # batched queries (319.8 -> 4.18 ms at Q=128, 1M).  Default ON.
     blockmax_select: bool = True
     # IVF bucket storage: auto (follow mesh.dtype) | float32 | bfloat16
     probe_dtype: str = "auto"

@@ -20,7 +20,8 @@ from ..ops.similarity import fused_search, topk_merge
 from .mesh import DATA_AXIS, data_sharding
 
 
-def make_sharded_search(mesh: Mesh, k: int, normalize: bool = True):
+def make_sharded_search(mesh: Mesh, k: int, normalize: bool = True,
+                        blockmax_select: bool = True):
     """Build a jitted sharded-search callable for a fixed (mesh, k, space).
 
     The returned function takes device arrays laid out as:
@@ -28,6 +29,13 @@ def make_sharded_search(mesh: Mesh, k: int, normalize: bool = True):
       pay [cap, 8] sharded, queries [Q, D] replicated,
       n_valid / eta / entropy_pref scalars replicated,
     and returns replicated ([Q, k] scores, [Q, k] global row indices).
+
+    ``blockmax_select`` (default on) swaps each shard's flat ``lax.top_k``
+    for the value-exact hierarchical block-max select
+    (ops/similarity.fused_search; the two-pass score-gather variant — no
+    Pallas dependency, no query-count gate; measured 76x at Q=128, 1M
+    single-chip).  Misaligned shard capacities fall back inside
+    fused_search.
     """
 
     def local_search(emb, sqn, pay, queries, n_valid, eta, entropy_pref):
@@ -37,7 +45,7 @@ def make_sharded_search(mesh: Mesh, k: int, normalize: bool = True):
         k_local = min(k, shard_cap)
         vals, idx = fused_search(
             emb, sqn, pay, queries, local_n, eta, entropy_pref,
-            k=k_local, normalize=normalize,
+            k=k_local, normalize=normalize, blockmax_select=blockmax_select,
         )
         gidx = idx + shard * shard_cap
         all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
@@ -349,12 +357,15 @@ class ShardedIVFSearcher:
 class ShardedExactSearcher:
     """Convenience wrapper: shard a DocStore over a mesh and serve queries."""
 
-    def __init__(self, store, mesh: Mesh, k: int = 10):
+    def __init__(self, store, mesh: Mesh, k: int = 10,
+                 blockmax_select: bool = True):
         self.store = store
         self.mesh = mesh
         self.k = k
+        self.blockmax_select = bool(blockmax_select)
         store.sharding = data_sharding(mesh, rank=2)
-        self._fn = make_sharded_search(mesh, k, normalize=store.normalize)
+        self._fn = make_sharded_search(mesh, k, normalize=store.normalize,
+                                       blockmax_select=self.blockmax_select)
 
     def search_batch(
         self,
@@ -365,7 +376,9 @@ class ShardedExactSearcher:
     ):
         if k is not None and k != self.k:
             self.k = k
-            self._fn = make_sharded_search(self.mesh, k, normalize=self.store.normalize)
+            self._fn = make_sharded_search(
+                self.mesh, k, normalize=self.store.normalize,
+                blockmax_select=self.blockmax_select)
         emb, sqn, pay, n = self.store.device_arrays()
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
         return self._fn(

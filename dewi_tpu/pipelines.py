@@ -1403,7 +1403,9 @@ class DewiPipeline:
             resolved = IndexBackend.from_str(str(cfg.ann)).resolve().__name__
         except ValueError:
             resolved = "ExactIndex"
-        if resolved == "IVFIndex":
+        if resolved == "ExactIndex":
+            kwargs.update(blockmax_select=cfg.blockmax_select)
+        elif resolved == "IVFIndex":
             # probe_dtype "auto" resolves inside IVFIndex.build from the
             # store's embedding dtype (bf16 store -> bf16 buckets).
             kwargs.update(nlist=cfg.nlist, nprobe=cfg.nprobe,

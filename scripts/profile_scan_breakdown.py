@@ -363,6 +363,57 @@ def main() -> int:
     chained("full_two_stage_exact_select", full_exact_sel,
             emb_i8, scales, emb, sqn, pay, read_bytes=corpus_bytes)
 
+    # ---- exact tier (bf16 store): flat lax.top_k vs blockmax select -------
+    # Blockmax over the FINAL adjusted scores is value-exact (s=k blocks
+    # provably contain the top-k docs), so this A/B isolates pure selection
+    # cost on the exact tier: full [1, n] top_k vs max-reduce + top_k over
+    # [1, n/128] maxima (+ fused kernel variant that never writes scores).
+    from dewi_tpu.ops.similarity import fused_search
+
+    emb_b16 = emb.astype(jnp.bfloat16)
+    jax.block_until_ready(emb_b16)
+    b16_bytes = int(n) * int(d) * 2
+
+    def _exact_row(name, **kw):
+        def f(carry, e, sq, p):
+            q, acc = carry
+            v, _ = fused_search(
+                e, sq, p, q, jnp.int32(n), jnp.float32(0.25),
+                jnp.float32(0.1), k=10, normalize=True, **kw)
+            s = v[0, 0]
+            return q + 1e-12 * s, acc + s
+
+        chained(name, f, emb_b16, sqn, pay, read_bytes=b16_bytes)
+
+    _exact_row("exact_bf16_xla_topk")
+    _exact_row("exact_bf16_xla_blockmax", blockmax_select=True)
+    if pallas_available():
+        _exact_row("exact_bf16_pallas_topk", pallas_scores=True)
+        _exact_row("exact_bf16_pallas_blockmax", pallas_scores=True,
+                   blockmax_select=True)
+        _exact_row("exact_bf16_pallas_blockmax_fused", pallas_scores=True,
+                   blockmax_select=True, fused_bmax=True)
+
+    # Batched exact: the two-pass blockmax gathers candidate SCORES only
+    # (k*128 f32/query), so it has no Q gate — A/B the Q=128 batch too.
+    def _exact_batched(name, **kw):
+        def f(carry, e, sq, p, q128):
+            q, acc = carry
+            v, _ = fused_search(
+                e, sq, p, q128 + 1e-12 * acc, jnp.int32(n),
+                jnp.float32(0.25), jnp.float32(0.1), k=10, normalize=True,
+                **kw)
+            s = v[0, 0]
+            return q, acc + s
+
+        chained(name, f, emb_b16, sqn, pay, qb, read_bytes=b16_bytes)
+        if name in results and "p50_ms" in results[name]:
+            results[name]["per_query_us"] = round(
+                results[name]["p50_ms"] / 128 * 1e3, 2)
+
+    _exact_batched("exact_bf16_batched128_topk")
+    _exact_batched("exact_bf16_batched128_blockmax", blockmax_select=True)
+
     out = {
         "n_docs": n, "dim": d, "chain": chain,
         "rtt_floor_ms": round(rtt_floor_s * 1e3, 3),

@@ -339,3 +339,28 @@ class TestShardedQuantizedL2:
         _, ei = exact.search_batch(q, eta=0.25, entropy_pref=0.1)
         _, qi = quant.search_batch(q, eta=0.25, entropy_pref=0.1)
         assert recall_matrix(np.asarray(qi), np.asarray(ei)) >= 0.95
+
+
+def test_sharded_blockmax_matches_plain(rng):
+    """Per-shard blockmax selection (value-exact) vs flat per-shard top_k.
+
+    Shard capacity must clear fused_search's blockmax gate (>= 512 rows
+    per shard), so the corpus is sized to 4096 capacity / 8 devices."""
+    n, d, k = 4000, 16, 10
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    pays = make_payloads(rng, n)
+    ids = [f"d{i}" for i in range(n)]
+
+    mesh = make_mesh()
+    plain_store = DocStore(dim=d)
+    plain_store.add_batch(ids, emb, pays)
+    plain = ShardedExactSearcher(plain_store, mesh, k=k)
+    bm_store = DocStore(dim=d)
+    bm_store.add_batch(ids, emb, pays)
+    bm = ShardedExactSearcher(bm_store, mesh, k=k, blockmax_select=True)
+
+    qs = rng.normal(size=(6, d)).astype(np.float32)
+    s0, i0 = plain.search_batch(qs, eta=0.3, entropy_pref=0.1)
+    s1, i1 = bm.search_batch(qs, eta=0.3, entropy_pref=0.1)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))

@@ -125,6 +125,76 @@ class TestExactIndex:
             idx.add("x", np.zeros(9, np.float32), Payload())
 
 
+class TestExactBlockmax:
+    """Exact-tier hierarchical block-max selection (ops/similarity).
+
+    Unlike the quantized tier, selection here runs on the FINAL adjusted
+    scores, so result values must be exactly those of the flat lax.top_k
+    (top-k blocks by max provably contain the top-k docs at s=k)."""
+
+    def _pair(self, rng, n=600, dim=32, space="cosine"):
+        emb = rng.normal(size=(n, dim)).astype(np.float32)
+        pays = make_payloads(rng, n)
+        ids = [f"d{i}" for i in range(n)]
+        plain = ExactIndex(dim=dim, space=space, blockmax_select=False)
+        bm = ExactIndex(dim=dim, space=space, blockmax_select=True)
+        for idx in (plain, bm):
+            idx.add_batch(ids, emb, pays)
+            idx.build()
+        assert bm._blockmax_ok()  # capacity 1024: gates must hold
+        return plain, bm
+
+    def test_matches_plain_topk_cosine(self, rng):
+        plain, bm = self._pair(rng)
+        q = rng.normal(size=(5, 32)).astype(np.float32)
+        for k in (1, 4, 10, 50):
+            s0, i0 = plain.search_batch(q, k=k, eta=0.3, entropy_pref=0.2)
+            s1, i1 = bm.search_batch(q, k=k, eta=0.3, entropy_pref=0.2)
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+            np.testing.assert_allclose(
+                np.asarray(s0), np.asarray(s1), rtol=0, atol=0
+            )
+
+    def test_matches_plain_topk_l2(self, rng):
+        plain, bm = self._pair(rng, space="l2")
+        q = rng.normal(size=(3, 32)).astype(np.float32)
+        s0, i0 = plain.search_batch(q, k=10, eta=0.4, entropy_pref=0.0)
+        s1, i1 = bm.search_batch(q, k=10, eta=0.4, entropy_pref=0.0)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1))
+
+    def test_large_batch_no_q_gate(self, rng):
+        """The two-pass variant gathers scores only, so (unlike the
+        quantized tier) it engages at ANY batch size."""
+        plain, bm = self._pair(rng)
+        q = rng.normal(size=(64, 32)).astype(np.float32)
+        _, i0 = plain.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+        _, i1 = bm.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_hyperparams_roundtrip(self, tmp_path, rng):
+        plain, bm = self._pair(rng, n=40)
+        bm.save(tmp_path / "bm")
+        loaded = ExactIndex.load(tmp_path / "bm")
+        assert loaded.blockmax_select is True
+        q = rng.normal(size=(2, 32)).astype(np.float32)
+        _, i0 = bm.search_batch(q, k=5)
+        _, i1 = loaded.search_batch(q, k=5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        # the explicit opt-out persists too
+        plain.save(tmp_path / "plain")
+        assert ExactIndex.load(tmp_path / "plain").blockmax_select is False
+
+    def test_blockmax_is_the_default(self):
+        """Value-exact at every batch size and the fix for flat top_k's
+        batched collapse (319.8 -> 4.18 ms at Q=128/1M) — ships ON; the
+        fused kernel variant measured a LOSS on this tier and stays
+        opt-in."""
+        idx = ExactIndex(dim=16)
+        assert idx.blockmax_select is True
+        assert idx.fused_bmax is False
+
+
 class TestBehavioralContracts:
     """Parity with reference tests/test_index.py:251-353."""
 

@@ -302,3 +302,80 @@ class TestPallasScoresMatrixS8:
         np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_p))
         np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_p),
                                    rtol=1e-6, atol=1e-6)
+
+
+class TestExactBlockmaxFused:
+    """Exact-tier blockmax paths of ops/similarity.fused_search."""
+
+    def _arrays(self, cap=2048, d=32, nq=3, seed=7):
+        rng = np.random.default_rng(seed)
+        emb = np.asarray(l2_normalize(
+            jnp.asarray(rng.normal(size=(cap, d)).astype(np.float32))))
+        pay = np.abs(rng.normal(size=(cap, 8))).astype(np.float32)
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        sqn = jnp.sum(jnp.asarray(emb) ** 2, axis=1)
+        return jnp.asarray(emb), sqn, jnp.asarray(pay), jnp.asarray(q)
+
+    def test_two_pass_blockmax_is_bit_identical(self):
+        """Selection over the SAME materialized scores: values must be the
+        flat top-k's values exactly, for both spaces and across k."""
+        emb, sqn, pay, q = self._arrays()
+        for normalize in (True, False):
+            for k in (1, 10, 100):
+                s0, i0 = fused_search(
+                    emb, sqn, pay, q, jnp.int32(1900), jnp.float32(0.3),
+                    jnp.float32(0.1), k=k, normalize=normalize)
+                s1, i1 = fused_search(
+                    emb, sqn, pay, q, jnp.int32(1900), jnp.float32(0.3),
+                    jnp.float32(0.1), k=k, normalize=normalize,
+                    blockmax_select=True)
+                np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+                np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+    def test_fused_bmax_matches_two_pass_pallas(self):
+        """fused_bmax composes the bmax kernel + bf16 block re-score: same
+        bf16 stage math as the Pallas scores path, so indices must agree
+        and values must match to f32 accumulation-order noise."""
+        emb, sqn, pay, q = self._arrays()
+        common = dict(k=10, normalize=True, interpret=True, pallas_block=256)
+        s0, i0 = fused_search(
+            emb, sqn, pay, q, jnp.int32(1900), jnp.float32(0.3),
+            jnp.float32(0.1), pallas_scores=True, blockmax_select=True,
+            **common)
+        s1, i1 = fused_search(
+            emb, sqn, pay, q, jnp.int32(1900), jnp.float32(0.3),
+            jnp.float32(0.1), pallas_scores=True, blockmax_select=True,
+            fused_bmax=True, **common)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_fused_bmax_l2(self):
+        emb, sqn, pay, q = self._arrays()
+        common = dict(k=10, normalize=False, interpret=True,
+                      pallas_block=256)
+        s0, i0 = fused_search(
+            emb, sqn, pay, q, jnp.int32(1900), jnp.float32(0.4),
+            jnp.float32(0.0), blockmax_select=True, **common)
+        s1, i1 = fused_search(
+            emb, sqn, pay, q, jnp.int32(1900), jnp.float32(0.4),
+            jnp.float32(0.0), pallas_scores=True, blockmax_select=True,
+            fused_bmax=True, **common)
+        # XLA f32 stage vs bf16 kernel stage: candidate tails may differ,
+        # but the exact guarantee holds within each scoring precision —
+        # demand >= 9/10 overlap and matching leaders.
+        for a, b in zip(np.asarray(i0), np.asarray(i1)):
+            assert len(set(a.tolist()) & set(b.tolist())) >= 9
+            assert a[0] == b[0]
+
+    def test_blockmax_validity_mask(self):
+        """Padded rows (>= n_valid) must never surface through blockmax."""
+        emb, sqn, pay, q = self._arrays()
+        for fused in (False, True):
+            s, i = fused_search(
+                emb, sqn, pay, q, jnp.int32(300), jnp.float32(0.3),
+                jnp.float32(0.1), k=10, normalize=True,
+                pallas_scores=fused, blockmax_select=True, fused_bmax=fused,
+                interpret=True, pallas_block=256)
+            assert int(np.asarray(i).max()) < 300
+            assert np.isfinite(np.asarray(s)).all()
