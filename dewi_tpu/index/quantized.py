@@ -160,10 +160,10 @@ class QuantizedIndex(BaseIndex):
             pallas_stage1=self._pallas_stage1_ok(int(q.shape[0])),
             int8_queries=self.int8_queries,
             bf16_scores=self.bf16_scores,
-            # Q-gate (same bound as the Pallas stage-1 tile guard): blockmax
-            # refine traffic grows s*128 docs per query, so large batches
-            # fall back to approx_max_k selection automatically.
-            blockmax_select=self.blockmax_select and int(q.shape[0]) <= 32,
+            # No Q gate: above BLOCKMAX_REFINE_MAX_Q quantized_search
+            # switches to the score-gather refine internally (flat-path
+            # refine traffic, selection still exact w.r.t. stage-1).
+            blockmax_select=self.blockmax_select,
             fused_bmax=self._fused_bmax_ok(int(q.shape[0])),
         )
 

@@ -27,6 +27,13 @@ from .similarity import l2_normalize
 NEG_INF = float("-inf")  # python float: no backend init at import time
 
 BLOCKMAX_SUB = 128  # sub-block width for blockmax_select (one VPU lane row)
+# Above this query count the blockmax tier switches refine strategy: the
+# block-granular gather (s*128 docs/query) outgrows the flat path's m rows,
+# so large batches gather candidate stage-1 SCORES from the winning blocks
+# (s*128 f32/query — cheap), take top-m within them, and row-gather only m
+# docs — selection quality >= approx_max_k's 0.95 target at the same
+# refine traffic.
+BLOCKMAX_REFINE_MAX_Q = 32
 # approx_max_k only engages above this capacity: below it, exact top_k is
 # ~free and approx's coarse reduction can dip under the 0.99 recall gate.
 APPROX_SELECT_MIN_CAP = 1 << 17
@@ -105,6 +112,10 @@ def quantized_search(
     stage-1 top-``s`` >= top-``k`` docs — selection is exact w.r.t.
     stage-1 scores (recall can only beat ``approx_max_k``'s 0.95
     target); residual error is int8 stage-1 rounding, as before.
+    Above ``BLOCKMAX_REFINE_MAX_Q`` queries the refine switches to a
+    two-step gather (winning blocks' *scores* -> top-``m`` -> ``m``-row
+    refine) so batched refine traffic matches the flat path instead of
+    growing ``s*128`` rows per query.
 
     ``fused_bmax=True`` (with ``blockmax_select`` + ``pallas_stage1``)
     fuses the sub-block max-reduce INTO the streaming stage-1 kernel
@@ -260,16 +271,34 @@ def quantized_search(
             bid[:, :, None] * BLOCKMAX_SUB
             + jnp.arange(BLOCKMAX_SUB, dtype=bid.dtype)[None, None, :]
         ).reshape(nq, s * BLOCKMAX_SUB)                 # [Q, s*128]
-        # Block-granular refine gather: the candidates are s CONTIGUOUS
-        # 128-doc blocks, so index the [nb, 128, D] view with the s block
-        # ids — s sequential 128-row reads instead of s*128 arbitrary-row
-        # gathers (measured: the row-granular gather made s=16 cost +80 us,
-        # erasing the selection win).
-        ce = emb_f32.reshape(nb, BLOCKMAX_SUB, emb_f32.shape[1])[bid]
-        ce = ce.reshape(nq, s * BLOCKMAX_SUB, emb_f32.shape[1])
-        cp = payloads.reshape(nb, BLOCKMAX_SUB, payloads.shape[1])[bid]
-        cp = cp.reshape(nq, s * BLOCKMAX_SUB, payloads.shape[1])
-        csq = sqnorms.reshape(nb, BLOCKMAX_SUB)[bid].reshape(nq, -1)
+        if nq > BLOCKMAX_REFINE_MAX_Q and not use_fused:
+            # Large batches: block-granular refine traffic (s*128 D-dim
+            # rows/query) outgrows the flat path's m rows.  Gather the
+            # winning blocks' stage-1 SCORES instead (s*128 scalars/query),
+            # take top-m within them, and refine only m rows — the same
+            # refine traffic as the approx/flat paths, with selection that
+            # still provably covers the stage-1 top-(k+2) (the margin the
+            # small-Q variant relies on).  Requires the materialized
+            # stage-1 matrix, hence the not-use_fused guard (callers gate
+            # fused_bmax to small Q anyway).
+            assert adj1 is not None
+            cs = jnp.take_along_axis(
+                adj1.reshape(nq, nb, BLOCKMAX_SUB), bid[:, :, None], axis=1
+            ).reshape(nq, s * BLOCKMAX_SUB).astype(jnp.float32)
+            _, pos1 = jax.lax.top_k(cs, m)              # [Q, m]
+            cand = jnp.take_along_axis(cand, pos1, axis=1)
+            ce, cp, csq = emb_f32[cand], payloads[cand], sqnorms[cand]
+        else:
+            # Block-granular refine gather: the candidates are s CONTIGUOUS
+            # 128-doc blocks, so index the [nb, 128, D] view with the s
+            # block ids — s sequential 128-row reads instead of s*128
+            # arbitrary-row gathers (measured: the row-granular gather made
+            # s=16 cost +80 us, erasing the selection win).
+            ce = emb_f32.reshape(nb, BLOCKMAX_SUB, emb_f32.shape[1])[bid]
+            ce = ce.reshape(nq, s * BLOCKMAX_SUB, emb_f32.shape[1])
+            cp = payloads.reshape(nb, BLOCKMAX_SUB, payloads.shape[1])[bid]
+            cp = cp.reshape(nq, s * BLOCKMAX_SUB, payloads.shape[1])
+            csq = sqnorms.reshape(nb, BLOCKMAX_SUB)[bid].reshape(nq, -1)
     elif approx_select and cap > max(4 * m, APPROX_SELECT_MIN_CAP):
         # Unsorted approximate candidate set (order fixed by the refine).
         # Only engaged at scale: below APPROX_SELECT_MIN_CAP the exact

@@ -184,12 +184,14 @@ class ShardedQuantizedSearcher:
             and shard_cap % BMAX_BLOCK == 0
             and bmax_kernel_supported(self.int8_queries)
         )
-        # Large batches (Q > 32) always take the XLA approx-select path:
-        # blockmax refine traffic grows s*128 docs per query (see
-        # QuantizedIndex) and the Pallas out tile would overflow VMEM.
+        # Large batches (Q > 32): XLA stage-1 (the Pallas out tile would
+        # overflow VMEM), but blockmax selection stays on — above
+        # BLOCKMAX_REFINE_MAX_Q quantized_search switches to the
+        # score-gather refine internally (flat-path refine traffic).
         self._fn_large = make_sharded_quantized_search(
             mesh, k, m, normalize=store.normalize, pallas_stage1=False,
             int8_queries=self.int8_queries, bf16_scores=self.bf16_scores,
+            blockmax_select=self.blockmax_select,
         )
         self._fn_small = (
             make_sharded_quantized_search(
@@ -211,8 +213,9 @@ class ShardedQuantizedSearcher:
         emb, sqn, pay, n = self.store.device_arrays()
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
         # Same VMEM-bound query-count guard as QuantizedIndex: the Pallas
-        # kernel materialises a [Q, SCORES_BLOCK] out tile per step, and
-        # blockmax selection is a large-batch pessimization.
+        # kernel materialises a [Q, SCORES_BLOCK] out tile per step.
+        # Blockmax selection engages on BOTH branches; the large branch
+        # takes the score-gather refine inside quantized_search.
         fn = self._fn_small if q.shape[0] <= 32 else self._fn_large
         return fn(
             self._q_emb, self._scales, emb, sqn, pay, q, n,

@@ -283,6 +283,26 @@ def main() -> int:
         results["batched128_two_stage"]["per_query_us"] = round(
             results["batched128_two_stage"]["p50_ms"] / 128 * 1e3, 2)
 
+    # Blockmax score-gather refine at Q=128 (the large-batch blockmax
+    # variant: winning blocks' stage-1 scores -> top-m -> m-row refine) —
+    # A/B against the approx_max_k row above.
+    def batched_blockmax(carry, e8, sc, e, sq, p, q128):
+        q, acc = carry
+        v, _ = quantized_search(
+            e8, sc, e, sq, p, q128 + 1e-12 * acc, jnp.int32(n),
+            jnp.float32(0.25), jnp.float32(0.1), k=10, m=args.m,
+            normalize=True, blockmax_select=True, int8_queries=True)
+        s = v[0, 0]
+        return q, acc + s
+
+    chained("batched128_blockmax_scoregather", batched_blockmax,
+            emb_i8, scales, emb, sqn, pay, qb, read_bytes=corpus_bytes)
+    if "batched128_blockmax_scoregather" in results and \
+            "p50_ms" in results["batched128_blockmax_scoregather"]:
+        results["batched128_blockmax_scoregather"]["per_query_us"] = round(
+            results["batched128_blockmax_scoregather"]["p50_ms"] / 128 * 1e3,
+            2)
+
     if pallas_available():
         from dewi_tpu.ops.pallas_search import pallas_int8_search
 

@@ -161,7 +161,8 @@ class TestQuantizedIndex:
         """The headline selection tier ships ON by default: it beats the
         approx_max_k fallback on BOTH latency and recall where its shape
         gates hold, and quantized_search falls back automatically when
-        they don't (misaligned capacity, Q>32)."""
+        they don't (misaligned capacity); above BLOCKMAX_REFINE_MAX_Q it
+        switches to the score-gather refine instead of falling back."""
         from dewi_tpu.config import IndexConfig
 
         assert QuantizedIndex(dim=16).blockmax_select is True
@@ -190,10 +191,13 @@ class TestQuantizedIndex:
         # stage-1 ties; assert well above the gate approx was missing.
         assert recall_matrix(np.asarray(qi), np.asarray(ei)) >= 0.995
 
-    def test_blockmax_large_batch_falls_back(self, corpus):
-        """Q>32 batches must auto-fall-back to approx selection (blockmax
-        refine traffic is s*128 docs per query) and stay at the recall
-        gate."""
+    def test_blockmax_large_batch_score_gather(self, corpus):
+        """Q>32 batches take the score-gather refine (winning blocks'
+        stage-1 scores -> top-m -> m-row refine): refine traffic matches
+        the flat path instead of growing s*128 rows/query, selection
+        still covers the stage-1 top-(k+2).  Must hold the recall gate
+        and agree with the small-Q block-granular variant on the
+        leaders."""
         ids, emb, pay = corpus
         exact = ExactIndex(dim=64)
         exact.add_batch(ids, emb, pay)
@@ -203,8 +207,19 @@ class TestQuantizedIndex:
         bm.build()
         q = np.random.default_rng(9).normal(size=(64, 64)).astype(np.float32)
         _, ei = exact.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
-        _, bi = bm.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
+        sb, bi = bm.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
         assert recall_matrix(np.asarray(bi), np.asarray(ei)) >= 0.99
+        # Per-query agreement with the small-Q (block-granular) variant:
+        # same selection tier, different refine gather — leaders must
+        # match and scores must be the same f32 stage-2 values.
+        for start in (0, 32):
+            ss, si = bm.search_batch(q[start:start + 32], k=10, eta=0.25,
+                                     entropy_pref=0.1)
+            np.testing.assert_array_equal(
+                np.asarray(si)[:, 0], np.asarray(bi)[start:start + 32, 0])
+            np.testing.assert_allclose(
+                np.asarray(ss)[:, 0], np.asarray(sb)[start:start + 32, 0],
+                rtol=1e-6)
 
     def test_bf16_scores_roundtrip(self, corpus, tmp_path):
         ids, emb, pay = corpus
