@@ -174,6 +174,11 @@ class MeshConfig:
     data: int = -1   # -1: all remaining devices
     model: int = 1
     dtype: str = "float32"  # index storage dtype: "float32" | "bfloat16"
+    # Run the signal-extraction estimator forwards (LM, MAE, CLIP towers)
+    # data-parallel over the mesh: params replicate, batches shard over the
+    # 'data' axis (parallel/signals.py).  Off by default — single-chip runs
+    # gain nothing, and the knob makes multi-chip an explicit choice.
+    data_parallel_signals: bool = False
 
 
 @dataclass

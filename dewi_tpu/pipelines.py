@@ -224,8 +224,24 @@ class _CorpusImages:
 class DewiPipeline:
     """Signals + scoring orchestration (parity: reference pipelines.py:36-223)."""
 
-    def __init__(self, config: Optional[DewiConfig] = None, nsfw_fn=None):
+    def __init__(self, config: Optional[DewiConfig] = None, nsfw_fn=None,
+                 mesh=None):
+        """``mesh`` (or ``config.mesh.data_parallel_signals: true``) runs
+        every estimator forward DATA-PARALLEL over the device mesh: model
+        params replicate, signal batches shard over the ``data`` axis
+        (parallel/signals.py) — the corpus-processing scale-out the
+        reference's single-GPU loops cannot do (reference
+        pipelines.py:87-160)."""
         self.config = config or DewiConfig()
+        self.mesh = mesh
+        if self.mesh is None and self.config.mesh.data_parallel_signals:
+            from .parallel.mesh import make_mesh
+
+            m = self.config.mesh
+            self.mesh = make_mesh(
+                n_data=m.data if m.data > 0 else None,
+                n_model=max(1, int(m.model)),
+            )
         self._nsfw_fn = nsfw_fn
         self._text_entropy = None
         self._image_entropy = None
@@ -254,6 +270,7 @@ class DewiPipeline:
                 checkpoint=c.checkpoint,
                 domain_checkpoint=c.domain_checkpoint,
                 seed=c.seed,
+                mesh=self.mesh,
             )
         return self._text_entropy
 
@@ -272,6 +289,7 @@ class DewiPipeline:
                 checkpoint=c.checkpoint,
                 seed=c.seed,
                 io_threads=self.config.runtime.io_threads,
+                mesh=self.mesh,
             )
         return self._image_entropy
 
@@ -289,6 +307,7 @@ class DewiPipeline:
                 seed=c.seed,
                 io_threads=self.config.runtime.io_threads,
                 image_size=getattr(c, "image_size", None),
+                mesh=self.mesh,
             )
         return self._cross_modal
 
@@ -816,6 +835,11 @@ class DewiPipeline:
         """
         from .io.device_images import device_images_or_none
 
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            # Device residency pins the corpus to ONE device; under a
+            # data-parallel mesh the host batch paths shard each batch over
+            # all devices instead (sharded DeviceImages is future work).
+            return None
         imgs = corpus.images
         src, pos = None, None
         if isinstance(imgs, np.ndarray) and imgs.ndim == 4:

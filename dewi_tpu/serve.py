@@ -59,6 +59,7 @@ class _Request:
     query: np.ndarray
     params: Tuple[int, float, float]  # (k, eta, entropy_pref)
     future: Future = field(default_factory=Future)
+    t_submit: float = 0.0  # perf_counter stamp at admission
 
 
 class MicroBatcher:
@@ -97,6 +98,13 @@ class MicroBatcher:
         self.stats: Dict[str, float] = {
             "queries": 0, "dispatches": 0, "max_batch_seen": 0, "shed": 0,
         }
+        # Per-request stage durations (ms), bounded ring:
+        # (queue+window, dispatch, resolve_wait, device+fetch, total).
+        # Cost is five perf_counter stamps per request — always on, so the
+        # serving latency is never unexplained (VERDICT r3 #2).
+        import collections
+
+        self._stages: "collections.deque" = collections.deque(maxlen=8192)
         # The axon dev-tunnel backend deadlocks when a jitted program with a
         # NESTED pallas_call is dispatched from a non-main thread (measured
         # 3/3 hangs; plain XLA programs and bare pallas_call programs are
@@ -148,7 +156,8 @@ class MicroBatcher:
             self.index.entropy_pref if entropy_pref is None
             else float(entropy_pref)
         )
-        req = _Request(query=q, params=(int(k), eta, ep))
+        req = _Request(query=q, params=(int(k), eta, ep),
+                       t_submit=time.perf_counter())
         try:
             self._q.put_nowait(req)
         except queue.Full:
@@ -198,7 +207,7 @@ class MicroBatcher:
         resolver may already be gone by then)."""
         while True:
             try:
-                reqs, _, _ = self._resolve_q.get_nowait()
+                reqs = self._resolve_q.get_nowait()[0]
             except queue.Empty:
                 break
             for req in reqs:
@@ -249,6 +258,7 @@ class MicroBatcher:
         computing on device.
         """
         try:
+            t_start = time.perf_counter()
             n = len(reqs)
             b = _bucket(n, self.max_batch)
             qs = np.zeros((b, self.index.dim), np.float32)
@@ -258,6 +268,7 @@ class MicroBatcher:
                 qs[n:] = reqs[0].query
             scores, rows = self.index.search_batch(qs, k=k, eta=eta,
                                                    entropy_pref=ep)
+            t_launched = time.perf_counter()
             # Stop-aware handoff: a plain blocking put can strand this
             # batch at shutdown (resolver exits, put blocks forever, and a
             # late put races shutdown's drain).  Timing out and checking
@@ -265,7 +276,10 @@ class MicroBatcher:
             # or failed.
             while True:
                 try:
-                    self._resolve_q.put((reqs, scores, rows), timeout=0.05)
+                    self._resolve_q.put(
+                        (reqs, scores, rows, t_start, t_launched),
+                        timeout=0.05,
+                    )
                     break
                 except queue.Full:
                     if self._stop.is_set():
@@ -288,12 +302,16 @@ class MicroBatcher:
     def _resolve_loop(self) -> None:
         while not self._stop.is_set():
             try:
-                reqs, scores, rows = self._resolve_q.get(timeout=0.05)
+                reqs, scores, rows, t_start, t_launched = self._resolve_q.get(
+                    timeout=0.05
+                )
             except queue.Empty:
                 continue
             try:
+                t_fetch0 = time.perf_counter()
                 scores = np.asarray(scores)
                 rows = np.asarray(rows)
+                t_fetch1 = time.perf_counter()
                 doc_ids = self.index.doc_ids
                 n_live = len(doc_ids)
                 for i, r in enumerate(reqs):
@@ -309,10 +327,52 @@ class MicroBatcher:
                     r.future.set_result(
                         ([p[0] for p in pairs], [p[1] for p in pairs])
                     )
+                with self._stats_lock:
+                    for r in reqs:
+                        self._stages.append((
+                            (t_start - r.t_submit) * 1e3,
+                            (t_launched - t_start) * 1e3,
+                            (t_fetch0 - t_launched) * 1e3,
+                            (t_fetch1 - t_fetch0) * 1e3,
+                            (t_fetch1 - r.t_submit) * 1e3,
+                        ))
             except Exception as e:  # noqa: BLE001
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
+
+
+    STAGE_NAMES = ("queue_window", "dispatch", "resolve_wait",
+                   "device_fetch", "total")
+
+    def stage_summary(self, reset: bool = False) -> Dict[str, Dict[str, float]]:
+        """Percentiles (ms) of each serving stage since the last reset.
+
+        Stages sum to the server-side request latency:
+        ``queue_window`` (admission -> its batch's dispatch starts, i.e.
+        queue wait + coalescing window) + ``dispatch`` (trace lookup +
+        async launch of ``search_batch``) + ``resolve_wait`` (two-deep
+        pipeline handoff) + ``device_fetch`` (device compute + result
+        transfer, the blocking ``np.asarray``) = ``total``.  The client
+        additionally observes HTTP parse/network and future wakeup.
+        """
+        with self._stats_lock:
+            rows = list(self._stages)
+            if reset:
+                self._stages.clear()
+        if not rows:
+            return {}
+        arr = np.asarray(rows)  # [n, 5]
+        out: Dict[str, Dict[str, float]] = {}
+        for j, name in enumerate(self.STAGE_NAMES):
+            col = arr[:, j]
+            out[name] = {
+                "p50_ms": round(float(np.percentile(col, 50)), 3),
+                "p95_ms": round(float(np.percentile(col, 95)), 3),
+                "mean_ms": round(float(col.mean()), 3),
+            }
+        out["n"] = int(arr.shape[0])  # type: ignore[assignment]
+        return out
 
 
 class SearchServer:
@@ -361,6 +421,8 @@ class SearchServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._reply(200, server.health())
+                elif self.path == "/stats_stages":
+                    self._reply(200, server.batcher.stage_summary())
                 else:
                     self._reply(404, {"error": "unknown path"})
 

@@ -46,10 +46,20 @@ class CrossModalDependency:
         seed: int = 0,
         io_threads: int = 4,
         image_size: Optional[int] = None,
+        mesh=None,
     ):
         del device
         self.batch_size = int(batch_size)
         self.io_threads = int(io_threads)
+        # Data-parallel mesh execution: params replicate, tower batches
+        # shard over the 'data' axis (parallel/signals.py) — replaces the
+        # reference's single-GPU CLIP forwards (cross_modal.py:124-147).
+        self._dp = None
+        if mesh is not None:
+            from ..parallel.signals import DataParallel
+
+            self._dp = DataParallel(mesh)
+            self.batch_size = self._dp.round_batch(self.batch_size)
         self.tokenizer = get_tokenizer(tokenizer)
         from ..models.import_hf import sidecar_config
 
@@ -93,6 +103,8 @@ class CrossModalDependency:
             )
         self.model, params = init_clip(self.cfg, seed=seed)
         self.params = maybe_load(params, checkpoint)
+        if self._dp is not None:
+            self.params = self._dp.replicate(self.params)
 
         @jax.jit
         def _encode_text(params, ids, mask):
@@ -152,6 +164,13 @@ class CrossModalDependency:
 
     # -- encoders (shared with search + redundancy) ---------------------------
 
+    def _dev(self, arr, batch_axis: int = 0):
+        """Batch placement: plain device array, or sharded over the mesh's
+        data axis when this estimator runs data-parallel."""
+        if self._dp is None:
+            return jnp.asarray(arr)
+        return self._dp.put(arr, batch_axis)
+
     def encode_texts(self, texts: Sequence[str],
                      progress: Optional[Callable[[int], None]] = None
                      ) -> np.ndarray:
@@ -190,15 +209,15 @@ class CrossModalDependency:
                 pads = [g[1] for g in group16]
                 e3 = self._encode_text_super_packed(
                     self.params,
-                    jnp.asarray(np.stack([g[0] for g in group16])),
+                    self._dev(np.stack([g[0] for g in group16]), 1),
                 )
             else:
                 group = [padded(s) for s in group_starts]
                 pads = [g[2] for g in group]
                 e3 = self._encode_text_super(
                     self.params,
-                    jnp.asarray(np.stack([g[0] for g in group])),
-                    jnp.asarray(np.stack([g[1] for g in group])),
+                    self._dev(np.stack([g[0] for g in group]), 1),
+                    self._dev(np.stack([g[1] for g in group]), 1),
                 )
             return pads, e3
 
@@ -229,13 +248,13 @@ class CrossModalDependency:
             if self._packed_ok:
                 ids16, pad = padded_u16(s)
                 e1 = self._encode_text_super_packed(
-                    self.params, jnp.asarray(ids16[None])
+                    self.params, self._dev(ids16[None], 1)
                 )
                 fetch.append(e1[0], keep=bs - pad, cost=ids16.nbytes)
             else:
                 ids, mask, pad = padded(s)
                 e = self._encode_text(
-                    self.params, jnp.asarray(ids), jnp.asarray(mask)
+                    self.params, self._dev(ids), self._dev(mask)
                 )
                 fetch.append(e, keep=bs - pad,
                              cost=ids.nbytes + mask.nbytes)
@@ -276,9 +295,10 @@ class CrossModalDependency:
                 chunks = [c for c, _ in group]
                 stacked = (
                     jnp.stack(chunks) if isinstance(chunks[0], jax.Array)
-                    else jnp.asarray(np.stack(chunks))
+                    else np.stack(chunks)
                 )  # device chunks stack on device (DeviceImages corpus)
-                e3 = self._encode_image_super(self.params, stacked)
+                e3 = self._encode_image_super(self.params,
+                                              self._dev(stacked, 1))
                 in_bytes = (
                     0 if isinstance(chunks[0], jax.Array)
                     else int(stacked.size) * stacked.dtype.itemsize
@@ -288,7 +308,7 @@ class CrossModalDependency:
                                  cost=in_bytes if i == 0 else 0)
             else:
                 for chunk, pad in group:
-                    e = self._encode_image(self.params, jnp.asarray(chunk))
+                    e = self._encode_image(self.params, self._dev(chunk))
                     cost = (
                         0 if isinstance(chunk, jax.Array)
                         else getattr(chunk, "nbytes", 0)

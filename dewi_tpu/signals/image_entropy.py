@@ -101,6 +101,7 @@ class ImageEntropyEstimator:
         checkpoint: Optional[str] = None,
         seed: int = 0,
         io_threads: int = 4,
+        mesh=None,
         **_: object,
     ):
         del device
@@ -108,6 +109,15 @@ class ImageEntropyEstimator:
         self.mask_ratio = float(mask_ratio)
         self.io_threads = int(io_threads)
         self.superbatch = 8
+        # Data-parallel mesh execution: params replicate, image batches
+        # shard over the 'data' axis (parallel/signals.py) — replaces the
+        # reference's single-GPU forward (image_entropy.py:56-74).
+        self._dp = None
+        if mesh is not None:
+            from ..parallel.signals import DataParallel
+
+            self._dp = DataParallel(mesh)
+            self.batch_size = self._dp.round_batch(self.batch_size)
         if model_name in ("pixel", "none", "proxy"):
             self.model = None
             self.params = None
@@ -136,6 +146,8 @@ class ImageEntropyEstimator:
         self.image_size = self.cfg.image_size
         self.model, params = init_mae(self.cfg, seed=seed)
         self.params = maybe_load(params, checkpoint)
+        if self._dp is not None:
+            self.params = self._dp.replicate(self.params)
 
         @jax.jit
         def _losses(params, images, rng):
@@ -165,6 +177,13 @@ class ImageEntropyEstimator:
             )
 
         self._stats_super = _stats_super
+
+    def _dev(self, arr, batch_axis: int = 0):
+        """Batch placement: plain device array, or sharded over the mesh's
+        data axis when this estimator runs data-parallel."""
+        if self._dp is None:
+            return jnp.asarray(arr)
+        return self._dp.put(arr, batch_axis)
 
     # -- input batching -------------------------------------------------------
 
@@ -208,7 +227,7 @@ class ImageEntropyEstimator:
                 )
                 continue
             losses = self._apply(
-                self.params, jnp.asarray(chunk),
+                self.params, self._dev(chunk),
                 jax.random.fold_in(base_key, b * bs),
             )
             out.extend(float(v) for v in np.asarray(losses)[: bs - pad])
@@ -275,7 +294,7 @@ class ImageEntropyEstimator:
                     for i in range(S)
                 ])
                 m3, q3 = self._stats_super(
-                    self.params, jnp.asarray(images4), rngs
+                    self.params, self._dev(images4, 1), rngs
                 )
                 in_bytes = (
                     0 if isinstance(images4, jax.Array) else images4.nbytes
@@ -287,7 +306,7 @@ class ImageEntropyEstimator:
             else:
                 for i, (chunk, pad) in enumerate(group):
                     m, q = self._stats(
-                        self.params, jnp.asarray(chunk),
+                        self.params, self._dev(chunk),
                         jax.random.fold_in(base_key, (ordinal + i) * bs),
                     )
                     in_bytes = (

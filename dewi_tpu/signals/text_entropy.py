@@ -69,16 +69,29 @@ class TextEntropyEstimator:
         seed: int = 0,
         ring_mesh=None,
         chip_len: Optional[int] = None,
+        mesh=None,
     ):
         """``ring_mesh`` + ``chip_len`` enable the exact multi-chip long-doc
         path: docs longer than ``chip_len`` tokens (default ``max_length``)
         but within the model's positional capacity are scored in ONE ring-
         attention forward over the mesh (`parallel/ring.py`) instead of the
         single-chip overlapping-window approximation; only docs beyond
-        ``max_length`` fall back to windows."""
+        ``max_length`` fall back to windows.
+
+        ``mesh``: a ``(data, model)`` device mesh for DATA-PARALLEL batch
+        execution — params replicate, every scored batch shards over the
+        ``data`` axis, so the jitted forwards run on all devices
+        (parallel/signals.py; replaces the reference's single-GPU loop,
+        text_entropy.py:101-121)."""
         del device
         self.quantiles = tuple(float(q) for q in quantiles)
         self.batch_size = int(batch_size)
+        self._dp = None
+        if mesh is not None:
+            from ..parallel.signals import DataParallel
+
+            self._dp = DataParallel(mesh)
+            self.batch_size = self._dp.round_batch(self.batch_size)
         self.tokenizer = get_tokenizer(tokenizer)
         # Imported checkpoints carry a sidecar describing their exact
         # architecture (dewi_tpu.models.import_hf) — it overrides the preset.
@@ -112,6 +125,8 @@ class TextEntropyEstimator:
         self.chip_len = min(int(chip_len or cfg.max_len), cfg.max_len)
         self.model, params = init_lm(cfg, seed=seed)
         self.params = maybe_load(params, checkpoint)
+        if self._dp is not None:
+            self.params = self._dp.replicate(self.params)
 
         self.domain_params = None
         if domain_model_name or domain_checkpoint:
@@ -123,6 +138,8 @@ class TextEntropyEstimator:
             self.domain_cfg = dcfg
             self.domain_model, dparams = init_lm(dcfg, seed=seed + 1)
             self.domain_params = maybe_load(dparams, domain_checkpoint)
+            if self._dp is not None:
+                self.domain_params = self._dp.replicate(self.domain_params)
 
         qarr = jnp.asarray(self.quantiles, dtype=jnp.float32)
 
@@ -230,6 +247,13 @@ class TextEntropyEstimator:
 
     # -- public API ---------------------------------------------------------
 
+    def _dev(self, arr, batch_axis: int = 0):
+        """Batch placement: plain device array, or sharded over the mesh's
+        data axis when this estimator runs data-parallel."""
+        if self._dp is None:
+            return jnp.asarray(arr)
+        return self._dp.put(arr, batch_axis)
+
     def _token_count(self, text: str, max_len: int) -> int:
         """Tokenized length, without materializing ids when the tokenizer
         supports it (the byte tokenizer answers from the UTF-8 byte count —
@@ -300,11 +324,11 @@ class TextEntropyEstimator:
                 if use_domain:
                     nll, valid, mean, qs = self._score_batch_relative(
                         self.params, self.domain_params,
-                        jnp.asarray(ids), jnp.asarray(mask),
+                        self._dev(ids), self._dev(mask),
                     )
                 else:
                     nll, valid, mean, qs = self._score_batch(
-                        self.params, jnp.asarray(ids), jnp.asarray(mask)
+                        self.params, self._dev(ids), self._dev(mask)
                     )
                 nll = np.asarray(nll)
                 valid = np.asarray(valid)
@@ -418,11 +442,11 @@ class TextEntropyEstimator:
             if use_domain:
                 nll, valid, _, _ = self._score_batch_relative(
                     self.params, self.domain_params,
-                    jnp.asarray(chunk_ids), jnp.asarray(chunk_mask),
+                    self._dev(chunk_ids), self._dev(chunk_mask),
                 )
             else:
                 nll, valid, _, _ = self._score_batch(
-                    self.params, jnp.asarray(chunk_ids), jnp.asarray(chunk_mask)
+                    self.params, self._dev(chunk_ids), self._dev(chunk_mask)
                 )
             nll = np.asarray(nll)
             valid = np.asarray(valid)
@@ -560,11 +584,11 @@ class TextEntropyEstimator:
                     if use_domain:
                         mean3, qs3 = self._score_super_relative_packed(
                             self.params, self.domain_params,
-                            jnp.asarray(ids3_u16),
+                            self._dev(ids3_u16, 1),
                         )
                     else:
                         mean3, qs3 = self._score_super_packed(
-                            self.params, jnp.asarray(ids3_u16)
+                            self.params, self._dev(ids3_u16, 1)
                         )
                     in_bytes = ids3_u16.nbytes
                 else:
@@ -574,11 +598,11 @@ class TextEntropyEstimator:
                     if use_domain:
                         mean3, qs3 = self._score_super_relative(
                             self.params, self.domain_params,
-                            jnp.asarray(ids3), jnp.asarray(mask3),
+                            self._dev(ids3, 1), self._dev(mask3, 1),
                         )
                     else:
                         mean3, qs3 = self._score_super(
-                            self.params, jnp.asarray(ids3), jnp.asarray(mask3)
+                            self.params, self._dev(ids3, 1), self._dev(mask3, 1)
                         )
                     in_bytes = ids3.nbytes + mask3.nbytes
                 defer(group, mean3, qs3, in_bytes)
@@ -593,11 +617,11 @@ class TextEntropyEstimator:
                     if use_domain:
                         mean1, qs1 = self._score_super_relative_packed(
                             self.params, self.domain_params,
-                            jnp.asarray(ids1),
+                            self._dev(ids1, 1),
                         )
                     else:
                         mean1, qs1 = self._score_super_packed(
-                            self.params, jnp.asarray(ids1)
+                            self.params, self._dev(ids1, 1)
                         )
                     defer([chunk], mean1, qs1, ids1.nbytes)
                     continue
@@ -605,11 +629,11 @@ class TextEntropyEstimator:
                 if use_domain:
                     _, _, mean, qs = self._score_batch_relative(
                         self.params, self.domain_params,
-                        jnp.asarray(ids), jnp.asarray(mask),
+                        self._dev(ids), self._dev(mask),
                     )
                 else:
                     _, _, mean, qs = self._score_batch(
-                        self.params, jnp.asarray(ids), jnp.asarray(mask)
+                        self.params, self._dev(ids), self._dev(mask)
                     )
                 defer([chunk], mean, qs, ids.nbytes + mask.nbytes)
         if placements:

@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""IVF recall-vs-nprobe on HARD queries — a curve that can fail.
+
+Round-3 VERDICT #3: ``ivf_clustered_1m.json`` reports recall 1.0 at every
+nprobe, because its queries sit at mode centers (one dominant bucket) and
+the high-DEWI overflow tier mops up the rest — the eval measures nothing
+about the recall/latency tradeoff.  This benchmark makes the buckets bite:
+
+* **modes >> nlist** (default 4096 modes vs 1024 lists): the coarse
+  quantizer must merge modes, so true neighbors of a query straddle lists;
+* three query families, hardest first:
+  - ``boundary``  — midpoints between two random mode centers (+noise):
+    the nearest neighbors split across at least two buckets by design;
+  - ``offcenter`` — mode center + 2.5x the corpus noise scale: queries in
+    the low-density shell where bucket assignment is ambiguous;
+  - ``center``    — the old easy family (control row);
+* ``--dewi-tier 0`` by default: the exact-scanned high-DEWI tier is a
+  *serving* feature (always-scanned curation shortlist), and with it on it
+  hides bucket misses at random-payload evals.  A ``dewi_tier`` control
+  row at the shipped 1024 shows its effect.
+
+Reports recall@k for nprobe in {1, 2, 4, 8, 16, 32, 64} per family, plus
+batched latency per nprobe, so the shipped default (nprobe=32,
+config.py IndexConfig) is justified by a measured knee instead of a
+saturated row.  Ground truth is fused exact search on the same store.
+
+Usage:
+  python scripts/profile_ivf_recall_curve.py --n-docs 1000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n-docs", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--modes", type=int, default=4096)
+    ap.add_argument("--nlist", type=int, default=1024)
+    ap.add_argument("--n-queries", type=int, default=512)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--dewi-tier", type=int, default=0)
+    ap.add_argument("--nprobes", default="1,2,4,8,16,32,64")
+    ap.add_argument("--output", default="docs/perf/ivf_recall_curve.json")
+    args = ap.parse_args()
+
+    import jax
+
+    from dewi_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
+    import jax.numpy as jnp
+
+    from dewi_tpu.eval import recall_matrix
+    from dewi_tpu.index.exact import ExactIndex
+    from dewi_tpu.index.ivf import IVFIndex
+    from dewi_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    n, d, nc = args.n_docs, args.dim, args.modes
+    nprobes = [int(x) for x in args.nprobes.split(",")]
+    print(f"Device: {jax.devices()[0]}", flush=True)
+    keys = jax.random.split(jax.random.PRNGKey(7), 8)
+    centers = jax.random.normal(keys[0], (nc, d), jnp.float32) * 3.0
+    w = 1.0 / (jnp.arange(nc) + 1.0)  # zipf mode sizes
+    labels = jax.random.categorical(keys[1], jnp.log(w / w.sum()), shape=(n,))
+    emb = centers[labels] + jax.random.normal(keys[2], (n, d), jnp.float32)
+    # Serving-realistic payloads: the dewi column (pay[:, 0]) is a SIGMOID
+    # output in [0, 1] in production (scorer.py) — round 3's gamma-valued
+    # dewi (up to ~8) dominated the adjusted score at any eta, making
+    # ground truth ≈ the global top-dewi set, which the always-scanned
+    # dewi_tier then recovers at any nprobe (the saturated-1.0 artifact).
+    pay = jax.random.gamma(jax.random.PRNGKey(1), 2.0, (n, 8)).astype(
+        jnp.float32
+    )
+    pay = pay.at[:, 0].set(
+        jax.random.uniform(jax.random.PRNGKey(2), (n,), jnp.float32)
+    )
+    jax.block_until_ready(emb)
+    ids = [str(i) for i in range(n)]
+
+    nq = args.n_queries
+    qa = jax.random.randint(keys[3], (nq,), 0, nc)
+    qb = jax.random.randint(keys[4], (nq,), 0, nc)
+    families = {
+        # Midpoint of two modes: the k nearest docs straddle >= 2 buckets.
+        "boundary": np.asarray(
+            0.5 * (centers[qa] + centers[qb])
+            + 0.5 * jax.random.normal(keys[5], (nq, d), jnp.float32)
+        ),
+        # Low-density shell, 2.5x the corpus noise radius off a center.
+        "offcenter": np.asarray(
+            centers[qa]
+            + 2.5 * jax.random.normal(keys[6], (nq, d), jnp.float32)
+        ),
+        # The round-3 easy family (control).
+        "center": np.asarray(
+            centers[qa] + jax.random.normal(keys[7], (nq, d), jnp.float32)
+        ),
+    }
+    print("corpus + queries ready", flush=True)
+
+    metrics: dict = {
+        "n_docs": n, "dim": d, "modes": nc, "mode_weights": "zipf",
+        "nlist": args.nlist, "k": args.k, "n_queries": nq,
+        "dewi_tier": args.dewi_tier, "device": str(jax.devices()[0]),
+        "shipped_default_nprobe": 32,
+    }
+
+    ivf = IVFIndex(dim=d, nlist=args.nlist, nprobe=max(nprobes),
+                   dewi_tier=args.dewi_tier, kmeans_iters=8)
+    ivf.store.attach_device(ids, emb, pay)
+    t0 = time.perf_counter()
+    ivf.build()
+    jax.block_until_ready(ivf._dev[1])
+    metrics["build_s"] = round(time.perf_counter() - t0, 1)
+    exact = ExactIndex(dim=d)
+    exact.store.attach_device(ids, emb, pay)
+    exact.build()
+
+    def blocked(search_fn, queries, qblock=128, **kw):
+        outs = []
+        for s in range(0, len(queries), qblock):
+            _, idx = search_fn(queries[s : s + qblock], k=args.k, **kw)
+            outs.append(np.asarray(idx))
+        return np.concatenate(outs)
+
+    curves: dict = {}
+    for fam, queries in families.items():
+        gt = blocked(exact.search_batch, queries)
+        row = {}
+        for nprobe in nprobes:
+            got = blocked(ivf.search_batch, queries, nprobe=nprobe)
+            row[f"nprobe{nprobe}"] = round(float(recall_matrix(got, gt)), 4)
+        curves[fam] = row
+        print(f"{fam}: {row}", flush=True)
+    metrics["recall_curves"] = curves
+
+    # Latency per nprobe (boundary family; impl resolved by platform).
+    lat = {}
+    qs = families["boundary"]
+    for nprobe in nprobes:
+        blocked(ivf.search_batch, qs, nprobe=nprobe)  # warm trace
+        t0 = time.perf_counter()
+        blocked(ivf.search_batch, qs, nprobe=nprobe)
+        lat[f"nprobe{nprobe}"] = round(
+            (time.perf_counter() - t0) / nq * 1e3, 4
+        )
+    metrics["batched_ms_per_query"] = lat
+    print(f"latency: {lat}", flush=True)
+
+    # Control: the shipped dewi_tier=1024 on the hardest family — shows how
+    # much the always-scanned high-DEWI tier recovers at the same nprobe.
+    ivf_tier = IVFIndex(dim=d, nlist=args.nlist, nprobe=max(nprobes),
+                        dewi_tier=1024, kmeans_iters=8)
+    ivf_tier.store.attach_device(ids, emb, pay)
+    ivf_tier.build()
+    jax.block_until_ready(ivf_tier._dev[1])
+    gt = blocked(exact.search_batch, families["boundary"])
+    row = {}
+    for nprobe in nprobes:
+        got = blocked(ivf_tier.search_batch, families["boundary"],
+                      nprobe=nprobe)
+        row[f"nprobe{nprobe}"] = round(float(recall_matrix(got, gt)), 4)
+    metrics["recall_boundary_dewi_tier1024"] = row
+    print(f"boundary + dewi_tier=1024: {row}", flush=True)
+
+    # The knee: smallest measured nprobe with recall >= 0.99 on every family.
+    knee = None
+    for nprobe in nprobes:
+        if all(curves[f][f"nprobe{nprobe}"] >= 0.99 for f in curves):
+            knee = nprobe
+            break
+    metrics["min_nprobe_recall_0.99_all_families"] = knee
+    if "nprobe32" in next(iter(curves.values())):
+        metrics["shipped_default_ok"] = bool(
+            all(curves[f]["nprobe32"] >= 0.99 for f in curves)
+        )
+
+    Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.output).write_text(json.dumps(metrics, indent=2))
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

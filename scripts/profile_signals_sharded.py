@@ -1,0 +1,250 @@
+#!/usr/bin/env python
+"""Mesh-sharded signal-extraction throughput + v5e-16 projection.
+
+Round-3 VERDICT #1: the <5-min/1M v5e-16 north star must rest on a CODE
+PATH, not a divide-by-16 extrapolation.  This benchmark runs the estimator
+forwards through the data-parallel path (``parallel/signals.py`` — params
+replicated, batches sharded over the mesh's ``data`` axis; score parity vs
+single-device is asserted by ``tests/test_parallel_signals.py`` and
+``__graft_entry__.dryrun_multichip``) and projects v5e-16 from MEASURED
+per-device rates:
+
+    stage_time_1M(v5e-16) = 1M / (per_device_rate * 16)
+
+where ``per_device_rate = measured_sharded_rate / n_mesh_devices`` — i.e.
+the projection multiplies a rate measured through the exact program that
+would run on each of the 16 chips, with the sharded placement, collective-
+free forward, and batch padding included.  Residual assumption (stated in
+the artifact): host feed scales with chips (each v5e host feeds 4 chips;
+the host legs measured in e2e_pipeline*.json are per-host, not global).
+
+On the 1-real-chip dev box the mesh is 1x1 — the sharded code path runs
+end to end and per-device == measured.  Run with
+``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``
+to exercise an 8-way sharded placement (CPU devices share host cores, so
+wall-clock there validates EXECUTION, not speedup).
+
+Usage:
+  python scripts/profile_signals_sharded.py --model small
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TARGET_N = 1_000_000
+WORDS = (
+    "alpha beta gamma delta entropy index corpus signal token image model "
+    "robust search weight noise data surprise useful document query"
+).split()
+
+
+def device_rate(fn, per_call_docs: int, iters: int = 4) -> float:
+    import jax
+
+    jax.block_until_ready(fn())  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return per_call_docs * iters / (time.perf_counter() - t0)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="small")
+    ap.add_argument("--n-docs", type=int, default=4096)
+    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--target-chips", type=int, default=16)
+    ap.add_argument("--pipeline-docs", type=int, default=512,
+                    help="docs for the public process_corpus smoke "
+                         "(0 skips it)")
+    ap.add_argument("--output", default="docs/perf/signals_sharded.json")
+    args = ap.parse_args()
+
+    import jax
+
+    from dewi_tpu.utils.compile_cache import enable_compilation_cache
+    from dewi_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
+    enable_compilation_cache()
+
+    import jax.numpy as jnp
+
+    from dewi_tpu.parallel import make_mesh
+    from dewi_tpu.signals import (
+        CrossModalDependency,
+        ImageEntropyEstimator,
+        TextEntropyEstimator,
+    )
+
+    mesh = make_mesh()  # all devices on the data axis
+    n_dev = mesh.shape["data"]
+    print(f"mesh: {dict(mesh.shape)} over {jax.devices()[0].device_kind}")
+
+    rng = np.random.default_rng(0)
+    texts = [
+        " ".join(rng.choice(WORDS, size=rng.integers(20, 60)))
+        for _ in range(args.n_docs)
+    ]
+
+    metrics: dict = {
+        "model": args.model,
+        "mesh_devices": int(n_dev),
+        "device_kind": jax.devices()[0].device_kind,
+        "target_chips": args.target_chips,
+        "parity": "sharded==single-device asserted by "
+                  "tests/test_parallel_signals.py + dryrun_multichip",
+        "projection_formula": "1M / (per_device_rate * target_chips)",
+    }
+    proj_s = 0.0  # v5e-16 seconds per 1M docs, device stages
+
+    # ---- text (LM surprisal), sharded superbatch ---------------------------
+    est = TextEntropyEstimator(model_name=args.model,
+                               batch_size=args.batch_size,
+                               max_length=512, mesh=mesh)
+    S, bs = est.superbatch, est.batch_size
+    ids, mask = est.tokenizer.encode_batch(texts[:bs], est.cfg.max_len,
+                                           pad_to=256)
+    ids3 = est._dev(np.broadcast_to(ids, (S,) + ids.shape).copy(), 1)
+    mask3 = est._dev(np.broadcast_to(mask, (S,) + mask.shape).copy(), 1)
+    assert len(ids3.sharding.device_set) == n_dev, "batch must shard"
+    dps = device_rate(lambda: est._score_super(est.params, ids3, mask3),
+                      S * bs)
+    per_dev = dps / n_dev
+    metrics["text_docs_per_sec_sharded"] = round(dps, 1)
+    metrics["text_docs_per_sec_per_device"] = round(per_dev, 1)
+    t = TARGET_N / (per_dev * args.target_chips)
+    metrics[f"text_1M_s_{args.target_chips}chip"] = round(t, 1)
+    proj_s += t
+    print(f"text: {dps:,.0f} docs/s sharded ({per_dev:,.0f}/device) "
+          f"-> 1M on {args.target_chips} chips: {t:,.1f}s")
+
+    # ---- image (MAE), sharded superbatch ------------------------------------
+    ie = ImageEntropyEstimator(model_name=args.model, batch_size=64,
+                               image_size=args.image_size, mesh=mesh)
+    ibs = ie.batch_size
+    imgs = rng.random((ibs, args.image_size, args.image_size, 3)
+                      ).astype(np.float32)
+    img4 = ie._dev(np.broadcast_to(imgs, (ie.superbatch,) + imgs.shape
+                                   ).copy(), 1)
+    rngs = jax.random.split(jax.random.PRNGKey(0), ie.superbatch)
+    dps = device_rate(lambda: ie._stats_super(ie.params, img4, rngs),
+                      ie.superbatch * ibs)
+    per_dev = dps / n_dev
+    metrics["image_docs_per_sec_sharded"] = round(dps, 1)
+    metrics["image_docs_per_sec_per_device"] = round(per_dev, 1)
+    t = TARGET_N / (per_dev * args.target_chips)
+    metrics[f"image_1M_s_{args.target_chips}chip"] = round(t, 1)
+    proj_s += t
+    print(f"image: {dps:,.0f} imgs/s sharded ({per_dev:,.0f}/device) "
+          f"-> 1M on {args.target_chips} chips: {t:,.1f}s")
+
+    # ---- clip (both towers), sharded ----------------------------------------
+    cm = CrossModalDependency(model_name=args.model, batch_size=128,
+                              mesh=mesh)
+    cbs = cm.batch_size
+    cids, cmask = cm.tokenizer.encode_batch(texts[:cbs], cm.cfg.text_len,
+                                            pad_to=cm.cfg.text_len)
+    cS = cm.superbatch
+    cids3 = cm._dev(np.broadcast_to(cids, (cS,) + cids.shape).copy(), 1)
+    cmask3 = cm._dev(np.broadcast_to(cmask, (cS,) + cmask.shape).copy(), 1)
+    cimg = rng.random((cbs, cm.cfg.image_size, cm.cfg.image_size, 3)
+                      ).astype(np.float32)
+    cimg4 = cm._dev(np.broadcast_to(cimg, (cS,) + cimg.shape).copy(), 1)
+
+    def clip_call():
+        t_ = cm._encode_text_super(cm.params, cids3, cmask3)
+        v_ = cm._encode_image_super(cm.params, cimg4)
+        return t_, v_
+
+    dps = device_rate(clip_call, cS * cbs)
+    per_dev = dps / n_dev
+    metrics["clip_pairs_per_sec_sharded"] = round(dps, 1)
+    metrics["clip_pairs_per_sec_per_device"] = round(per_dev, 1)
+    t = TARGET_N / (per_dev * args.target_chips)
+    metrics[f"clip_1M_s_{args.target_chips}chip"] = round(t, 1)
+    proj_s += t
+    print(f"clip: {dps:,.0f} pairs/s sharded ({per_dev:,.0f}/device) "
+          f"-> 1M on {args.target_chips} chips: {t:,.1f}s")
+
+    # ---- public pipeline smoke through the mesh path ------------------------
+    # End-to-end process_corpus with the mesh (host tokenize/feed included),
+    # so the artifact records that the PUBLIC path — not just staged kernels
+    # — runs sharded.
+    from dewi_tpu.config import DewiConfig
+    from dewi_tpu.corpus import Corpus
+    from dewi_tpu.pipelines import DewiPipeline
+
+    cfg = DewiConfig()
+    cfg.text.model = args.model
+    cfg.text.batch_size = args.batch_size
+    cfg.image.model = args.model
+    cfg.cross_modal.model = args.model
+    pipe = DewiPipeline(cfg, mesh=mesh)
+    n_small = min(args.n_docs, max(args.pipeline_docs, 0))
+    small_imgs = (rng.random((n_small, args.image_size, args.image_size, 3))
+                  * 255).astype(np.uint8)
+    corpus = Corpus(ids=[f"d{i}" for i in range(n_small)],
+                    texts=texts[:n_small], images=small_imgs)
+    if n_small == 0:
+        corpus = None
+    if corpus is not None:
+        pipe.process_corpus(corpus)  # warm (compiles every stage)
+        corpus2 = Corpus(ids=[f"d{i}" for i in range(n_small)],
+                         texts=texts[:n_small], images=small_imgs)
+        t0 = time.perf_counter()
+        pipe.process_corpus(corpus2)
+        e2e_s = time.perf_counter() - t0
+        metrics["pipeline_e2e_docs_per_sec_sharded"] = round(
+            n_small / e2e_s, 1
+        )
+        print(f"public process_corpus (mesh): {n_small / e2e_s:,.0f} "
+              f"docs/s warm")
+
+    # ---- non-sharded residuals from the committed single-chip artifacts -----
+    base_path = Path("docs/perf/signals_base.json")
+    residual_s = 0.0
+    if base_path.exists():
+        base = json.loads(base_path.read_text())
+        red_1m = float(base.get("redundancy_1M_s_single_chip", 0.0))
+        noise_dps = float(base.get("noise_docs_per_sec", 0.0))
+        # Redundancy: device-side O(N^2) blockwise kernel, currently
+        # single-device (sharding it is future work) — charged at FULL
+        # single-chip cost.  Noise: host heuristics; v5e-16 = 4 hosts.
+        noise_1m = TARGET_N / (noise_dps * 4) if noise_dps else 0.0
+        residual_s = red_1m + noise_1m
+        metrics["redundancy_1M_s_single_chip_unsharded"] = round(red_1m, 1)
+        metrics["noise_1M_s_4hosts"] = round(noise_1m, 1)
+    total = proj_s + residual_s
+    metrics[f"full_signals_1M_s_{args.target_chips}chip_projected"] = round(
+        total, 1
+    )
+    metrics[f"full_signals_1M_min_{args.target_chips}chip_projected"] = round(
+        total / 60, 2
+    )
+    metrics["budget_min"] = 5.0
+    metrics["within_budget"] = bool(total / 60 < 5.0)
+    print(f"FULL SIGNALS 1M on {args.target_chips} chips (projected from "
+          f"measured per-device rates): {total / 60:,.2f} min "
+          f"(budget 5 min) -> {'OK' if metrics['within_budget'] else 'OVER'}")
+
+    out = Path(args.output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(metrics, indent=2))
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

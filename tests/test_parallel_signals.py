@@ -1,0 +1,158 @@
+"""Data-parallel signal extraction: mesh-sharded estimator forwards must
+reproduce single-device results (VERDICT r3 #1 — the corpus-processing
+scale-out path; replaces the reference's single-GPU loops, reference
+pipelines.py:87-160)."""
+
+import numpy as np
+import pytest
+
+from dewi_tpu.config import DewiConfig
+from dewi_tpu.parallel import make_mesh
+from dewi_tpu.parallel.signals import DataParallel
+from dewi_tpu.pipelines import DewiPipeline
+from dewi_tpu.signals import (
+    CrossModalDependency,
+    ImageEntropyEstimator,
+    TextEntropyEstimator,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "x",
+    "entropy weighted index for text image corpora " * 3,
+    "short",
+    "another document with moderately long content for bucketing",
+    "zz top",
+    "data parallel signal extraction over the device mesh",
+    "final row",
+]
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh()  # all 8 virtual CPU devices on the data axis
+
+
+class TestDataParallelAdapter:
+    def test_round_batch(self, mesh8):
+        dp = DataParallel(mesh8)
+        assert dp.round_batch(1) == 8
+        assert dp.round_batch(8) == 8
+        assert dp.round_batch(9) == 16
+
+    def test_put_shards_batch_axis(self, mesh8):
+        dp = DataParallel(mesh8)
+        x = dp.put(np.zeros((16, 4), np.float32))
+        assert len(x.sharding.device_set) == 8
+        y = dp.put(np.zeros((2, 16, 4), np.float32), batch_axis=1)
+        assert len(y.sharding.device_set) == 8
+
+    def test_rejects_mesh_without_data_axis(self):
+        import jax
+        from jax.sharding import Mesh
+
+        m = Mesh(np.array(jax.devices()[:1]), ("model",))
+        with pytest.raises(ValueError):
+            DataParallel(m)
+
+
+class TestShardedTextEntropy:
+    def test_stats_parity(self, mesh8):
+        base = TextEntropyEstimator(model_name="tiny", batch_size=8,
+                                    max_length=128)
+        sharded = TextEntropyEstimator(model_name="tiny", batch_size=8,
+                                       max_length=128, mesh=mesh8)
+        m0, q0, n0 = base.batch_compute_stats(TEXTS)
+        m1, q1, n1 = sharded.batch_compute_stats(TEXTS)
+        np.testing.assert_allclose(m1, m0, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(q1, q0, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(n1, n0, rtol=1e-5, atol=1e-6)
+
+    def test_batch_compute_parity(self, mesh8):
+        base = TextEntropyEstimator(model_name="tiny", batch_size=8,
+                                    max_length=128)
+        sharded = TextEntropyEstimator(model_name="tiny", batch_size=8,
+                                       max_length=128, mesh=mesh8)
+        r0 = base.batch_compute(TEXTS[:4])
+        r1 = sharded.batch_compute(TEXTS[:4])
+        for a, b in zip(r0, r1):
+            assert a.mean_entropy == pytest.approx(b.mean_entropy, rel=1e-5)
+
+
+class TestShardedImageEntropy:
+    def test_stats_parity(self, mesh8, rng):
+        imgs = rng.integers(0, 256, (16, 32, 32, 3)).astype(np.uint8)
+        base = ImageEntropyEstimator(model_name="tiny", batch_size=8)
+        sharded = ImageEntropyEstimator(model_name="tiny", batch_size=8,
+                                        mesh=mesh8)
+        m0, q0 = base.batch_compute_stats(list(imgs))
+        m1, q1 = sharded.batch_compute_stats(list(imgs))
+        np.testing.assert_allclose(m1, m0, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(q1, q0, rtol=1e-4, atol=1e-6)
+
+
+class TestShardedCrossModal:
+    def test_encode_parity(self, mesh8, rng):
+        imgs = rng.integers(0, 256, (8, 32, 32, 3)).astype(np.uint8)
+        base = CrossModalDependency(model_name="tiny", batch_size=8)
+        sharded = CrossModalDependency(model_name="tiny", batch_size=8,
+                                       mesh=mesh8)
+        t0 = base.encode_texts(TEXTS)
+        t1 = sharded.encode_texts(TEXTS)
+        np.testing.assert_allclose(t1, t0, rtol=1e-5, atol=1e-6)
+        v0 = base.encode_images(list(imgs))
+        v1 = sharded.encode_images(list(imgs))
+        np.testing.assert_allclose(v1, v0, rtol=1e-5, atol=1e-6)
+
+
+def _tiny_config() -> DewiConfig:
+    cfg = DewiConfig()
+    cfg.text.model = "tiny"
+    cfg.text.batch_size = 8
+    cfg.text.max_length = 128
+    cfg.image.model = "tiny"
+    cfg.image.batch_size = 8
+    cfg.cross_modal.model = "tiny"
+    cfg.cross_modal.batch_size = 8
+    return cfg
+
+
+class TestShardedPipeline:
+    def test_process_corpus_parity(self, mesh8, rng, monkeypatch):
+        import dewi_tpu.io.device_images as di
+
+        from dewi_tpu.corpus import Corpus
+
+        # Pin both runs to the host decode path: the single-device run
+        # would otherwise use the DeviceImages on-device resize while the
+        # mesh run (which gates device residency off) uses the host resize
+        # — two resize kernels whose ~1e-3 pixel differences are not what
+        # this parity test measures.
+        monkeypatch.setattr(di, "MAX_BYTES", 0)
+        n = 16
+        imgs = rng.integers(0, 256, (n, 32, 32, 3)).astype(np.uint8)
+
+        def build():
+            return Corpus(
+                ids=[f"d{i}" for i in range(n)],
+                texts=[TEXTS[i % len(TEXTS)] for i in range(n)],
+                images=imgs.copy(),
+            )
+
+        c0 = DewiPipeline(_tiny_config()).process_corpus(build())
+        c1 = DewiPipeline(_tiny_config(), mesh=mesh8).process_corpus(build())
+        np.testing.assert_allclose(c1.signals, c0.signals,
+                                   rtol=1e-4, atol=1e-5)
+        # dewi tolerance is looser: a 1e-6 signal delta divided by a small
+        # MAD can move the sigmoid output by ~1e-4 at tiny corpus sizes.
+        np.testing.assert_allclose(c1.dewi, c0.dewi, rtol=1e-3, atol=1e-3)
+
+    def test_config_knob_builds_mesh(self):
+        cfg = _tiny_config()
+        cfg.mesh.data_parallel_signals = True
+        pipe = DewiPipeline(cfg)
+        assert pipe.mesh is not None
+        assert pipe.mesh.shape["data"] == 8
+
+    def test_default_is_meshless(self):
+        assert DewiPipeline(_tiny_config()).mesh is None
