@@ -1,3 +1,4 @@
+from typing import Any, List
 """DEWI-TPU: an entropy-weighted index for text+image corpora, TPU-native.
 
 A from-scratch JAX/XLA/Pallas rebuild of the DEWI system
@@ -43,7 +44,7 @@ _EXPORTS = {
 __all__ = sorted(_EXPORTS) + ["__version__"]
 
 
-def __getattr__(name: str):
+def __getattr__(name: str) -> Any:
     try:
         module_name, attr = _EXPORTS[name]
     except KeyError:
@@ -57,5 +58,5 @@ def __getattr__(name: str):
     return value
 
 
-def __dir__():
+def __dir__() -> List[str]:
     return __all__

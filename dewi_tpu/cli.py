@@ -37,7 +37,7 @@ CONTEXT_SETTINGS = {"help_option_names": ["-h", "--help"], "max_content_width": 
 
 @click.group(context_settings=CONTEXT_SETTINGS)
 @click.version_option(version="0.1.0", prog_name="dewi-tpu")
-def cli():
+def cli() -> None:
     """DEWI-TPU: entropy-weighted index for text+image corpora, TPU-native."""
     # Persistent XLA compile cache: the cold-start compile cost (minutes at
     # 1M-doc scale) is paid once per machine, not once per invocation.
@@ -60,7 +60,7 @@ def cli():
     default="default",
     help="Configuration preset",
 )
-def config(output: Optional[str], overwrite: bool, preset: str):
+def config(output: Optional[str], overwrite: bool, preset: str) -> None:
     """Generate a configuration file (parity: reference cli.py:53-119)."""
     import yaml
 
@@ -335,12 +335,12 @@ def search(
 _QUERY_ENCODERS: Dict[str, Any] = {}  # provenance-keyed cache (eval reuse)
 
 
-def _encode_query_text(query: str, index):
+def _encode_query_text(query: str, index: Any) -> Any:
     """Text -> query embedding via the CLIP text tower (fixes §2.4 item 6)."""
     return _query_encoder_for_index(index).encode_texts([query])[0]
 
 
-def _query_encoder_for_index(index):
+def _query_encoder_for_index(index: Any) -> Any:
     """Reconstruct the query encoder an index's embeddings came from.
 
     Built from the provenance the index recorded at build time (model
@@ -539,7 +539,9 @@ def import_weights(source: str, out_path: str, kind: str) -> None:
 @click.option("--seed", type=int, default=0)
 @click.option("--output", "-o", type=click.Path(),
               help="Write selected doc ids (one per line)")
-def sample_cmd(processed_dir, k, tau, submodular, seed, output):
+def sample_cmd(processed_dir: str, k: int, tau: float,
+               submodular: bool, seed: int,
+               output: Optional[str]) -> None:
     """Select K training docs from a ``dewi-tpu process`` output directory.
 
     Implements the TrainingSamplingConfig capability (p(doc) ∝ DEWI^tau, or
@@ -600,8 +602,9 @@ def sample_cmd(processed_dir, k, tau, submodular, seed, output):
 @click.option("--eta", type=float, default=0.0)
 @click.option("--entropy-pref", type=float, default=0.0)
 @click.option("--output", "-o", type=click.Path(), help="Report JSON path")
-def eval_cmd(index_dir, queries, qrels, config_path, eta, entropy_pref,
-             output):
+def eval_cmd(index_dir: str, queries: str, qrels: str,
+             config_path: Optional[str], eta: float, entropy_pref: float,
+             output: Optional[str]) -> None:
     """Run the EvalConfig metric suite against a saved index.
 
     QUERIES: ``.npz`` with ``query_ids`` + ``embeddings`` arrays (or
@@ -648,7 +651,7 @@ def eval_cmd(index_dir, queries, qrels, config_path, eta, entropy_pref,
 
 
 def create_document(text: Optional[str] = None,
-                    metadata: Optional[Dict] = None):
+                    metadata: Optional[Dict] = None) -> Any:
     """UUID doc factory (parity: reference cli.py:330-333)."""
     from .pipelines import Document
 
@@ -689,7 +692,7 @@ def _load_documents(
             for ext in TEXT_EXTS:
                 files.extend(sorted(p.glob(f"**/*{ext}")))
 
-        def read_one(fp: Path):
+        def read_one(fp: Path) -> str:
             try:
                 content = fp.read_text(encoding="utf-8", errors="replace")
                 return create_document(
@@ -760,7 +763,8 @@ def _load_documents(
     return documents
 
 
-def _as_corpus(documents, texts, images, embeddings):
+def _as_corpus(documents: Any, texts: Any, images: Any,
+               embeddings: Any) -> Any:
     """Columnarize loaded documents for the array-native pipeline paths.
 
     Pure packed-image corpora hand the pipeline the mmap pack itself
@@ -784,7 +788,8 @@ def _as_corpus(documents, texts, images, embeddings):
     return corpus
 
 
-def _save_results(documents, output_dir, batch_size: int = 1000) -> None:
+def _save_results(documents: Any, output_dir: Path,
+                  batch_size: int = 1000) -> None:
     """Write batched JSONL + npz + summary + metadata with timestamped backup
     (artifact-layout parity: reference cli.py:459-661)."""
     import numpy as np

@@ -13,7 +13,7 @@ import copy
 import dataclasses
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import List, Optional, Union
+from typing import Any, List, Optional, Union
 
 import yaml
 
@@ -233,7 +233,7 @@ class DewiConfig:
         """Nested construction with unknown-key filtering (reference
         config.py:104-125)."""
 
-        def create(klass, d):
+        def create(klass: type, d: dict) -> Any:
             if d is None:
                 return klass()
             names = {f.name for f in dataclasses.fields(klass) if f.init}
@@ -264,7 +264,7 @@ class DewiConfig:
         return cls(**out)
 
     def to_dict(self) -> dict:
-        def conv(obj):
+        def conv(obj: Any) -> Any:
             if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
                 return {k: conv(v) for k, v in vars(obj).items()}
             if isinstance(obj, (list, tuple)):

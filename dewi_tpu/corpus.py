@@ -30,7 +30,7 @@ from .types import SIGNAL_FIELDS
 COL = {name: i for i, name in enumerate(SIGNAL_FIELDS)}
 
 
-def _image_at(images: Any, i: int):
+def _image_at(images: Any, i: int) -> Any:
     """Per-doc image source from any supported ``images`` container."""
     if images is None:
         return None

@@ -11,7 +11,7 @@ report dict — including the recall-vs-exact sweep used for ANN acceptance
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
 
@@ -26,7 +26,7 @@ from .metrics import (
 
 
 def evaluate_index(
-    index,
+    index: Any,
     queries: np.ndarray,
     ground_truth: Dict[str, Sequence[str]],
     query_ids: Optional[Sequence[str]] = None,
@@ -81,8 +81,8 @@ def evaluate_index(
 
 
 def recall_vs_exact(
-    ann_index,
-    exact_index,
+    ann_index: Any,
+    exact_index: Any,
     queries: np.ndarray,
     k: int = 10,
     eta: float = 0.0,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import List, Optional, Tuple, Union
+from typing import Any, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -25,7 +25,8 @@ PathLike = Union[str, Path]
 class BaseIndex:
     """Base class for TPU index implementations (parity: backends.py:54-163)."""
 
-    def __init__(self, dim: int, space: str = "cosine", **kwargs):
+    def __init__(self, dim: int, space: str = "cosine",
+                 **kwargs: Any) -> None:
         self.dim = int(dim)
         self.space = space
         self.store = DocStore(dim, space, **_store_kwargs(kwargs))
@@ -44,10 +45,11 @@ class BaseIndex:
     def add(self, doc_id: str, embedding: np.ndarray, payload: Payload) -> None:
         self.store.add(doc_id, embedding, payload)
 
-    def add_batch(self, doc_ids, embeddings, payloads) -> None:
+    def add_batch(self, doc_ids: Sequence[str], embeddings: np.ndarray,
+                  payloads: np.ndarray) -> None:
         self.store.add_batch(doc_ids, embeddings, payloads)
 
-    def build(self, **kwargs) -> None:
+    def build(self, **kwargs: Any) -> None:
         raise NotImplementedError
 
     def search(
@@ -99,7 +101,7 @@ class BaseIndex:
             np.save(path / "embeddings.npy", self.store.embedding_matrix())
 
     @classmethod
-    def load(cls, path: PathLike, **kwargs) -> "BaseIndex":
+    def load(cls, path: PathLike, **kwargs: Any) -> "BaseIndex":
         path = Path(path)
         with open(path / "metadata.json") as f:
             metadata = json.load(f)

@@ -10,7 +10,7 @@ re-rank is exact over every document, not just a 2k over-fetch.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,7 @@ class ExactIndex(BaseIndex):
 
     def __init__(self, dim: int, space: str = "cosine",
                  use_pallas: bool = True, blockmax_select: bool = True,
-                 fused_bmax: bool = False, **kwargs):
+                 fused_bmax: bool = False, **kwargs: Any) -> None:
         super().__init__(dim, space, **kwargs)
         self.use_pallas = bool(use_pallas)
         # Hierarchical block-max selection over the FINAL adjusted scores —
@@ -106,7 +106,7 @@ class ExactIndex(BaseIndex):
             and bmax_kernel_supported(False)
         )
 
-    def build(self, **kwargs) -> None:
+    def build(self, **kwargs: Any) -> None:
         if len(self.store) == 0:
             raise ValueError("No embeddings to build index from")
         self.store.device_arrays()  # sync + normalize on device

@@ -19,7 +19,7 @@ import json
 import logging
 from enum import Enum
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple, Union
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -87,7 +87,7 @@ class DewiIndex:
         rerank_eta: float = 0.25,
         entropy_pref: float = 0.0,
         **kwargs: Any,
-    ):
+    ) -> None:
         self.dim = int(dim)
         self.space = space
         self._meta: Dict[str, Dict[str, Any]] = {}
@@ -130,7 +130,8 @@ class DewiIndex:
         self._backend.add(doc_id, np.asarray(embedding, dtype=np.float32), payload)
         self._built = False
 
-    def add_batch(self, doc_ids, embeddings, payloads) -> None:
+    def add_batch(self, doc_ids: Sequence[str], embeddings: np.ndarray,
+                  payloads: np.ndarray) -> None:
         """Bulk ingest (device-native path; no reference counterpart)."""
         self._backend.add_batch(doc_ids, embeddings, payloads)
         self._built = False
@@ -139,7 +140,7 @@ class DewiIndex:
         self._backend.build()
         self._built = True
 
-    def set_dewi_scores(self, scores) -> None:
+    def set_dewi_scores(self, scores: np.ndarray) -> None:
         """Write freshly computed DEWI scores into every payload (column 0).
 
         The bulk re-score path: fit+score the corpus with
@@ -174,7 +175,7 @@ class DewiIndex:
         k: int = 10,
         eta: Optional[float] = None,
         entropy_pref: Optional[float] = None,
-    ):
+    ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched device search: [Q, D] -> ([Q, k] scores, [Q, k] row indices)."""
         if not self._built:
             self.build()

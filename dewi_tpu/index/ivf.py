@@ -18,7 +18,7 @@ classic IVF semantics with nprobe as the recall/latency dial.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,7 +77,8 @@ def _ivf_search_kernel(
     qe = q.astype(b_emb.dtype)  # match bucket storage (bf16 halves HBM reads)
     qn = jnp.sum(q * q, axis=-1)
 
-    def _scores_from(ps, pp, pv, dots):
+    def _scores_from(ps: jax.Array, pp: jax.Array, pv: jax.Array,
+                     dots: jax.Array) -> jax.Array:
         if normalize:
             sim = dots
         else:
@@ -99,7 +100,7 @@ def _ivf_search_kernel(
         # accumulation — scores match "gather" up to reduction order
         # (different einsum tilings), which cannot reorder top-k ids
         # beyond genuine FP ties.
-        def step(_, pj):                       # pj: [Q] bucket ids
+        def step(_: Any, pj: jax.Array) -> Any:   # pj: [Q] bucket ids
             pe = b_emb[pj]                     # [Q, cap, D]
             dots = jnp.einsum(
                 "qd,qcd->qc", qe, pe, preferred_element_type=jnp.float32
@@ -195,8 +196,8 @@ def _ivf_materialize(
     nlist: int,
     cap: int,
     o_cap: int,
-    emb_dtype=jnp.float32,
-):
+    emb_dtype: Any = jnp.float32,
+) -> Tuple[jax.Array, ...]:
     """Scatter the planned layout into fixed-shape bucket + overflow arrays,
     all on device (scatters route rejected docs to a trash row/slot that is
     sliced away)."""
@@ -252,8 +253,8 @@ class IVFIndex(BaseIndex):
         seed: int = 0,
         probe_dtype: str = "float32",
         probe_impl: str = "auto",
-        **kwargs,
-    ):
+        **kwargs: Any,
+    ) -> None:
         super().__init__(dim, space, **kwargs)
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
@@ -318,7 +319,7 @@ class IVFIndex(BaseIndex):
 
     # -- build -------------------------------------------------------------
 
-    def build(self, **kwargs) -> None:
+    def build(self, **kwargs: Any) -> None:
         """Bucketize the corpus entirely on device.
 
         k-means, cluster assignment, stable sort, per-cluster ranking, the

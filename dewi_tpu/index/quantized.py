@@ -10,7 +10,7 @@ recall/latency dial (analogous to FAISS nprobe / hnsw ef_query).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,8 +34,8 @@ class QuantizedIndex(BaseIndex):
         int8_queries: bool = False,
         bf16_scores: bool = False,
         blockmax_select: bool = True,
-        **kwargs,
-    ):
+        **kwargs: Any,
+    ) -> None:
         super().__init__(dim, space, **kwargs)
         self.refine_factor = max(1, int(refine_factor))
         # approx stage-1 candidate selection (lax.approx_max_k): ~1.7x faster
@@ -101,23 +101,46 @@ class QuantizedIndex(BaseIndex):
             ok = s8_kernel_supported()
         return ok
 
-    def _fused_bmax_ok(self, n_queries: int) -> bool:
-        """Gate the fused stage-1+blockmax kernel (no [Q, cap] scores in HBM).
+    def _fused_bmax_block(self, n_queries: int) -> int:
+        """Stream-block size for the fused stage-1+blockmax kernel, or 0.
 
-        Requires the blockmax tier to be active for this dispatch, the
-        Pallas stage-1 conditions, capacity alignment to the kernel's
-        lane-aligned stream block, and a one-time Mosaic compile probe."""
-        from ..ops.pallas_search import BMAX_BLOCK, bmax_kernel_supported
-
-        return (
-            self.blockmax_select
-            and n_queries <= 32
-            and self._pallas_stage1_ok(n_queries)
-            and self.store.capacity % BMAX_BLOCK == 0
-            and bmax_kernel_supported(self.int8_queries)
+        The kernel's VMEM budget is the [Q, block] f32 accumulator plus the
+        double-buffered [block, D] int8 in-tiles; large batches shrink the
+        stream block (power-of-two multiples of the 128-lane sub-block, so
+        any power-of-two capacity stays divisible) to keep the accumulator
+        ~<= 2 MB.  Returns 0 when fusion cannot engage (blockmax off,
+        Pallas unavailable, capacity misaligned, Mosaic probe failed)."""
+        from ..ops.pallas_search import (
+            BLOCK_SUB_ALIGN,
+            BMAX_BLOCK,
+            bmax_kernel_supported,
+            pallas_available,
+            s8_kernel_supported,
         )
 
-    def build(self, **kwargs) -> None:
+        cap = self.store.capacity
+        if not (
+            self.blockmax_select
+            and self.use_pallas
+            and pallas_available()
+            and (not self.int8_queries or s8_kernel_supported())
+        ):
+            return 0
+        budget_rows = max(1, (2 << 20) // (4 * max(1, n_queries)))
+        # Transposed (corpus-major) kernel lower bound: (block/128) % 8.
+        min_block = 8 * BLOCK_SUB_ALIGN
+        block = min_block
+        while block * 2 <= min(BMAX_BLOCK, budget_rows):
+            block *= 2
+        if block > budget_rows or cap % block or cap < 4 * block:
+            return 0
+        transposed = (block // BLOCK_SUB_ALIGN) % BLOCK_SUB_ALIGN != 0 \
+            and block != cap
+        if not bmax_kernel_supported(self.int8_queries, transposed):
+            return 0
+        return block
+
+    def build(self, **kwargs: Any) -> None:
         if len(self.store) == 0:
             raise ValueError("No embeddings to build index from")
         emb, _, _, _ = self.store.device_arrays()
@@ -143,6 +166,13 @@ class QuantizedIndex(BaseIndex):
         cap = self.store.capacity
         k_eff = min(int(k), cap)
         m = min(max(k_eff * self.refine_factor, 32), cap)
+        nq = int(q.shape[0])
+        # Fused stage-1+blockmax: engaged at EVERY batch size when the
+        # probe passes — large batches shrink the kernel's stream block
+        # (VMEM accumulator budget) and quantized_search recomputes the
+        # winning blocks' stage-1 scores from gathered int8 rows instead
+        # of ever materializing [Q, cap] (the round-3 large-batch path).
+        fused_block = self._fused_bmax_block(nq)
         return quantized_search(
             self._q_emb,
             self._q_scales,
@@ -157,14 +187,17 @@ class QuantizedIndex(BaseIndex):
             m=m,
             normalize=self.store.normalize,
             approx_select=self.approx_select,
-            pallas_stage1=self._pallas_stage1_ok(int(q.shape[0])),
+            pallas_stage1=(
+                bool(fused_block) or self._pallas_stage1_ok(nq)
+            ),
+            pallas_block=fused_block,
             int8_queries=self.int8_queries,
             bf16_scores=self.bf16_scores,
             # No Q gate: above BLOCKMAX_REFINE_MAX_Q quantized_search
             # switches to the score-gather refine internally (flat-path
             # refine traffic, selection still exact w.r.t. stage-1).
             blockmax_select=self.blockmax_select,
-            fused_bmax=self._fused_bmax_ok(int(q.shape[0])),
+            fused_bmax=bool(fused_block),
         )
 
     def search(

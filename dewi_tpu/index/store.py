@@ -20,7 +20,7 @@ payload matrix on the next device sync, so that flow keeps working.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -46,9 +46,9 @@ class DocStore:
         dim: int,
         space: str = "cosine",
         capacity: int = MIN_CAPACITY,
-        dtype=jnp.float32,
+        dtype: Any = jnp.float32,
         sharding: Optional[jax.sharding.Sharding] = None,
-    ):
+    ) -> None:
         if space not in ("cosine", "l2"):
             raise ValueError(f"space must be 'cosine' or 'l2', got {space!r}")
         self.dim = int(dim)
@@ -73,11 +73,11 @@ class DocStore:
         self._pending_pay: List[np.ndarray] = []
 
     @property
-    def sharding(self):
+    def sharding(self) -> Optional[jax.sharding.Sharding]:
         return self._sharding
 
     @sharding.setter
-    def sharding(self, value) -> None:
+    def sharding(self, value: Optional[jax.sharding.Sharding]) -> None:
         """Changing placement invalidates cached device arrays (they must be
         re-placed under the new sharding on the next sync)."""
         if value is not self._sharding:
@@ -347,7 +347,7 @@ class DocStore:
                 self._pay[idx] = row
                 self._dirty = True
 
-    def device_arrays(self):
+    def device_arrays(self) -> Any:
         """Return (embeddings, sqnorms, payloads, n_valid) device arrays.
 
         Embeddings are L2-normalized rows for cosine space (normalization is

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Optional
+from typing import Any, Optional
 
 import numpy as np
 
@@ -40,7 +40,7 @@ class DeviceImages:
     passes floats through, so both dtypes feed the towers unchanged).
     """
 
-    def __init__(self, images) -> None:
+    def __init__(self, images: Any) -> None:
         import jax
 
         self.shape = tuple(images.shape)
@@ -58,27 +58,27 @@ class DeviceImages:
     def __len__(self) -> int:
         return self.shape[0]
 
-    def gather(self, idx) -> "DeviceImages":
+    def gather(self, idx: Any) -> "DeviceImages":
         """Device-side row gather (no host round trip)."""
         import jax.numpy as jnp
 
         return DeviceImages(self.base[jnp.asarray(np.asarray(idx))])
 
-    def rows_at(self, lo: int, hi: int, size: int):
+    def rows_at(self, lo: int, hi: int, size: int) -> jax.Array:
         chunk = self.base[lo:hi]
         if (self.shape[1], self.shape[2]) == (size, size):
             return chunk
         return _resize_batch(chunk, size=size)
 
 
-def _build_resize():
+def _build_resize() -> Any:
     import jax
     import jax.numpy as jnp
 
     from ..ops.image_noise import _resize_matrix
 
     @partial(jax.jit, static_argnames=("size",))
-    def fn(chunk, size: int):
+    def fn(chunk: jax.Array, size: int) -> jax.Array:
         h, w = chunk.shape[1], chunk.shape[2]
         x = chunk.astype(jnp.float32)
         if chunk.dtype == jnp.uint8:
@@ -94,7 +94,7 @@ def _build_resize():
 _RESIZE_CACHE = None
 
 
-def _resize_batch(chunk, size: int):
+def _resize_batch(chunk: jax.Array, size: int) -> jax.Array:
     """Jitted ``[B, H, W, 3]`` -> f32 ``[B, size, size, 3]`` in [0,1]
     (bilinear, half-pixel centers — the resize_f32 weights on the MXU)."""
     global _RESIZE_CACHE
@@ -103,7 +103,7 @@ def _resize_batch(chunk, size: int):
     return _RESIZE_CACHE(chunk, size=size)
 
 
-def device_images_or_none(images) -> Optional[DeviceImages]:
+def device_images_or_none(images: Any) -> Optional[DeviceImages]:
     """Wrap a uniform uint8 ndarray corpus for device residency, or None.
 
     None (-> caller keeps the host path) when: not a 4D uint8 ndarray,

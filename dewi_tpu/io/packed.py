@@ -30,7 +30,7 @@ import json
 import logging
 import os
 from pathlib import Path
-from typing import Callable, List, Optional, Sequence, Union
+from typing import Any, Callable, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -45,7 +45,7 @@ def _sidecar_path(pack_path: Union[str, Path]) -> Path:
     return Path(str(pack_path) + ".json")
 
 
-def _decode_one(args) -> np.ndarray:
+def _decode_one(args: Any) -> np.ndarray:
     """Module-level worker so process pools can pickle it."""
     src, size = args
     return decode_image_uint8(src, size)
@@ -198,7 +198,7 @@ class PackedImages:
     def __len__(self) -> int:
         return int(self.data.shape[0])
 
-    def __getitem__(self, i) -> np.ndarray:
+    def __getitem__(self, i: Any) -> np.ndarray:
         return self.data[i]
 
     # Downscale requests above this many rows return a lazy view instead of
@@ -207,7 +207,7 @@ class PackedImages:
     # batch-by-batch, not pre-allocate gigabytes of host RAM.
     MATERIALIZE_ROWS = 8192
 
-    def rows(self, idx_list: Sequence[int], size: int):
+    def rows(self, idx_list: Sequence[int], size: int) -> np.ndarray:
         """Uint8 batch for ``idx_list`` at ``size``.
 
         Contiguous full-range requests return the mapping itself (zero
@@ -279,7 +279,7 @@ class _ResizedRows:
     def __len__(self) -> int:
         return int(self._idx.size)
 
-    def __getitem__(self, j):
+    def __getitem__(self, j: Any) -> Any:
         if isinstance(j, (int, np.integer)):
             return resize_uint8(self._data[self._idx[j]], self._size)
         sub = self._idx[j]  # slice/array: one materialized sub-batch
@@ -288,7 +288,7 @@ class _ResizedRows:
             out[p] = resize_uint8(self._data[i], self._size)
         return out
 
-    def __iter__(self):
+    def __iter__(self) -> Any:
         for j in range(len(self)):
             yield self[j]
 

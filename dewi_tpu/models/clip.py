@@ -9,6 +9,8 @@ plain MXU matmuls on the caller side.
 
 from __future__ import annotations
 
+from typing import Any
+
 import dataclasses
 
 import jax.numpy as jnp
@@ -133,20 +135,22 @@ class CLIPDualEncoder(nn.Module):
 
     cfg: CLIPConfig
 
-    def setup(self):
+    def setup(self) -> None:
         self.text_tower = CLIPTextTower(self.cfg)
         self.image_tower = CLIPImageTower(self.cfg)
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(jnp.log(1 / 0.07)), ()
         )
 
-    def encode_text(self, ids, pad_mask):
+    def encode_text(self, ids: jnp.ndarray,
+                    pad_mask: jnp.ndarray) -> jnp.ndarray:
         return self.text_tower(ids, pad_mask)
 
-    def encode_image(self, images):
+    def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
         return self.image_tower(images)
 
-    def __call__(self, ids, pad_mask, images):
+    def __call__(self, ids: jnp.ndarray, pad_mask: jnp.ndarray,
+                 images: jnp.ndarray) -> Any:
         t = self.encode_text(ids, pad_mask)
         v = self.encode_image(images)
         return t, v, self.logit_scale

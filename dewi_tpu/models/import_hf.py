@@ -25,7 +25,7 @@ Everything here is host-side, one-time conversion work — no jit, no TPU.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 
@@ -34,7 +34,7 @@ from .mae import MAEConfig
 from .transformer import TransformerConfig
 
 
-def _to_numpy_state(model_or_state) -> Dict[str, np.ndarray]:
+def _to_numpy_state(model_or_state: Any) -> Dict[str, np.ndarray]:
     """torch module / state_dict -> {name: float32 ndarray}."""
     if hasattr(model_or_state, "state_dict"):
         state = model_or_state.state_dict()
@@ -54,13 +54,15 @@ def _split_heads(w: np.ndarray, n_heads: int) -> np.ndarray:
     return w.reshape(d_in, n_heads, d_out // n_heads)
 
 
-def _attn_params(q_w, k_w, v_w, o_w, q_b, k_b, v_b, o_b, n_heads: int) -> dict:
+def _attn_params(q_w: np.ndarray, k_w: np.ndarray, v_w: np.ndarray,
+                 o_w: np.ndarray, q_b: np.ndarray, k_b: np.ndarray,
+                 v_b: np.ndarray, o_b: np.ndarray, n_heads: int) -> dict:
     """Build flax ``nn.MultiHeadDotProductAttention`` params from per-head
     projection kernels ``[d, d]`` (flax orientation: kernel[in, out])."""
     d = q_w.shape[0]
     hd = d // n_heads
 
-    def qkv(w, b):
+    def qkv(w: np.ndarray, b: np.ndarray) -> Any:
         return {"kernel": _split_heads(w, n_heads),
                 "bias": b.reshape(n_heads, hd)}
 
@@ -72,11 +74,11 @@ def _attn_params(q_w, k_w, v_w, o_w, q_b, k_b, v_b, o_b, n_heads: int) -> dict:
     }
 
 
-def _ln(state, prefix: str) -> dict:
+def _ln(state: Dict[str, np.ndarray], prefix: str) -> dict:
     return {"scale": state[f"{prefix}.weight"], "bias": state[f"{prefix}.bias"]}
 
 
-def _linear(state, prefix: str) -> dict:
+def _linear(state: Dict[str, np.ndarray], prefix: str) -> dict:
     """torch nn.Linear (weight [out, in]) -> flax Dense (kernel [in, out])."""
     p = {"kernel": state[f"{prefix}.weight"].T}
     if f"{prefix}.bias" in state:
@@ -97,7 +99,8 @@ def _conv_patch_embed(weight: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def import_gpt2(model_or_state, hf_config=None) -> Tuple[TransformerConfig, dict]:
+def import_gpt2(model_or_state: Any,
+                hf_config: Any = None) -> Tuple[TransformerConfig, dict]:
     """Map an HF ``GPT2LMHeadModel`` onto :class:`~.lm.CausalLM`.
 
     Returns ``(TransformerConfig, params)`` such that
@@ -172,7 +175,8 @@ def import_gpt2(model_or_state, hf_config=None) -> Tuple[TransformerConfig, dict
 # ---------------------------------------------------------------------------
 
 
-def import_clip(model_or_state, hf_config=None) -> Tuple[CLIPConfig, dict]:
+def import_clip(model_or_state: Any,
+                hf_config: Any = None) -> Tuple[CLIPConfig, dict]:
     """Map an HF ``CLIPModel`` onto :class:`~.clip.CLIPDualEncoder`.
 
     Returns ``(CLIPConfig, params)`` reproducing HF's text/image embeddings
@@ -285,7 +289,8 @@ def import_clip(model_or_state, hf_config=None) -> Tuple[CLIPConfig, dict]:
 # ---------------------------------------------------------------------------
 
 
-def import_vit_mae(model_or_state, hf_config=None) -> Tuple[MAEConfig, dict]:
+def import_vit_mae(model_or_state: Any,
+                   hf_config: Any = None) -> Tuple[MAEConfig, dict]:
     """Map an HF ``ViTMAEForPreTraining`` onto :class:`~.mae.ViTMAE`.
 
     Returns ``(MAEConfig, params)`` reproducing HF's per-patch reconstruction
@@ -403,7 +408,7 @@ def convert_pretrained(name_or_path: str, kind: str, out_path: str) -> dict:
             "config": cfg.__class__.__name__, "sidecar": str(sidecar)}
 
 
-def write_sidecar_config(out_path, kind: str, cfg) -> "Path":
+def write_sidecar_config(out_path: Any, kind: str, cfg: Any) -> "Path":
     """Write ``<checkpoint>.config.json`` describing the exact architecture.
 
     Estimators consult this sidecar when given ``checkpoint=`` so imported
@@ -421,7 +426,7 @@ def write_sidecar_config(out_path, kind: str, cfg) -> "Path":
     return sidecar
 
 
-def sidecar_config(checkpoint) -> dict | None:
+def sidecar_config(checkpoint: Any) -> dict | None:
     """Read the sidecar written by :func:`write_sidecar_config`, if any."""
     import json
     from pathlib import Path

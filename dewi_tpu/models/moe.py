@@ -25,7 +25,7 @@ TPU-native design choices:
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -127,8 +127,9 @@ class MoEBlock(nn.Module):
     capacity_factor: float = 1.25
 
     @nn.compact
-    def __call__(self, x, attn_mask: Optional[jnp.ndarray] = None,
-                 pad_mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x: jnp.ndarray,
+                 attn_mask: Optional[jnp.ndarray] = None,
+                 pad_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.cfg
         dt = cfg.compute_dtype
         h = nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps,
@@ -169,7 +170,7 @@ class MoECausalLM(nn.Module):
         return logits
 
 
-def load_balance_loss(mutables) -> jnp.ndarray:
+def load_balance_loss(mutables: Any) -> jnp.ndarray:
     """Sum the sown per-layer Switch aux losses from ``mutable=['aux_loss']``."""
     leaves = jax.tree.leaves(mutables.get("aux_loss", {}))
     if not leaves:
@@ -177,14 +178,15 @@ def load_balance_loss(mutables) -> jnp.ndarray:
     return sum(jnp.sum(l) for l in leaves) / len(leaves)
 
 
-def shard_expert_params(params, mesh, axis: str = "model"):
+def shard_expert_params(params: Any, mesh: Any,
+                        axis: str = "model") -> Any:
     """Shard every stacked expert leaf's leading ``[E, ...]`` axis over
     ``axis`` (expert parallelism); everything else is replicated."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = mesh.shape[axis]
 
-    def place(path, leaf):
+    def place(path: Any, leaf: Any) -> Any:
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         is_expert = any(str(k) in ("w_in", "w_out", "b_in", "b_out")
                         for k in names)

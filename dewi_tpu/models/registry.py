@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 from pathlib import Path
-from typing import Optional, Union
+from typing import Any, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -85,19 +85,21 @@ def _preset(table: dict, name: str, kind: str) -> dict:
     return dict(table[name])
 
 
-def lm_config(name: str = "small", vocab_size: int = 258, **over) -> TransformerConfig:
+def lm_config(name: str = "small", vocab_size: int = 258,
+              **over: Any) -> TransformerConfig:
     kw = _preset(LM_PRESETS, name, "LM")
     kw.update(over)
     return TransformerConfig(vocab_size=vocab_size, causal=True, **kw)
 
 
-def mae_config(name: str = "small", **over) -> MAEConfig:
+def mae_config(name: str = "small", **over: Any) -> MAEConfig:
     kw = _preset(MAE_PRESETS, name, "MAE")
     kw.update(over)
     return MAEConfig(**kw)
 
 
-def clip_config(name: str = "small", vocab_size: int = 258, **over) -> CLIPConfig:
+def clip_config(name: str = "small", vocab_size: int = 258,
+                **over: Any) -> CLIPConfig:
     kw = _preset(CLIP_PRESETS, name, "CLIP")
     kw.update(over)
     return CLIPConfig(vocab_size=vocab_size, **kw)
@@ -108,7 +110,7 @@ def clip_config(name: str = "small", vocab_size: int = 258, **over) -> CLIPConfi
 # ---------------------------------------------------------------------------
 
 
-def _host_init(init_fn):
+def _host_init(init_fn: Any) -> Any:
     """Run a Flax ``init`` on the host CPU backend, then move the params to
     the default accelerator.
 
@@ -127,7 +129,7 @@ def _host_init(init_fn):
     return _to_default_device(params)
 
 
-def _to_default_device(params):
+def _to_default_device(params: Any) -> Any:
     """Move a param pytree to the default backend's first device (no-op cost
     when already there; uncommitted numpy/CPU trees would otherwise be
     shipped host->device on every dispatch)."""
@@ -137,7 +139,7 @@ def _to_default_device(params):
     return jax.device_put(params, dev)
 
 
-def init_lm(cfg: TransformerConfig, seed: int = 0):
+def init_lm(cfg: TransformerConfig, seed: int = 0) -> Any:
     model = CausalLM(cfg)
     ids = jnp.zeros((1, min(8, cfg.max_len)), dtype=jnp.int32)
     mask = jnp.ones_like(ids, dtype=jnp.float32)
@@ -147,7 +149,7 @@ def init_lm(cfg: TransformerConfig, seed: int = 0):
     return model, params
 
 
-def init_mae(cfg: MAEConfig, seed: int = 0):
+def init_mae(cfg: MAEConfig, seed: int = 0) -> Any:
     model = ViTMAE(cfg)
     img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), dtype=jnp.float32)
     params = _host_init(
@@ -156,7 +158,7 @@ def init_mae(cfg: MAEConfig, seed: int = 0):
     return model, params
 
 
-def init_clip(cfg: CLIPConfig, seed: int = 0):
+def init_clip(cfg: CLIPConfig, seed: int = 0) -> Any:
     model = CLIPDualEncoder(cfg)
     ids = jnp.zeros((1, cfg.text_len), dtype=jnp.int32)
     mask = jnp.ones_like(ids, dtype=jnp.float32)
@@ -167,7 +169,7 @@ def init_clip(cfg: CLIPConfig, seed: int = 0):
     return model, params
 
 
-def save_params(params, path: PathLike) -> None:
+def save_params(params: Any, path: PathLike) -> None:
     """Write a param pytree checkpoint.
 
     Paths ending in ``/`` or with no suffix use orbax (sharded, async-safe —
@@ -185,7 +187,7 @@ def save_params(params, path: PathLike) -> None:
     path.write_bytes(serialization.to_bytes(params))
 
 
-def load_params(template, path: PathLike):
+def load_params(template: Any, path: PathLike) -> Any:
     """Read a checkpoint into the structure of ``template`` (orbax dirs or
     msgpack files — see :func:`save_params`)."""
     path = Path(path)
@@ -201,7 +203,7 @@ def _is_orbax_path(path: Path) -> bool:
     return path.suffix == "" or str(path).endswith("/")
 
 
-def maybe_load(params, checkpoint: Optional[PathLike]):
+def maybe_load(params: Any, checkpoint: Optional[PathLike]) -> Any:
     if checkpoint is None:
         return params
     # Restored trees are host numpy arrays; pin them to the accelerator so
@@ -209,7 +211,7 @@ def maybe_load(params, checkpoint: Optional[PathLike]):
     return _to_default_device(load_params(params, checkpoint))
 
 
-def param_count(params) -> int:
+def param_count(params: Any) -> int:
     return int(sum(math.prod(np.shape(x)) for x in jax.tree.leaves(params)))
 
 

@@ -11,7 +11,7 @@ lengths (estimators bucket/pad batches so jit traces stay cached).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -35,11 +35,11 @@ class TransformerConfig:
     activation: str = "gelu"  # "gelu" (tanh approx) | "gelu_exact" | "quick_gelu"
 
     @property
-    def compute_dtype(self):
+    def compute_dtype(self) -> Any:
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
 
-def activation_fn(name: str):
+def activation_fn(name: str) -> Any:
     if name == "gelu":
         return nn.gelu  # tanh approximation (GPT-2's gelu_new)
     if name == "gelu_exact":
@@ -53,7 +53,7 @@ class MLP(nn.Module):
     cfg: TransformerConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dt = self.cfg.compute_dtype
         x = nn.Dense(self.cfg.d_ff, dtype=dt, name="fc_in")(x)
         x = activation_fn(self.cfg.activation)(x)
@@ -66,7 +66,8 @@ class Block(nn.Module):
     cfg: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, attn_mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x: jnp.ndarray,
+                 attn_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.cfg
         dt = cfg.compute_dtype
         h = nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps,
@@ -102,7 +103,8 @@ class Encoder(nn.Module):
     cfg: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, pad_mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x: jnp.ndarray,
+                 pad_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.cfg
         attn_mask = None
         if pad_mask is not None or cfg.causal:

@@ -18,7 +18,7 @@ import logging
 import os
 import subprocess
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -115,7 +115,7 @@ _KEYS_CSV = ",".join(PAYLOAD_FIELDS).encode()
 
 
 def write_payloads_jsonl(
-    path, doc_ids: Sequence[str], matrix: np.ndarray
+    path: Any, doc_ids: Sequence[str], matrix: np.ndarray
 ) -> None:
     """Write ``{"doc_id": ..., "payload": {...}}`` lines (native when possible)."""
     matrix = np.ascontiguousarray(matrix, dtype=np.float32)
@@ -143,7 +143,7 @@ def write_payloads_jsonl(
             )
 
 
-def read_payloads_jsonl(path) -> Tuple[List[str], np.ndarray]:
+def read_payloads_jsonl(path: Any) -> Tuple[List[str], np.ndarray]:
     """Read back (doc_ids, [N, 8] matrix); tolerant of missing/extra keys."""
     path = Path(path)
     lib = _load()

@@ -8,6 +8,8 @@ static shapes — no host round trips between iterations.
 
 from __future__ import annotations
 
+from typing import Any
+
 from functools import partial
 
 import jax
@@ -33,7 +35,7 @@ def assign_clusters(x: jax.Array, centroids: jax.Array, chunk: int = ASSIGN_CHUN
     xp = _pad_rows(x.astype(jnp.float32), chunk)
     blocks = xp.reshape(-1, chunk, x.shape[1])
 
-    def block_assign(xb):
+    def block_assign(xb: jax.Array) -> jax.Array:
         # argmin ||x - c||^2 == argmin (|c|^2 - 2 x.c); |x|^2 is constant per row.
         d = cn[None, :] - 2.0 * jnp.dot(xb, centroids.T, preferred_element_type=jnp.float32)
         return jnp.argmin(d, axis=1).astype(jnp.int32)
@@ -67,7 +69,7 @@ def kmeans(
 
     ones = jnp.ones((n, 1), jnp.float32)
 
-    def step(cent, _):
+    def step(cent: jax.Array, _: Any) -> Any:
         a = assign_clusters(x, cent, chunk=chunk)
         sums = jax.ops.segment_sum(x, a, num_segments=n_clusters)
         counts = jax.ops.segment_sum(ones, a, num_segments=n_clusters)

@@ -22,6 +22,8 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
 
 from __future__ import annotations
 
+from typing import Any
+
 import functools
 
 import jax
@@ -41,7 +43,8 @@ NEG_INF = -3.4e38  # plain float: jnp scalars would be captured tracers
 BLOCK = 1024
 
 
-def _topk_via_max(adj: jax.Array, base_idx: jax.Array, k: int):
+def _topk_via_max(adj: jax.Array, base_idx: jax.Array,
+                  k: int) -> Any:
     """Top-k of ``adj [Q, B]`` by k unrolled rounds of max+mask.
 
     ``base_idx [Q, B]`` carries the global row index of each column.
@@ -65,24 +68,24 @@ def _topk_via_max(adj: jax.Array, base_idx: jax.Array, k: int):
 
 
 def _search_kernel(
-    n_valid_ref,      # SMEM [1, 1] int32
-    eta_ref,          # SMEM [1, 1] f32
-    ep_ref,           # SMEM [1, 1] f32
-    q_ref,            # VMEM [Q, D] (whole array each step)
-    emb_ref,          # VMEM [BLOCK, D] tile
-    pay_ref,          # VMEM [BLOCK, 8] tile
-    out_scores_ref,   # VMEM [Q, k]
-    out_idx_ref,      # VMEM [Q, k]
-    run_scores,       # scratch VMEM [Q, k]
-    run_idx,          # scratch VMEM [Q, k]
+    n_valid_ref: Any,      # SMEM [1, 1] int32
+    eta_ref: Any,          # SMEM [1, 1] f32
+    ep_ref: Any,           # SMEM [1, 1] f32
+    q_ref: Any,            # VMEM [Q, D] (whole array each step)
+    emb_ref: Any,          # VMEM [BLOCK, D] tile
+    pay_ref: Any,          # VMEM [BLOCK, 8] tile
+    out_scores_ref: Any,   # VMEM [Q, k]
+    out_idx_ref: Any,      # VMEM [Q, k]
+    run_scores: Any,       # scratch VMEM [Q, k]
+    run_idx: Any,          # scratch VMEM [Q, k]
     *,
     k: int,
-):
+) -> None:
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
     @pl.when(step == 0)
-    def _init():
+    def _init() -> None:
         run_scores[:] = jnp.full_like(run_scores, NEG_INF)
         run_idx[:] = jnp.zeros_like(run_idx)
 
@@ -117,7 +120,7 @@ def _search_kernel(
     run_idx[:] = m_idx
 
     @pl.when(step == n_steps - 1)
-    def _emit():
+    def _emit() -> None:
         out_scores_ref[:] = run_scores[:]
         out_idx_ref[:] = run_idx[:]
 
@@ -176,27 +179,27 @@ def pallas_fused_search(
 
 
 def _int8_search_kernel(
-    n_valid_ref,      # SMEM [1, 1] int32
-    eta_ref,          # SMEM [1, 1] f32
-    ep_ref,           # SMEM [1, 1] f32
-    q_ref,            # VMEM [Q, D] bf16 (whole array each step)
-    emb_ref,          # VMEM [BLOCK, D] int8 tile
-    scale_ref,        # VMEM [BLOCK] f32 tile (as [BLOCK, 1])
-    pay_ref,          # VMEM [BLOCK, 8] tile
-    out_scores_ref,   # VMEM [Q, k]
-    out_idx_ref,      # VMEM [Q, k]
-    run_scores,       # scratch VMEM [Q, k]
-    run_idx,          # scratch VMEM [Q, k]
+    n_valid_ref: Any,      # SMEM [1, 1] int32
+    eta_ref: Any,          # SMEM [1, 1] f32
+    ep_ref: Any,           # SMEM [1, 1] f32
+    q_ref: Any,            # VMEM [Q, D] bf16 (whole array each step)
+    emb_ref: Any,          # VMEM [BLOCK, D] int8 tile
+    scale_ref: Any,        # VMEM [BLOCK] f32 tile (as [BLOCK, 1])
+    pay_ref: Any,          # VMEM [BLOCK, 8] tile
+    out_scores_ref: Any,   # VMEM [Q, k]
+    out_idx_ref: Any,      # VMEM [Q, k]
+    run_scores: Any,       # scratch VMEM [Q, k]
+    run_idx: Any,          # scratch VMEM [Q, k]
     *,
     k: int,
-):
+) -> None:
     """int8 streaming variant: tiles move HBM->VMEM at a quarter of the f32
     traffic; dequant happens in-register (int8 -> bf16 before the MXU dot)."""
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
     @pl.when(step == 0)
-    def _init():
+    def _init() -> None:
         run_scores[:] = jnp.full_like(run_scores, NEG_INF)
         run_idx[:] = jnp.zeros_like(run_idx)
 
@@ -227,7 +230,7 @@ def _int8_search_kernel(
     run_idx[:] = m_idx
 
     @pl.when(step == n_steps - 1)
-    def _emit():
+    def _emit() -> None:
         out_scores_ref[:] = run_scores[:]
         out_idx_ref[:] = run_idx[:]
 
@@ -290,7 +293,8 @@ def pallas_int8_search(
 SCORES_BLOCK = 8192  # measured optimum on v5e at 1M x 256 (0.596 ms chained)
 
 
-def _scores_kernel(q_ref, emb_ref, mult_ref, add_ref, out_ref):
+def _scores_kernel(q_ref: Any, emb_ref: Any, mult_ref: Any,
+                   add_ref: Any, out_ref: Any) -> None:
     acc = jax.lax.dot_general(
         q_ref[...].astype(jnp.bfloat16), emb_ref[...].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -355,7 +359,8 @@ def pallas_scores_matrix(
     )
 
 
-def _scores_kernel_s8(q_ref, emb_ref, qscale_ref, mult_ref, add_ref, out_ref):
+def _scores_kernel_s8(q_ref: Any, emb_ref: Any, qscale_ref: Any,
+                      mult_ref: Any, add_ref: Any, out_ref: Any) -> None:
     acc = jax.lax.dot_general(
         q_ref[...], emb_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -420,6 +425,7 @@ def pallas_scores_matrix_s8(
     )
 
 
+BLOCK_SUB_ALIGN = 128  # lane-aligned sub-block width (== ops.quantized.BLOCKMAX_SUB)
 BMAX_BLOCK = 16384  # corpus rows per grid step for the fused bmax kernels:
 # the [Q, block/128] out tile must stay lane-aligned (128 sub-block maxima
 # per step), which pins block = 128 * 128.  Measured cost of the larger
@@ -433,7 +439,8 @@ def _bmax_epilogue(adj: jax.Array, sub: int) -> jax.Array:
     return jnp.max(adj.reshape(nq, blk // sub, sub), axis=-1)
 
 
-def _bmax_kernel(q_ref, emb_ref, mult_ref, add_ref, out_ref, *, sub):
+def _bmax_kernel(q_ref: Any, emb_ref: Any, mult_ref: Any, add_ref: Any,
+                 out_ref: Any, *, sub: int) -> None:
     acc = jax.lax.dot_general(
         q_ref[...].astype(jnp.bfloat16), emb_ref[...].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -442,8 +449,9 @@ def _bmax_kernel(q_ref, emb_ref, mult_ref, add_ref, out_ref, *, sub):
     out_ref[...] = _bmax_epilogue(acc * mult_ref[...] + add_ref[...], sub)
 
 
-def _bmax_kernel_s8(q_ref, emb_ref, qscale_ref, mult_ref, add_ref, out_ref,
-                    *, sub):
+def _bmax_kernel_s8(q_ref: Any, emb_ref: Any, qscale_ref: Any,
+                    mult_ref: Any, add_ref: Any, out_ref: Any,
+                    *, sub: int) -> None:
     acc = jax.lax.dot_general(
         q_ref[...], emb_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -547,31 +555,170 @@ def pallas_bmax_s8(
     )
 
 
-_BMAX_SUPPORTED: dict[bool, bool] = {}
+def _bmax_kernel_t(q_ref: Any, emb_ref: Any, mult_ref: Any, add_ref: Any,
+                   out_ref: Any, *, sub: int) -> None:
+    acc = jax.lax.dot_general(
+        emb_ref[...].astype(jnp.bfloat16), q_ref[...].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [BLOCK, Q]
+    adj = acc * mult_ref[...] + add_ref[...]               # col vectors bcast
+    blk, nq = adj.shape
+    out_ref[...] = jnp.max(adj.reshape(blk // sub, sub, nq), axis=1)
 
 
-def bmax_kernel_supported(int8_queries: bool) -> bool:
+def _bmax_kernel_s8_t(q_ref: Any, emb_ref: Any, qscale_ref: Any,
+                      mult_ref: Any, add_ref: Any, out_ref: Any,
+                      *, sub: int) -> None:
+    acc = jax.lax.dot_general(
+        emb_ref[...], q_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                      # [BLOCK, Q] i32
+    adj = (acc.astype(jnp.float32) * (mult_ref[...] * qscale_ref[...])
+           + add_ref[...])
+    blk, nq = adj.shape
+    out_ref[...] = jnp.max(adj.reshape(blk // sub, sub, nq), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "block", "interpret"))
+def pallas_bmax_t(
+    emb_i8: jax.Array,    # [cap, D] int8, cap % block == 0
+    mult: jax.Array,      # [cap] f32 per-row multiplier
+    add: jax.Array,       # [cap] f32 per-row addend (re-rank + mask fold)
+    queries: jax.Array,   # [Q, D] f32, pre-normalized if cosine
+    sub: int = 128,
+    block: int = 4096,
+    interpret: bool = False,
+) -> jax.Array:
+    """Transposed fused stage-1 + sub-block max: ``[cap/sub, Q]`` maxima.
+
+    The large-batch variant of :func:`pallas_bmax`: the dot runs corpus-
+    major (``emb @ q.T``), so the sub-block max is a SUBLANE-axis reduce and
+    the out tile's lane dimension is the full query batch — which satisfies
+    Mosaic's lane-divisibility rule at any stream block, letting the block
+    shrink with Q to keep the ``[block, Q]`` accumulator inside VMEM
+    (``pallas_bmax``'s ``[Q, block/128]`` out tile pins ``block = 16384``,
+    whose accumulator at Q=128 would be 8 MB).  Callers transpose the
+    ``[nb, Q]`` result once (4 MB at 1M docs, Q=128) — nothing of size
+    ``[Q, cap]`` ever exists.
+    """
+    cap, d = emb_i8.shape
+    nq = queries.shape[0]
+    assert cap % block == 0, f"capacity {cap} must be a multiple of {block}"
+    assert block % sub == 0 and (block // sub) % 8 == 0
+    grid = (cap // block,)
+    kernel = functools.partial(_bmax_kernel_t, sub=sub)
+    nb_step = block // sub
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb_step, nq), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cap // sub, nq), jnp.float32),
+        interpret=interpret,
+    )(
+        queries.astype(jnp.float32),
+        emb_i8,
+        mult.reshape(-1, 1).astype(jnp.float32),
+        add.reshape(-1, 1).astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "block", "interpret"))
+def pallas_bmax_s8_t(
+    emb_i8: jax.Array,    # [cap, D] int8, cap % block == 0
+    mult: jax.Array,      # [cap] f32 per-row multiplier
+    add: jax.Array,       # [cap] f32 per-row addend (re-rank + mask fold)
+    q_i8: jax.Array,      # [Q, D] int8 quantized queries
+    q_scale: jax.Array,   # [Q] f32 per-query dequant scales
+    sub: int = 128,
+    block: int = 4096,
+    interpret: bool = False,
+) -> jax.Array:
+    """s8xs8 variant of :func:`pallas_bmax_t` (native int8 MXU stage-1)."""
+    cap, d = emb_i8.shape
+    nq = q_i8.shape[0]
+    assert cap % block == 0, f"capacity {cap} must be a multiple of {block}"
+    assert block % sub == 0 and (block // sub) % 8 == 0
+    grid = (cap // block,)
+    kernel = functools.partial(_bmax_kernel_s8_t, sub=sub)
+    nb_step = block // sub
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb_step, nq), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cap // sub, nq), jnp.float32),
+        interpret=interpret,
+    )(
+        q_i8,
+        emb_i8,
+        q_scale.reshape(1, -1).astype(jnp.float32),
+        mult.reshape(-1, 1).astype(jnp.float32),
+        add.reshape(-1, 1).astype(jnp.float32),
+    )
+
+
+_BMAX_SUPPORTED: dict[tuple, bool] = {}
+
+
+def bmax_kernel_supported(int8_queries: bool,
+                          transposed: bool = False) -> bool:
     """True when Mosaic compiles the fused bmax kernel on this backend.
 
-    Probed once per variant (the in-kernel ``[Q, block] -> [Q, nb, 128]``
-    reshape + max is the legalization risk, on top of the s8 dot for the
-    int8-queries variant); cached per process and cheap across processes
-    via the persistent XLA compile cache."""
-    key = bool(int8_queries)
+    Probed once per variant (the in-kernel reshape + max is the
+    legalization risk, on top of the s8 dot for the int8-queries variant);
+    cached per process and cheap across processes via the persistent XLA
+    compile cache.  ``transposed`` probes the corpus-major large-batch
+    variant (``pallas_bmax*_t``)."""
+    key = (bool(int8_queries), bool(transposed))
     if key in _BMAX_SUPPORTED:
         return _BMAX_SUPPORTED[key]
     if not pallas_available():
         _BMAX_SUPPORTED[key] = False
         return False
     try:
-        e8 = jnp.zeros((BMAX_BLOCK, 128), jnp.int8)
-        z = jnp.zeros((BMAX_BLOCK,), jnp.float32)
-        if int8_queries:
+        if transposed:
+            e8 = jnp.zeros((4096, 128), jnp.int8)
+            z = jnp.zeros((4096,), jnp.float32)
+            if int8_queries:
+                q8 = jnp.zeros((8, 128), jnp.int8)
+                pallas_bmax_s8_t.lower(
+                    e8, z, z, q8, jnp.ones((8,), jnp.float32), block=1024
+                ).compile()
+            else:
+                q = jnp.zeros((8, 128), jnp.float32)
+                pallas_bmax_t.lower(e8, z, z, q, block=1024).compile()
+        elif int8_queries:
+            e8 = jnp.zeros((BMAX_BLOCK, 128), jnp.int8)
+            z = jnp.zeros((BMAX_BLOCK,), jnp.float32)
             q8 = jnp.zeros((1, 128), jnp.int8)
             pallas_bmax_s8.lower(
                 e8, z, z, q8, jnp.ones((1,), jnp.float32)
             ).compile()
         else:
+            e8 = jnp.zeros((BMAX_BLOCK, 128), jnp.int8)
+            z = jnp.zeros((BMAX_BLOCK,), jnp.float32)
             q = jnp.zeros((1, 128), jnp.float32)
             pallas_bmax.lower(e8, z, z, q).compile()
         _BMAX_SUPPORTED[key] = True
@@ -639,10 +786,13 @@ __all__ = [
     "pallas_scores_matrix_s8",
     "pallas_bmax",
     "pallas_bmax_s8",
+    "pallas_bmax_t",
+    "pallas_bmax_s8_t",
     "pallas_available",
     "s8_kernel_supported",
     "bmax_kernel_supported",
     "BLOCK",
     "SCORES_BLOCK",
     "BMAX_BLOCK",
+    "BLOCK_SUB_ALIGN",
 ]

@@ -163,6 +163,7 @@ def quantized_search(
         bmax_block = pallas_block or BMAX_BLOCK
         use_fused = (
             cap % bmax_block == 0 and bmax_block % BLOCKMAX_SUB == 0
+            and (bmax_block // BLOCKMAX_SUB) % 8 == 0
         )
 
     valid = jnp.arange(emb_i8.shape[0], dtype=jnp.int32) < n_valid
@@ -188,14 +189,35 @@ def quantized_search(
     adj1: jax.Array | None = None
     bmax: jax.Array | None = None
     if use_fused:
-        from .pallas_search import pallas_bmax, pallas_bmax_s8
+        from .pallas_search import (
+            pallas_bmax, pallas_bmax_s8, pallas_bmax_s8_t, pallas_bmax_t,
+        )
 
+        # Layout choice: the query-major kernel's [Q, block/128] out tile
+        # needs its lane dim %128 (block %16384); smaller stream blocks
+        # (large Q shrinks them to keep the accumulator in VMEM) use the
+        # corpus-major transposed kernel, whose out tile's lane dim is the
+        # full query batch.  One [nb, Q] -> [Q, nb] transpose follows (4 MB
+        # at 1M docs, Q=128) — still nothing of size [Q, cap].
+        nb_step = bmax_block // BLOCKMAX_SUB
+        t_layout = nb_step % BLOCKMAX_SUB != 0 and bmax_block != cap
         if int8_queries:
             q_i8, q_scale = quantize_rows(q)
-            bmax = pallas_bmax_s8(
-                emb_i8, mult, add, q_i8, q_scale,
+            if t_layout:
+                bmax = pallas_bmax_s8_t(
+                    emb_i8, mult, add, q_i8, q_scale,
+                    sub=BLOCKMAX_SUB, block=bmax_block, interpret=interpret,
+                ).T
+            else:
+                bmax = pallas_bmax_s8(
+                    emb_i8, mult, add, q_i8, q_scale,
+                    sub=BLOCKMAX_SUB, block=bmax_block, interpret=interpret,
+                )
+        elif t_layout:
+            bmax = pallas_bmax_t(
+                emb_i8, mult, add, q,
                 sub=BLOCKMAX_SUB, block=bmax_block, interpret=interpret,
-            )
+            ).T
         else:
             bmax = pallas_bmax(
                 emb_i8, mult, add, q,
@@ -271,20 +293,42 @@ def quantized_search(
             bid[:, :, None] * BLOCKMAX_SUB
             + jnp.arange(BLOCKMAX_SUB, dtype=bid.dtype)[None, None, :]
         ).reshape(nq, s * BLOCKMAX_SUB)                 # [Q, s*128]
-        if nq > BLOCKMAX_REFINE_MAX_Q and not use_fused:
+        if nq > BLOCKMAX_REFINE_MAX_Q:
             # Large batches: block-granular refine traffic (s*128 D-dim
-            # rows/query) outgrows the flat path's m rows.  Gather the
-            # winning blocks' stage-1 SCORES instead (s*128 scalars/query),
-            # take top-m within them, and refine only m rows — the same
-            # refine traffic as the approx/flat paths, with selection that
-            # still provably covers the stage-1 top-(k+2) (the margin the
-            # small-Q variant relies on).  Requires the materialized
-            # stage-1 matrix, hence the not-use_fused guard (callers gate
-            # fused_bmax to small Q anyway).
-            assert adj1 is not None
-            cs = jnp.take_along_axis(
-                adj1.reshape(nq, nb, BLOCKMAX_SUB), bid[:, :, None], axis=1
-            ).reshape(nq, s * BLOCKMAX_SUB).astype(jnp.float32)
+            # rows/query) outgrows the flat path's m rows.  Narrow the
+            # candidates to the stage-1 top-m FIRST (so only m rows are
+            # row-gathered for the f32 refine), using per-candidate stage-1
+            # scores obtained one of two ways:
+            if use_fused:
+                # Fused kernel: the [Q, cap] matrix was never materialized
+                # (that is the whole point — at Q=128 x 1M it would be
+                # 512 MB written + re-read).  RECOMPUTE stage-1 scores for
+                # just the winning blocks from gathered int8 rows:
+                # Q*s*128*D int8 (~50 MB at Q=128, s=12, D=256) + one small
+                # batched matmul — a fraction of the materialized path's
+                # traffic.  bf16 recompute only decides which candidates
+                # make the top-m; stage 2 re-ranks exactly in f32.
+                d = emb_i8.shape[1]
+                e8b = emb_i8.reshape(nb, BLOCKMAX_SUB, d)[bid]  # [Q,s,128,D]
+                e8b = e8b.reshape(nq, s * BLOCKMAX_SUB, d)
+                multb = mult.reshape(nb, BLOCKMAX_SUB)[bid].reshape(nq, -1)
+                addb = add.reshape(nb, BLOCKMAX_SUB)[bid].reshape(nq, -1)
+                acc = jnp.einsum(
+                    "qd,qnd->qn", q.astype(jnp.bfloat16),
+                    e8b.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                cs = acc * multb + addb                     # [Q, s*128]
+            else:
+                # Materialized stage-1: gather the winning blocks' scores
+                # (s*128 scalars/query — cheap).  Selection still provably
+                # covers the stage-1 top-(k+2) margin the small-Q variant
+                # relies on.
+                assert adj1 is not None
+                cs = jnp.take_along_axis(
+                    adj1.reshape(nq, nb, BLOCKMAX_SUB), bid[:, :, None],
+                    axis=1,
+                ).reshape(nq, s * BLOCKMAX_SUB).astype(jnp.float32)
             _, pos1 = jax.lax.top_k(cs, m)              # [Q, m]
             cand = jnp.take_along_axis(cand, pos1, axis=1)
             ce, cp, csq = emb_f32[cand], payloads[cand], sqnorms[cand]

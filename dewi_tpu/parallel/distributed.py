@@ -10,9 +10,10 @@ query is ``O(n_devices * k)`` floats — independent of corpus size.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -21,7 +22,7 @@ from .mesh import DATA_AXIS, data_sharding
 
 
 def make_sharded_search(mesh: Mesh, k: int, normalize: bool = True,
-                        blockmax_select: bool = True):
+                        blockmax_select: bool = True) -> Any:
     """Build a jitted sharded-search callable for a fixed (mesh, k, space).
 
     The returned function takes device arrays laid out as:
@@ -38,7 +39,9 @@ def make_sharded_search(mesh: Mesh, k: int, normalize: bool = True,
     fused_search.
     """
 
-    def local_search(emb, sqn, pay, queries, n_valid, eta, entropy_pref):
+    def local_search(emb: jax.Array, sqn: jax.Array, pay: jax.Array,
+                     queries: jax.Array, n_valid: jax.Array,
+                     eta: jax.Array, entropy_pref: jax.Array) -> Any:
         shard = jax.lax.axis_index(DATA_AXIS)
         shard_cap = emb.shape[0]
         local_n = jnp.clip(n_valid - shard * shard_cap, 0, shard_cap)
@@ -72,7 +75,7 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
                                   int8_queries: bool = False,
                                   bf16_scores: bool = False,
                                   blockmax_select: bool = False,
-                                  fused_bmax: bool = False):
+                                  fused_bmax: bool = False) -> Any:
     """Sharded two-stage int8 search: local int8 scan + f32 refine per shard,
     then the same all-gather/top-k merge as the exact path.  Stage-1 HBM
     traffic per device is the int8 shard — 4x less than f32.
@@ -89,8 +92,10 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
     shard alignment, see ShardedQuantizedSearcher)."""
     from ..ops.quantized import quantized_search
 
-    def local_search(emb_i8, scales, emb, sqn, pay, queries, n_valid, eta,
-                     entropy_pref):
+    def local_search(emb_i8: jax.Array, scales: jax.Array,
+                     emb: jax.Array, sqn: jax.Array, pay: jax.Array,
+                     queries: jax.Array, n_valid: jax.Array,
+                     eta: jax.Array, entropy_pref: jax.Array) -> Any:
         shard = jax.lax.axis_index(DATA_AXIS)
         shard_cap = emb.shape[0]
         local_n = jnp.clip(n_valid - shard * shard_cap, 0, shard_cap)
@@ -128,9 +133,10 @@ class ShardedQuantizedSearcher:
     quantization happens once at attach time, sharded over the data axis.
     """
 
-    def __init__(self, store, mesh: Mesh, k: int = 10, refine_factor: int = 8,
+    def __init__(self, store: Any, mesh: Mesh, k: int = 10,
+                 refine_factor: int = 8,
                  use_pallas: bool = True, int8_queries: bool = False,
-                 bf16_scores: bool = False, blockmax_select: bool = True):
+                 bf16_scores: bool = False, blockmax_select: bool = True) -> None:
         from ..ops.pallas_search import (
             BMAX_BLOCK,
             SCORES_BLOCK,
@@ -208,8 +214,8 @@ class ShardedQuantizedSearcher:
         self._fn_xla = self._fn_large
         self._fn_pallas = self._fn_small
 
-    def search_batch(self, queries, eta: float = 0.5,
-                     entropy_pref: float = 0.0):
+    def search_batch(self, queries: np.ndarray, eta: float = 0.5,
+                     entropy_pref: float = 0.0) -> Any:
         emb, sqn, pay, n = self.store.device_arrays()
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
         # Same VMEM-bound query-count guard as QuantizedIndex: the Pallas
@@ -224,7 +230,7 @@ class ShardedQuantizedSearcher:
 
 
 def make_sharded_ivf_search(mesh: Mesh, k: int, nprobe_per_shard: int,
-                            normalize: bool = True):
+                            normalize: bool = True) -> Any:
     """Sharded IVF search: buckets (and their centroids) are sharded over the
     data axis; each device scores its local centroid shard, probes its local
     top-``nprobe_per_shard`` buckets, scans its overflow slice exactly, and
@@ -237,9 +243,13 @@ def make_sharded_ivf_search(mesh: Mesh, k: int, nprobe_per_shard: int,
     """
     from ..index.ivf import _ivf_search_kernel
 
-    def local_search(centroids, b_emb, b_pay, b_valid, b_docidx, b_sqn,
-                     o_emb, o_pay, o_docidx, o_sqn, queries, eta,
-                     entropy_pref):
+    def local_search(centroids: jax.Array, b_emb: jax.Array,
+                     b_pay: jax.Array, b_valid: jax.Array,
+                     b_docidx: jax.Array, b_sqn: jax.Array,
+                     o_emb: jax.Array, o_pay: jax.Array,
+                     o_docidx: jax.Array, o_sqn: jax.Array,
+                     queries: jax.Array, eta: jax.Array,
+                     entropy_pref: jax.Array) -> Any:
         nprobe = min(nprobe_per_shard, centroids.shape[0])
         # Clamp k to the PROBED candidate pool (nprobe buckets + overflow),
         # not the whole shard — the kernel's top_k axis is the pool.
@@ -288,8 +298,8 @@ class ShardedIVFSearcher:
     candidates merge over ICI (O(n_devices * k) floats per query).
     """
 
-    def __init__(self, ivf_index, mesh: Mesh, k: int = 10,
-                 nprobe_per_shard: Optional[int] = None):
+    def __init__(self, ivf_index: Any, mesh: Mesh, k: int = 10,
+                 nprobe_per_shard: Optional[int] = None) -> None:
         if ivf_index._dev is None:
             ivf_index.build()
         self.k = k
@@ -297,7 +307,7 @@ class ShardedIVFSearcher:
         (centroids, b_emb, b_pay, b_valid, b_docidx, b_sqn,
          o_emb, o_pay, o_docidx, o_sqn, o_n) = ivf_index._dev
 
-        def pad0(a, mult, fill=0):
+        def pad0(a: np.ndarray, mult: int, fill: Any = 0) -> np.ndarray:
             pad = (-a.shape[0]) % mult
             if not pad:
                 return a
@@ -349,8 +359,8 @@ class ShardedIVFSearcher:
             normalize=ivf_index.store.normalize,
         )
 
-    def search_batch(self, queries, eta: float = 0.5,
-                     entropy_pref: float = 0.0):
+    def search_batch(self, queries: np.ndarray, eta: float = 0.5,
+                     entropy_pref: float = 0.0) -> Any:
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
         return self._fn(
             *self._dev, q, jnp.float32(eta), jnp.float32(entropy_pref)
@@ -360,8 +370,8 @@ class ShardedIVFSearcher:
 class ShardedExactSearcher:
     """Convenience wrapper: shard a DocStore over a mesh and serve queries."""
 
-    def __init__(self, store, mesh: Mesh, k: int = 10,
-                 blockmax_select: bool = True):
+    def __init__(self, store: Any, mesh: Mesh, k: int = 10,
+                 blockmax_select: bool = True) -> None:
         self.store = store
         self.mesh = mesh
         self.k = k
@@ -372,11 +382,11 @@ class ShardedExactSearcher:
 
     def search_batch(
         self,
-        queries,
+        queries: np.ndarray,
         eta: float = 0.5,
         entropy_pref: float = 0.0,
         k: Optional[int] = None,
-    ):
+    ) -> Any:
         if k is not None and k != self.k:
             self.k = k
             self._fn = make_sharded_search(

@@ -34,6 +34,7 @@ import functools
 from typing import Any, Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -75,7 +76,7 @@ def unstack_block_params(stacked: Any, rest: Any, n_layers: int) -> Any:
 def shard_stacked_params(stacked: Any, mesh: Mesh,
                          stage_axis: str = "stage") -> Any:
     """Place stacked block params with the layer axis sharded over stages."""
-    def place(leaf):
+    def place(leaf: Any) -> Any:
         spec = P(stage_axis, *([None] * (leaf.ndim - 1)))
         return jax.device_put(leaf, NamedSharding(mesh, spec))
     return jax.tree.map(place, stacked)
@@ -130,7 +131,7 @@ def pipeline_blocks(
           P(None, None, None, None))
     mask_spec = P(dp[0], dp[1], None, None, None)
 
-    def block_fn(x, p, m):
+    def block_fn(x: jax.Array, p: Any, m: jax.Array) -> jax.Array:
         return Block(cfg).apply({"params": p}, x, m)
 
     if remat:
@@ -150,18 +151,18 @@ def pipeline_blocks(
         out_specs=dp,
         check_vma=False,
     )
-    def run(stacked_local, mbs, masks):
+    def run(stacked_local: Any, mbs: jax.Array, masks: jax.Array) -> Any:
         sid = jax.lax.axis_index(stage_axis)
         n_mb = mbs.shape[0]
         ticks = n_mb + n_stages - 1
 
-        def apply_local(x, mask):
-            def body(h, p):
+        def apply_local(x: jax.Array, mask: jax.Array) -> jax.Array:
+            def body(h: jax.Array, p: Any) -> Any:
                 return block_fn(h, p, mask), None
             x, _ = jax.lax.scan(body, x, stacked_local)
             return x
 
-        def tick(carry, t):
+        def tick(carry: Any, t: Any) -> Any:
             state, outbuf = carry
             # Stage s works on microbatch t - s this tick.
             my_mb = jnp.clip(t - sid, 0, n_mb - 1)
@@ -229,12 +230,12 @@ def pipelined_lm_logits(
 
 def pp_train_step(
     cfg: TransformerConfig,
-    optimizer,
+    optimizer: Any,
     mesh: Mesh,
     n_microbatches: int,
     stage_axis: str = "stage",
     data_axis: Optional[str] = "data",
-):
+) -> Any:
     """Build a jitted pipeline-parallel LM training step.
 
     Returns ``step((stacked, rest), opt_state, ids, pad_mask) ->
@@ -245,7 +246,7 @@ def pp_train_step(
     """
     from ..models.lm import token_nll
 
-    def loss_fn(params, ids, pad_mask):
+    def loss_fn(params: Any, ids: jax.Array, pad_mask: jax.Array) -> Any:
         stacked, rest = params
         logits = pipelined_lm_logits(
             cfg, stacked, rest, ids, pad_mask, mesh, n_microbatches,
@@ -258,7 +259,8 @@ def pp_train_step(
     import optax
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, ids, pad_mask):
+    def step(params: Any, opt_state: Any, ids: jax.Array,
+             pad_mask: jax.Array) -> Any:
         loss, grads = jax.value_and_grad(loss_fn)(params, ids, pad_mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss

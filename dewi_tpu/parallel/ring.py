@@ -26,7 +26,7 @@ TPU-native design:
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -38,7 +38,7 @@ from .mesh import MODEL_AXIS
 NEG_INF = -3.4e38
 
 
-def _online_block(carry, sc, vb):
+def _online_block(carry: Any, sc: jax.Array, vb: jax.Array) -> Any:
     """One online-softmax update.  sc [..., Tq, Tk], vb [..., Tk, Dh]."""
     m, l, acc = carry
     m_blk = jnp.max(sc, axis=-1)                         # [..., Tq]
@@ -84,7 +84,8 @@ def ring_attention(
         out_specs=spec,
         check_vma=False,
     )
-    def run(ql, kl, vl, padl):
+    def run(ql: jax.Array, kl: jax.Array, vl: jax.Array,
+            padl: jax.Array) -> jax.Array:
         sid = jax.lax.axis_index(axis)
         tl = ql.shape[2]
         qpos = sid * tl + jnp.arange(tl)                 # global q positions
@@ -94,7 +95,7 @@ def ring_attention(
         l0 = jnp.zeros(ql.shape[:3], jnp.float32)
         acc0 = jnp.zeros(ql.shape, jnp.float32)
 
-        def step(carry, i):
+        def step(carry: Any, i: Any) -> Any:
             kb, vb, padb, m, l, acc = carry
             # kb currently holds global block (sid - i) mod n_dev.
             blk = (sid - i) % n_dev
@@ -121,7 +122,7 @@ def ring_attention(
     return run(q, k, v, pad_mask.astype(jnp.float32))
 
 
-def _layernorm(x, p, eps):
+def _layernorm(x: jax.Array, p: Any, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
@@ -129,8 +130,8 @@ def _layernorm(x, p, eps):
 
 
 def ring_lm_logits(
-    cfg,
-    params,
+    cfg: Any,
+    params: Any,
     ids: jax.Array,              # [B, T] int32, T % mesh[axis] == 0
     pad_mask: jax.Array,         # [B, T]
     mesh: Mesh,
@@ -166,7 +167,7 @@ def ring_lm_logits(
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_lm_fwd(cfg, mesh: Mesh, axis: str):
+def _cached_lm_fwd(cfg: Any, mesh: Mesh, axis: str) -> Any:
     """Jitted ring-LM forward, cached per (cfg, mesh, axis) — a fresh jit
     per call would retrace the whole model for every document."""
     from ..models.transformer import activation_fn
@@ -175,7 +176,7 @@ def _cached_lm_fwd(cfg, mesh: Mesh, axis: str):
     act = activation_fn(cfg.activation)
 
     @jax.jit
-    def fwd(pp, ids, pad_mask):
+    def fwd(pp: Any, ids: jax.Array, pad_mask: jax.Array) -> jax.Array:
         t = ids.shape[1]
         wte = pp["wte"]["embedding"]
         wpe = pp["wpe"]["embedding"]

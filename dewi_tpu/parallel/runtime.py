@@ -10,7 +10,7 @@ without per-call sharding plumbing.
 from __future__ import annotations
 
 import logging
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -93,7 +93,8 @@ def device_summary() -> dict:
     }
 
 
-def shard_batch(batch: np.ndarray, mesh: Mesh, pad_value=0):
+def shard_batch(batch: np.ndarray, mesh: Mesh,
+                pad_value: Any = 0) -> Any:
     """Place a host batch on the mesh, sharded over the data axis.
 
     Pads the leading axis up to a multiple of the data-axis size (XLA needs

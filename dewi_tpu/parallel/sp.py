@@ -16,7 +16,7 @@ while activations shard by ``(batch, sequence)``.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -30,7 +30,7 @@ def shard_tokens(
     mask: np.ndarray,
     mesh: Mesh,
     seq_axis: Optional[str] = MODEL_AXIS,
-):
+) -> Any:
     """Place ``[B, T]`` token batches as (batch=data, sequence=seq_axis).
 
     ``T`` must divide by the sequence-axis size (bucketed lengths are powers
@@ -45,8 +45,9 @@ def shard_tokens(
     )
 
 
-def sequence_sharded_nll(model, params, ids, mask, mesh,
-                         seq_axis: str = MODEL_AXIS):
+def sequence_sharded_nll(model: Any, params: Any, ids: np.ndarray,
+                         mask: np.ndarray, mesh: Mesh,
+                         seq_axis: str = MODEL_AXIS) -> Any:
     """Per-token NLL with the sequence axis sharded over ``seq_axis``.
 
     Returns ``(nll [B, T-1], valid [B, T-1])`` — identical values to the

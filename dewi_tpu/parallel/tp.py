@@ -31,7 +31,7 @@ _COLUMN = re.compile(
 _ROW = re.compile(r"(attn/out/kernel|fc_out/kernel)$")
 
 
-def _spec_for(path: str, ndim: int):
+def _spec_for(path: str, ndim: int) -> Any:
     if _COLUMN.search(path):
         # kernel [..., in, out] -> split the output features.
         return P(*([None] * (ndim - 1) + [MODEL_AXIS]))
@@ -63,7 +63,7 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     """
     n_model = mesh.shape[MODEL_AXIS]
 
-    def place(leaf, spec):
+    def place(leaf: Any, spec: Any) -> Any:
         if n_model > 1 and spec != P():
             axis = [i for i, s in enumerate(spec) if s == MODEL_AXIS][0]
             if leaf.shape[axis] % n_model != 0:

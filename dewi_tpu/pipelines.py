@@ -22,7 +22,7 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, List, Optional, Union
+from typing import Any, Dict, List, Optional, Union
 
 import numpy as np
 
@@ -61,7 +61,7 @@ class Document:
     def payload(self) -> Payload:
         return Payload(dewi=float(self.dewi_score or 0.0), **self.signals_dict())
 
-    def image_source(self):
+    def image_source(self) -> Any:
         return self.image if self.image is not None else self.image_path
 
 
@@ -91,7 +91,8 @@ class _StageCheckpoint:
     instead of silently applying cached signals to the wrong documents
     (ADVICE.md round 1)."""
 
-    def __init__(self, directory: Optional[PathLike], documents) -> None:
+    def __init__(self, directory: Optional[PathLike],
+                 documents: Any) -> None:
         self.dir = Path(directory) if directory else None
         if isinstance(documents, int):  # legacy: count only, no digest
             self.n_docs = documents
@@ -103,7 +104,7 @@ class _StageCheckpoint:
             self.dir.mkdir(parents=True, exist_ok=True)
 
     @staticmethod
-    def _digest(documents) -> str:
+    def _digest(documents: Any) -> str:
         import hashlib
         import os
 
@@ -176,7 +177,7 @@ class _CorpusImages:
     back to the estimators' own streaming prefetch decoders.
     """
 
-    def __init__(self, sources, img_idx, base_size: int,
+    def __init__(self, sources: Any, img_idx: Any, base_size: int,
                  threads: int, budget_mb: int) -> None:
         from .io.images import ImageCache
 
@@ -194,7 +195,7 @@ class _CorpusImages:
                 logger.warning("Image decode cache unavailable (%s); "
                                "stages will decode independently.", e)
 
-    def rows(self, idx_list, size: int):
+    def rows(self, idx_list: Any, size: int) -> Any:
         """Images for ``idx_list`` at ``size``: a ``[n, size, size, 3]``
         uint8 array when cached, else the original sources (streamed)."""
         if self.cache is None:
@@ -214,7 +215,7 @@ class _CorpusImages:
             return arr
         return arr[np.asarray(rows, np.int64)]
 
-    def source(self, i: int):
+    def source(self, i: int) -> Any:
         """Single image for host-side per-doc loops (noise heuristics)."""
         if self.cache is None:
             return self.sources[self.pos[i]]
@@ -224,8 +225,8 @@ class _CorpusImages:
 class DewiPipeline:
     """Signals + scoring orchestration (parity: reference pipelines.py:36-223)."""
 
-    def __init__(self, config: Optional[DewiConfig] = None, nsfw_fn=None,
-                 mesh=None):
+    def __init__(self, config: Optional[DewiConfig] = None,
+                 nsfw_fn: Any = None, mesh: Any = None) -> None:
         """``mesh`` (or ``config.mesh.data_parallel_signals: true``) runs
         every estimator forward DATA-PARALLEL over the device mesh: model
         params replicate, signal batches shard over the ``data`` axis
@@ -255,7 +256,7 @@ class DewiPipeline:
     # -- lazy estimators (constructed on first use; ctor stays cheap) --------
 
     @property
-    def text_entropy(self):
+    def text_entropy(self) -> Any:
         if self._text_entropy is None:
             from .signals.text_entropy import TextEntropyEstimator
 
@@ -275,7 +276,7 @@ class DewiPipeline:
         return self._text_entropy
 
     @property
-    def image_entropy(self):
+    def image_entropy(self) -> Any:
         if self._image_entropy is None:
             from .signals.image_entropy import ImageEntropyEstimator
 
@@ -294,7 +295,7 @@ class DewiPipeline:
         return self._image_entropy
 
     @property
-    def cross_modal(self):
+    def cross_modal(self) -> Any:
         if self._cross_modal is None:
             from .signals.cross_modal import CrossModalDependency
 
@@ -312,7 +313,7 @@ class DewiPipeline:
         return self._cross_modal
 
     @property
-    def redundancy(self):
+    def redundancy(self) -> Any:
         if self._redundancy is None:
             from .signals.redundancy import RedundancyEstimator
 
@@ -325,11 +326,12 @@ class DewiPipeline:
                 block_size=c.block_size,
                 threshold=c.threshold,
                 clip=self._cross_modal,  # share towers when already built
+                mesh=self.mesh,
             )
         return self._redundancy
 
     @property
-    def noise(self):
+    def noise(self) -> Any:
         if self._noise is None:
             from .signals.noise import NoiseEstimator
 
@@ -461,7 +463,8 @@ class DewiPipeline:
             [documents[i].image_source() for i in img_idx], img_idx
         )
 
-    def _decode_sources(self, sources, img_idx) -> _CorpusImages:
+    def _decode_sources(self, sources: Any,
+                        img_idx: Any) -> _CorpusImages:
         sizes = [self._mae_image_size(), self._clip_image_size()]
         rt = self.config.runtime
         return _CorpusImages(
@@ -498,7 +501,7 @@ class DewiPipeline:
         return clip_config(self.config.cross_modal.model).image_size
 
     @staticmethod
-    def _sidecar_size(checkpoint) -> Optional[int]:
+    def _sidecar_size(checkpoint: Any) -> Optional[int]:
         """image_size from a checkpoint's architecture sidecar, if any."""
         if not checkpoint:
             return None
@@ -509,7 +512,8 @@ class DewiPipeline:
             return int(side["config"]["image_size"])
         return None
 
-    def _noise_stage(self, documents, ckpt, log_stage, images=None,
+    def _noise_stage(self, documents: List[Document], ckpt: Any,
+                     log_stage: Any, images: Any = None,
                      progress: bool = False) -> List[Document]:
         """Stage 6: noise (host-side heuristics)."""
         cached = ckpt.load("noise")
@@ -730,7 +734,7 @@ class DewiPipeline:
         documents: List[Document],
         shard_size: Optional[int] = None,
         checkpoint_dir: Optional[PathLike] = None,
-        weights=None,
+        weights: Any = None,
         delta: Optional[float] = None,
         mode: Optional[str] = None,
         progress: bool = False,
@@ -765,7 +769,8 @@ class DewiPipeline:
         return self.compute_dewi_scores(documents, weights=weights,
                                         delta=delta, mode=mode)
 
-    def _make_scorer(self, weights=None, delta: Optional[float] = None):
+    def _make_scorer(self, weights: Any = None,
+                     delta: Optional[float] = None) -> Any:
         from .scorer import DewiScorer
 
         if weights is None:
@@ -787,7 +792,8 @@ class DewiPipeline:
     # per-doc dict/stack in the hot loop.  This is the path that closes the
     # "3.3k docs/s end-to-end vs 35k docs/s device" gap (VERDICT r2 #2).
 
-    def _corpus_rows(self, corpus, idx, size: int, cache=None, dev=None):
+    def _corpus_rows(self, corpus: Any, idx: Any, size: int,
+                     cache: Any = None, dev: Any = None) -> Any:
         """Image batch for corpus rows ``idx`` at ``size`` (or source list).
 
         ``dev`` is an optional ``(DeviceImages, pos_map_or_None)`` pair: when
@@ -821,7 +827,7 @@ class DewiPipeline:
             return cache.rows(list(idx), size)
         return [imgs[i] for i in idx]
 
-    def _device_corpus(self, corpus, cache=None):
+    def _device_corpus(self, corpus: Any, cache: Any = None) -> Any:
         """``(DeviceImages, pos_map_or_None)`` for this corpus, or ``None``.
 
         Uploads a uniform uint8 image corpus to HBM ONCE so the MAE tower,
@@ -854,8 +860,8 @@ class DewiPipeline:
         di = device_images_or_none(src) if src is not None else None
         return (di, pos) if di is not None else None
 
-    def compute_signals_corpus(self, corpus, progress: bool = False,
-                               include_redundancy: bool = True):
+    def compute_signals_corpus(self, corpus: Any, progress: bool = False,
+                               include_redundancy: bool = True) -> Any:
         """Fill ``corpus.signals`` (all 7 columns) stage by stage.
 
         ``include_redundancy=False`` skips the cross-document redundancy
@@ -981,9 +987,11 @@ class DewiPipeline:
         return self._noise_corpus(corpus, cache=cache, dev=dev,
                                   progress=progress)
 
-    def ensure_embeddings_corpus(self, corpus, cache=None, dev=None,
-                                 _t_emb=None, _v_emb=None,
-                                 _t_idx=None, _v_idx=None):
+    def ensure_embeddings_corpus(self, corpus: Any, cache: Any = None,
+                                 dev: Any = None,
+                                 _t_emb: Any = None, _v_emb: Any = None,
+                                 _t_idx: Any = None,
+                                 _v_idx: Any = None) -> Any:
         """Fill ``corpus.embeddings`` from the CLIP towers (vectorized
         combine; same semantics as :meth:`ensure_embeddings`).
 
@@ -1025,7 +1033,7 @@ class DewiPipeline:
         # partial external mask that's the unmasked rows, not the corpus.
         fill = np.ones(n, bool) if ext_mask is None else ~ext_mask
 
-        def rows_from(done_emb, done_idx, want):
+        def rows_from(done_emb: Any, done_idx: Any, want: Any) -> Any:
             """Reuse tower outputs for ``want`` rows when the caller's
             encode set covers them; encode just ``want`` otherwise."""
             if done_emb is not None and done_idx is not None:
@@ -1070,7 +1078,7 @@ class DewiPipeline:
         corpus.embeddings = emb
         return corpus
 
-    def _redundancy_corpus(self, corpus, cache=None):
+    def _redundancy_corpus(self, corpus: Any, cache: Any = None) -> Any:
         from .corpus import COL
 
         n = len(corpus)
@@ -1108,8 +1116,8 @@ class DewiPipeline:
         corpus.signals[:, COL["redundancy"]] = scores
         return corpus
 
-    def _noise_corpus(self, corpus, cache=None, dev=None,
-                      progress: bool = False):
+    def _noise_corpus(self, corpus: Any, cache: Any = None,
+                      dev: Any = None, progress: bool = False) -> Any:
         from .corpus import COL
         from .signals.noise import BLUR_SIZE
         from .utils.progress import ProgressMeter
@@ -1162,10 +1170,10 @@ class DewiPipeline:
         m.close()
         return corpus
 
-    def process_corpus(self, corpus, weights=None,
+    def process_corpus(self, corpus: Any, weights: Any = None,
                        delta: Optional[float] = None,
                        mode: Optional[str] = None,
-                       progress: bool = False):
+                       progress: bool = False) -> Any:
         """Signals + fused fit-and-score, columnar end to end."""
         self.compute_signals_corpus(corpus, progress=progress)
         scorer = self._make_scorer(weights, delta)
@@ -1179,7 +1187,7 @@ class DewiPipeline:
         return corpus
 
     @staticmethod
-    def _slice_images(images, a: int, b: int):
+    def _slice_images(images: Any, a: int, b: int) -> Any:
         """Row-range view of any supported ``Corpus.images`` container.
 
         Plain ``images[a:b]`` covers all three: ndarray view, list slice,
@@ -1190,7 +1198,7 @@ class DewiPipeline:
         return None if images is None else images[a:b]
 
     @staticmethod
-    def _corpus_shard_digest(corpus, a: int, b: int) -> str:
+    def _corpus_shard_digest(corpus: Any, a: int, b: int) -> str:
         """Content digest of shard rows — per-shard resume must recompute
         when the slice changed (same contract as ``_StageCheckpoint``:
         text CONTENT not length, image identity via path or a strided
@@ -1240,11 +1248,13 @@ class DewiPipeline:
             h.update(b"\1")
         return h.hexdigest()[:32]
 
-    def process_stream_corpus(self, corpus, shard_size: Optional[int] = None,
+    def process_stream_corpus(self, corpus: Any,
+                              shard_size: Optional[int] = None,
                               checkpoint_dir: Optional[PathLike] = None,
-                              weights=None, delta: Optional[float] = None,
+                              weights: Any = None,
+                              delta: Optional[float] = None,
                               mode: Optional[str] = None,
-                              progress: bool = False):
+                              progress: bool = False) -> Any:
         """Sharded columnar pipeline: per-shard signals (+resume), global
         redundancy, one fused global fit+score.
 
@@ -1381,7 +1391,8 @@ class DewiPipeline:
         self._scorer = scorer
         return corpus
 
-    def build_index_corpus(self, corpus, **index_kwargs):
+    def build_index_corpus(self, corpus: Any,
+                           **index_kwargs: Any) -> Any:
         """``Corpus`` -> built :class:`DewiIndex`: two array ops, no per-doc
         Python (vs ``build_index``'s per-doc stack, pipelines.py:804-806)."""
         if len(corpus) == 0:
@@ -1407,7 +1418,7 @@ class DewiPipeline:
 
     # -- index handoff ------------------------------------------------------------
 
-    def _make_index(self, dim: int, **index_kwargs):
+    def _make_index(self, dim: int, **index_kwargs: Any) -> Any:
         """Config-driven :class:`DewiIndex` construction (backend knobs,
         bf16 storage) shared by the Document and columnar build paths."""
         from .index import DewiIndex
@@ -1448,7 +1459,8 @@ class DewiPipeline:
         kwargs.update(index_kwargs)
         return DewiIndex(dim=dim, **kwargs)
 
-    def build_index(self, documents: List[Document], **index_kwargs):
+    def build_index(self, documents: List[Document],
+                    **index_kwargs: Any) -> Any:
         """Documents -> built :class:`DewiIndex` (embeddings + payloads)."""
 
         if not documents:

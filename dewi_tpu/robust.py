@@ -1,3 +1,4 @@
+from typing import Any
 """Compatibility shim: Payload-based robust stats.
 
 The reference ships a second, divergent ``RobustStats`` in robust.py:13-32
@@ -10,7 +11,7 @@ from .scorer import PAYLOAD_STAT_FIELDS, RobustStats
 from .ops.robust import MAD_CONSISTENCY
 
 
-def _robust_standardize(x, med, mad):
+def _robust_standardize(x: Any, med: Any, mad: Any) -> Any:
     """Parity helper (reference robust.py:8-10): additive-epsilon z-score."""
     mad = float(mad) + 1e-8
     return (x - med) / (MAD_CONSISTENCY * mad)

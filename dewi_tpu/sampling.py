@@ -19,7 +19,7 @@ module makes the capability real, TPU-native:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ def dewi_tau_probabilities(dewi: np.ndarray, tau: float = 1.0) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _gumbel_topk(log_w: jax.Array, key: jax.Array, k: int):
+def _gumbel_topk(log_w: jax.Array, key: jax.Array, k: int) -> Any:
     g = -jnp.log(-jnp.log(
         jax.random.uniform(key, log_w.shape, minval=1e-12, maxval=1.0)
     ))
@@ -68,14 +68,14 @@ def sample_by_dewi(
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _facility_location(emb_n: jax.Array, k: int):
+def _facility_location(emb_n: jax.Array, k: int) -> Any:
     """Greedy facility-location: iteratively add the doc that most increases
     ``sum_i max_{s in S} sim(i, s)``.  The N×N similarity matrix is built
     once; each greedy step is one masked argmax + max-update."""
     n = emb_n.shape[0]
     sims = jnp.dot(emb_n, emb_n.T, preferred_element_type=jnp.float32)
 
-    def step(carry, _):
+    def step(carry: Any, _: Any) -> Any:
         covered, selected_mask = carry
         # Gain of candidate j = sum_i max(0, sim[i, j] - covered[i]).
         gains = jnp.sum(jnp.maximum(sims - covered[None, :], 0.0), axis=1)

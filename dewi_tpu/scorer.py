@@ -28,7 +28,7 @@ into one class supporting both ``fit(rows)`` and ``from_payloads(payloads)``.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Mapping, Optional, Sequence, Union
+from typing import Any, Dict, Mapping, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -100,7 +100,7 @@ class RobustStats:
             (val - self.medians[name]) / (MAD_CONSISTENCY * self.mads[name])
         )
 
-    def arrays(self, keys: Optional[Sequence[str]] = None):
+    def arrays(self, keys: Optional[Sequence[str]] = None) -> Any:
         keys = tuple(keys or self.keys)
         med = np.array([self.medians[k] for k in keys], dtype=np.float32)
         mad = np.array([self.mads[k] for k in keys], dtype=np.float32)
@@ -154,7 +154,7 @@ class DewiScorer:
     ``delta`` argument only overrides when actually provided.
     """
 
-    def __init__(self, weights: Optional[Weights] = None, delta: Optional[float] = None):
+    def __init__(self, weights: Optional[Weights] = None, delta: Optional[float] = None) -> None:
         self.weights = weights or Weights()
         if delta is not None:
             self.weights.delta = float(delta)
@@ -254,7 +254,7 @@ class DewiScorer:
         return self.score_batch(signals, mode=mode)
 
 
-def local_weights_from_surprisal(s) -> np.ndarray:
+def local_weights_from_surprisal(s: Any) -> np.ndarray:
     """Per-token/per-patch surprisal -> positive weights.
 
     Parity: reference local_weights.py:5-26 (robust z with additive epsilon,

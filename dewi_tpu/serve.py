@@ -73,7 +73,7 @@ class MicroBatcher:
 
     def __init__(
         self,
-        index,
+        index: Any,
         window_ms: float = 2.0,
         max_batch: int = 256,
         max_pending: int = 4096,
@@ -169,7 +169,8 @@ class MicroBatcher:
             ) from None
         return req.future
 
-    def search(self, query, **kw) -> Tuple[List[str], List[float]]:
+    def search(self, query: Any,
+               **kw: Any) -> Tuple[List[str], List[float]]:
         """Blocking convenience wrapper around :meth:`submit`."""
         return self.submit(query, **kw).result()
 
@@ -391,7 +392,7 @@ class SearchServer:
 
     def __init__(
         self,
-        index,
+        index: Any,
         host: str = "127.0.0.1",
         port: int = 0,
         window_ms: float = 2.0,
@@ -407,7 +408,8 @@ class SearchServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
-            def log_message(self, fmt, *args):  # route through logging
+            def log_message(self, fmt: str,
+                            *args: Any) -> None:  # route through logging
                 logger.debug("serve: " + fmt, *args)
 
             def _reply(self, code: int, payload: Dict[str, Any]) -> None:
@@ -418,7 +420,7 @@ class SearchServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def do_GET(self):
+            def do_GET(self) -> None:
                 if self.path == "/healthz":
                     self._reply(200, server.health())
                 elif self.path == "/stats_stages":
@@ -426,7 +428,7 @@ class SearchServer:
                 else:
                     self._reply(404, {"error": "unknown path"})
 
-            def do_POST(self):
+            def do_POST(self) -> None:
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(length) or b"{}")
@@ -542,7 +544,7 @@ class SearchServer:
         self.batcher.shutdown()
 
 
-def retier_index(index, backend: str):
+def retier_index(index: Any, backend: str) -> Any:
     """Re-tier a loaded index's stored corpus into a different backend.
 
     Serve an exact-saved index from the faster int8 (or IVF) tier without

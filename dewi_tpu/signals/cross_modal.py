@@ -13,7 +13,7 @@ the query encoder for search (fixes SURVEY.md §2.4 item 6).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, List, Optional, Sequence
+from typing import Any, Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -46,8 +46,8 @@ class CrossModalDependency:
         seed: int = 0,
         io_threads: int = 4,
         image_size: Optional[int] = None,
-        mesh=None,
-    ):
+        mesh: Any = None,
+    ) -> None:
         del device
         self.batch_size = int(batch_size)
         self.io_threads = int(io_threads)
@@ -107,13 +107,14 @@ class CrossModalDependency:
             self.params = self._dp.replicate(self.params)
 
         @jax.jit
-        def _encode_text(params, ids, mask):
+        def _encode_text(params: Any, ids: jax.Array,
+                         mask: jax.Array) -> jax.Array:
             return self.model.apply(
                 params, ids, mask, method=self.model.encode_text
             )
 
         @jax.jit
-        def _encode_image(params, images):
+        def _encode_image(params: Any, images: jax.Array) -> jax.Array:
             return self.model.apply(
                 params, normalize_images(images),
                 method=self.model.encode_image,
@@ -121,7 +122,8 @@ class CrossModalDependency:
 
         # Superbatch variants: S chunks per dispatch (see text_entropy).
         @jax.jit
-        def _encode_text_super(params, ids3, mask3):
+        def _encode_text_super(params: Any, ids3: jax.Array,
+                               mask3: jax.Array) -> jax.Array:
             return jax.lax.map(
                 lambda xm: _encode_text(params, xm[0], xm[1]), (ids3, mask3)
             )
@@ -133,8 +135,9 @@ class CrossModalDependency:
         text_vocab = int(self.cfg.vocab_size)
 
         @jax.jit
-        def _encode_text_super_packed(params, ids3_u16):
-            def one(ids_u16):
+        def _encode_text_super_packed(params: Any,
+                                      ids3_u16: jax.Array) -> jax.Array:
+            def one(ids_u16: jax.Array) -> jax.Array:
                 ids = ids_u16.astype(jnp.int32)
                 mask = (ids != pad_id).astype(jnp.float32)
                 # Out-of-vocab pad sentinel (HF adapters): zero before the
@@ -151,7 +154,8 @@ class CrossModalDependency:
         )
 
         @jax.jit
-        def _encode_image_super(params, images4):
+        def _encode_image_super(params: Any,
+                                images4: jax.Array) -> jax.Array:
             return jax.lax.map(
                 lambda im: _encode_image(params, im), images4
             )
@@ -164,7 +168,7 @@ class CrossModalDependency:
 
     # -- encoders (shared with search + redundancy) ---------------------------
 
-    def _dev(self, arr, batch_axis: int = 0):
+    def _dev(self, arr: Any, batch_axis: int = 0) -> Any:
         """Batch placement: plain device array, or sharded over the mesh's
         data axis when this estimator runs data-parallel."""
         if self._dp is None:
@@ -180,7 +184,7 @@ class CrossModalDependency:
         bs = self.batch_size
         tl = self.cfg.text_len
 
-        def padded(start):
+        def padded(start: int) -> Any:
             chunk = list(texts[start : start + bs])
             ids, mask = self.tokenizer.encode_batch(chunk, tl, pad_to=tl)
             pad = bs - len(chunk)
@@ -191,7 +195,7 @@ class CrossModalDependency:
                 mask = np.concatenate([mask, np.zeros((pad, tl), np.float32)])
             return ids, mask, pad
 
-        def padded_u16(start):
+        def padded_u16(start: int) -> Any:
             chunk = list(texts[start : start + bs])
             ids = self.tokenizer.encode_batch_u16(chunk, tl, pad_to=tl)
             pad = bs - len(chunk)
@@ -202,7 +206,7 @@ class CrossModalDependency:
                 )
             return ids, pad
 
-        def dispatch(group_starts):
+        def dispatch(group_starts: Any) -> Any:
             """Tokenize + launch one supergroup; returns (pads, device e3)."""
             if self._packed_ok:
                 group16 = [padded_u16(s) for s in group_starts]
@@ -262,7 +266,8 @@ class CrossModalDependency:
                 progress(bs - pad)
         return fetch.result()
 
-    def _padded_image_batches(self, images: Sequence[ImageLike], bs: int):
+    def _padded_image_batches(self, images: Sequence[ImageLike],
+                              bs: int) -> Any:
         """``(batch [bs, S, S, 3], pad)`` stream: direct slices of a
         pre-decoded corpus array, else prefetch-decoded uint8 batches
         (host decode overlaps the previous batch's tower forward)."""
@@ -288,7 +293,7 @@ class CrossModalDependency:
 
         fetch = DeferredFetcher()
 
-        def flush_group():
+        def flush_group() -> None:
             if not group:
                 return
             if len(group) == S:

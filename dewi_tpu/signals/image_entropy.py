@@ -15,7 +15,7 @@ batch N, images cross PCIe as uint8 (4× less transfer than f32), and the
 from __future__ import annotations
 
 import logging
-from typing import Callable, Iterator, List, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Iterator, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -101,9 +101,9 @@ class ImageEntropyEstimator:
         checkpoint: Optional[str] = None,
         seed: int = 0,
         io_threads: int = 4,
-        mesh=None,
+        mesh: Any = None,
         **_: object,
-    ):
+    ) -> None:
         del device
         self.batch_size = int(batch_size)
         self.mask_ratio = float(mask_ratio)
@@ -150,13 +150,15 @@ class ImageEntropyEstimator:
             self.params = self._dp.replicate(self.params)
 
         @jax.jit
-        def _losses(params, images, rng):
+        def _losses(params: Any, images: jax.Array,
+                    rng: jax.Array) -> jax.Array:
             return self.model.apply(params, normalize_images(images), rng)
 
         self._apply = _losses
 
         @jax.jit
-        def _stats(params, images, rng):
+        def _stats(params: Any, images: jax.Array,
+                   rng: jax.Array) -> Any:
             per_patch, mask = self.model.apply(
                 params, normalize_images(images), rng,
                 method=self.model.patch_losses,
@@ -171,14 +173,15 @@ class ImageEntropyEstimator:
         # Superbatch: S batches per dispatch (see text_entropy — host
         # launches per corpus drop by S).
         @jax.jit
-        def _stats_super(params, images4, rngs):
+        def _stats_super(params: Any, images4: jax.Array,
+                         rngs: jax.Array) -> Any:
             return jax.lax.map(
                 lambda xr: _stats(params, xr[0], xr[1]), (images4, rngs)
             )
 
         self._stats_super = _stats_super
 
-    def _dev(self, arr, batch_axis: int = 0):
+    def _dev(self, arr: Any, batch_axis: int = 0) -> Any:
         """Batch placement: plain device array, or sharded over the mesh's
         data axis when this estimator runs data-parallel."""
         if self._dp is None:
@@ -329,7 +332,7 @@ class ImageEntropyEstimator:
             d_q90.result().astype(np.float32),
         )
 
-    def __call__(self, image: ImageLike, **kwargs) -> float:
+    def __call__(self, image: ImageLike, **kwargs: Any) -> float:
         return self.score(image, **kwargs)
 
 

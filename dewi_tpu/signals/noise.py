@@ -16,7 +16,7 @@ CPU step); only the blur Laplacian is vectorized with numpy.
 from __future__ import annotations
 
 import logging
-from typing import List, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 import numpy as np
 
@@ -41,7 +41,7 @@ _ALNUM_LUT_I32 = _ALNUM_LUT.astype(np.int32)
 _SYMBOL_LUT_I32 = _SYMBOL_LUT.astype(np.int32)
 
 
-def _try_langdetect():
+def _try_langdetect() -> Any:
     try:  # optional dependency (parity: reference noise.py:21-27)
         from langdetect import detect
 
@@ -50,7 +50,7 @@ def _try_langdetect():
         return None
 
 
-def _try_tesseract():
+def _try_tesseract() -> Any:
     try:  # optional dependency (parity: reference noise.py:30-36)
         import pytesseract
 
@@ -59,7 +59,7 @@ def _try_tesseract():
         return None
 
 
-def skin_fraction_risk(image) -> float:
+def skin_fraction_risk(image: Any) -> float:
     """Lite NSFW risk proxy: fraction of skin-toned pixels (YCbCr gate).
 
     The honest in-repo baseline behind ``nsfw_filter: "lite"`` — a
@@ -99,9 +99,9 @@ class NoiseEstimator:
         blur_threshold: float = 0.25,
         ocr_min_coverage: float = 0.6,
         nsfw_filter: str = "lite",
-        nsfw_fn=None,
+        nsfw_fn: Any = None,
         **_: object,
-    ):
+    ) -> None:
         del device
         self.expected_language = expected_language
         self.blur_threshold = float(blur_threshold)
@@ -129,7 +129,7 @@ class NoiseEstimator:
 
     # -- parity methods (reference noise.py:47-97) ----------------------------
 
-    def detect_nsfw(self, image) -> float:
+    def detect_nsfw(self, image: Any) -> float:
         if self.nsfw_fn is None:
             return 0.0
         try:
@@ -173,7 +173,7 @@ class NoiseEstimator:
         except Exception:
             return 0.5
 
-    def ocr_text(self, image) -> str:
+    def ocr_text(self, image: Any) -> str:
         """OCR extraction, "" when tesseract absent (parity: noise.py:91-97)."""
         if self.ocr is None:
             return ""
@@ -184,7 +184,7 @@ class NoiseEstimator:
 
     # -- blur (promised by reference config.py:36, never implemented) ---------
 
-    def blur_score(self, image) -> float:
+    def blur_score(self, image: Any) -> float:
         """Laplacian-variance sharpness in [0, ~): below ``blur_threshold``
         means blurry.  Scale-invariant via luma normalization to [0, 1]."""
         from .image_entropy import to_image_array
@@ -200,7 +200,7 @@ class NoiseEstimator:
         )
         return float(lap.var() * 1e3)  # rescaled so ~0.25 separates blurry
 
-    def ocr_coverage_penalty(self, image) -> float:
+    def ocr_coverage_penalty(self, image: Any) -> float:
         """Penalty in [0, 0.3] for images whose embedded text OCRs badly.
 
         When tesseract is available and an image yields OCR text, the text's
@@ -219,7 +219,8 @@ class NoiseEstimator:
 
     # -- coherent combined contract -------------------------------------------
 
-    def score(self, text: Optional[str] = None, image=None) -> float:
+    def score(self, text: Optional[str] = None,
+              image: Any = None) -> float:
         """Combined noise in [0, 1]; higher = noisier.
 
         Deterministic blend of the available components:
@@ -343,7 +344,7 @@ class NoiseEstimator:
         return part
 
     def _array_image_parts(
-        self, imgs, present: Optional[np.ndarray]
+        self, imgs: Any, present: Optional[np.ndarray]
     ) -> Optional[np.ndarray]:
         """Fast path for a uniform ``[N, H, W, 3]`` uint8 batch — host
         ndarray or device-resident ``jax.Array`` (no re-upload).  Same
@@ -376,7 +377,7 @@ class NoiseEstimator:
         self,
         texts: Optional[Sequence[Optional[str]]] = None,
         images: Optional[Sequence] = None,
-        progress=None,
+        progress: Any = None,
         present: Optional[np.ndarray] = None,
     ) -> List[float]:
         """Per-doc combined noise.  ``images`` may be a per-doc sequence

@@ -21,7 +21,7 @@ module implements the full promised surface with one coherent contract:
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +49,7 @@ def _max_offdiag_block(
     self_col = (start + jnp.arange(block))[:, None]
     n_chunks = emb_n.shape[0] // chunk
 
-    def body(c, best):
+    def body(c: Any, best: jax.Array) -> jax.Array:
         cols = jax.lax.dynamic_slice_in_dim(emb_n, c * chunk, chunk, axis=0)
         sim = jnp.dot(rows, cols.T, preferred_element_type=jnp.float32)
         col = (c * chunk + jnp.arange(chunk))[None, :]
@@ -101,6 +101,97 @@ def max_offdiag_similarity(
     return out
 
 
+def max_offdiag_similarity_sharded(
+    embeddings: np.ndarray,
+    mesh: Any,
+    block: int = 4096,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Mesh-sharded max off-diagonal cosine (the O(N^2) redundancy stage).
+
+    The corpus embeddings replicate over the mesh (1 GB at 1M x 256 — well
+    inside v5e HBM); each device computes the running-max scan for ITS
+    row range against the full corpus, so the N^2 FLOPs split evenly over
+    the ``data`` axis with zero collectives on the compute path (one
+    all-gather materializes the [N] result).  Single-device meshes reduce
+    to the same math as :func:`max_offdiag_similarity`; parity is asserted
+    in tests/test_parallel_signals.py.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    from ..parallel.mesh import DATA_AXIS
+
+    emb = jnp.asarray(embeddings, dtype=jnp.float32)
+    norm = jnp.maximum(jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    emb = emb / norm
+    n = emb.shape[0]
+    if n < 2:
+        return np.zeros(n, dtype=np.float32)
+    ndev = int(mesh.shape[DATA_AXIS])
+    block = max(8, min(block, -(-n // ndev)))
+    # Pad rows so every device owns an equal whole number of row blocks;
+    # chunk must divide the padded width (the column scan).
+    rows_per_dev = -(-n // (ndev * block)) * block
+    np_rows = rows_per_dev * ndev
+    chunk = min(chunk, np_rows)
+    while np_rows % chunk:
+        chunk //= 2
+    pad = np_rows - n
+    if pad:
+        emb = jnp.concatenate(
+            [emb, jnp.zeros((pad, emb.shape[1]), emb.dtype)], axis=0
+        )
+    emb = jax.device_put(emb, NamedSharding(mesh, P()))  # replicate
+    n_valid = jnp.int32(n)
+
+    def shard_body(emb_full: jax.Array) -> jax.Array:
+        i = jax.lax.axis_index(DATA_AXIS)
+        start0 = i * rows_per_dev
+
+        def row_block(b: Any, out: jax.Array) -> jax.Array:
+            s = start0 + b * block
+            rows = jax.lax.dynamic_slice_in_dim(emb_full, s, block, axis=0)
+            self_col = (s + jnp.arange(block))[:, None]
+            n_chunks = emb_full.shape[0] // chunk
+
+            def body(c: Any, best: jax.Array) -> jax.Array:
+                cols = jax.lax.dynamic_slice_in_dim(
+                    emb_full, c * chunk, chunk, axis=0
+                )
+                sim = jnp.dot(rows, cols.T,
+                              preferred_element_type=jnp.float32)
+                col = (c * chunk + jnp.arange(chunk))[None, :]
+                sim = jnp.where(
+                    (col == self_col) | (col >= n_valid), -jnp.inf, sim
+                )
+                return jnp.maximum(best, jnp.max(sim, axis=1))
+
+            # Carries become data-varying (start0 depends on axis_index);
+            # mark the inits so scan's type check accepts the loop.
+            init = jax.lax.pcast(
+                jnp.full((block,), -jnp.inf, jnp.float32), (DATA_AXIS,),
+                to="varying",
+            )
+            best = jax.lax.fori_loop(0, n_chunks, body, init)
+            return jax.lax.dynamic_update_slice(
+                out, jnp.clip(best, -1.0, 1.0), (b * block,)
+            )
+
+        out0 = jax.lax.pcast(
+            jnp.zeros((rows_per_dev,), jnp.float32), (DATA_AXIS,),
+            to="varying",
+        )
+        return jax.lax.fori_loop(0, rows_per_dev // block, row_block, out0)
+
+    fn = jax.jit(shard_map(
+        shard_body, mesh=mesh,
+        in_specs=P(),
+        out_specs=P(DATA_AXIS),
+    ))
+    return np.asarray(fn(emb))[:n]
+
+
 @partial(jax.jit, static_argnames=("block", "chunk", "top"))
 def _topk_density_block(
     emb_n: jax.Array,       # [Np, D] normalized, zero-padded to chunk multiple
@@ -118,7 +209,7 @@ def _topk_density_block(
     self_col = (start + jnp.arange(block))[:, None]
     n_chunks = emb_n.shape[0] // chunk
 
-    def body(c, best):
+    def body(c: Any, best: Any) -> Any:
         cols = jax.lax.dynamic_slice_in_dim(emb_n, c * chunk, chunk, axis=0)
         sim = jnp.dot(rows, cols.T, preferred_element_type=jnp.float32)
         col = (c * chunk + jnp.arange(chunk))[None, :]
@@ -242,7 +333,7 @@ def _dct_matrix(n: int = 32) -> np.ndarray:
     return _DCT32
 
 
-def phash64(image, hash_size: int = 8) -> np.uint64:
+def phash64(image: Any, hash_size: int = 8) -> np.uint64:
     """DCT-based 64-bit perceptual hash (the ``image_sim: "phash"`` mode the
     reference config promises at config.py:32 but never implements).
 
@@ -306,7 +397,7 @@ def _lsh_candidate_pairs(sigs: np.ndarray, bands: int = 16) -> List[tuple]:
 
 
 class _UnionFind:
-    def __init__(self, n: int):
+    def __init__(self, n: int) -> None:
         self.parent = list(range(n))
 
     def find(self, x: int) -> int:
@@ -345,8 +436,12 @@ class RedundancyEstimator:
         num_hashes: int = 64,
         clip: Optional[object] = None,  # shared CrossModalDependency
         seed: int = 0,
-    ):
+        mesh: Any = None,
+    ) -> None:
         del device
+        # Data-parallel mesh: the O(N^2) embedding-redundancy scan splits
+        # its row range over the 'data' axis (max_offdiag_similarity_sharded).
+        self.mesh = mesh
         self.text_sim = text_sim
         self.image_sim = image_sim
         self.cross_modal_density = bool(cross_modal_density)
@@ -359,7 +454,7 @@ class RedundancyEstimator:
         self._embeddings: Optional[np.ndarray] = None
         self._scores: Optional[np.ndarray] = None
 
-    def _get_clip(self):
+    def _get_clip(self) -> Any:
         if self._clip is None:
             from .cross_modal import CrossModalDependency
 
@@ -389,7 +484,12 @@ class RedundancyEstimator:
         if emb is None:
             raise ValueError("Call fit(embeddings) or pass embeddings")
         if self._scores is None or embeddings is not None:
-            scores = max_offdiag_similarity(emb, block=self.block_size)
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                scores = max_offdiag_similarity_sharded(
+                    emb, self.mesh, block=self.block_size
+                )
+            else:
+                scores = max_offdiag_similarity(emb, block=self.block_size)
             if embeddings is None:
                 self._scores = scores
             return scores

@@ -15,7 +15,7 @@ shape — replacing the reference's per-document Python loop
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -67,10 +67,10 @@ class TextEntropyEstimator:
         checkpoint: Optional[str] = None,
         domain_checkpoint: Optional[str] = None,
         seed: int = 0,
-        ring_mesh=None,
+        ring_mesh: Any = None,
         chip_len: Optional[int] = None,
-        mesh=None,
-    ):
+        mesh: Any = None,
+    ) -> None:
         """``ring_mesh`` + ``chip_len`` enable the exact multi-chip long-doc
         path: docs longer than ``chip_len`` tokens (default ``max_length``)
         but within the model's positional capacity are scored in ONE ring-
@@ -143,12 +143,14 @@ class TextEntropyEstimator:
 
         qarr = jnp.asarray(self.quantiles, dtype=jnp.float32)
 
-        def _nll(params, model, ids, mask):
+        def _nll(params: Any, model: Any, ids: jax.Array,
+                 mask: jax.Array) -> Any:
             logits = model.apply(params, ids, mask)
             return token_nll(logits, ids, mask)
 
         @jax.jit
-        def _score_batch(params, ids, mask):
+        def _score_batch(params: Any, ids: jax.Array,
+                         mask: jax.Array) -> Any:
             nll, valid = _nll(params, self.model, ids, mask)
             mean, qs = masked_mean_and_quantiles(
                 nll, valid.astype(jnp.float32), qarr
@@ -156,7 +158,9 @@ class TextEntropyEstimator:
             return nll, valid, mean, qs
 
         @jax.jit
-        def _score_batch_relative(params, dparams, ids, mask):
+        def _score_batch_relative(params: Any, dparams: Any,
+                                  ids: jax.Array,
+                                  mask: jax.Array) -> Any:
             nll, valid = _nll(params, self.model, ids, mask)
             dnll, _ = _nll(dparams, self.domain_model, ids, mask)
             rel = nll - dnll
@@ -172,8 +176,9 @@ class TextEntropyEstimator:
         # round-trips per corpus drop by S (a dispatch costs ~30 ms through
         # a tunneled device; even host-attached, fewer launches win).
         @jax.jit
-        def _score_super(params, ids3, mask3):
-            def one(xm):
+        def _score_super(params: Any, ids3: jax.Array,
+                         mask3: jax.Array) -> Any:
+            def one(xm: Any) -> Any:
                 ids, mask = xm
                 nll, valid = _nll(params, self.model, ids, mask)
                 return masked_mean_and_quantiles(
@@ -183,8 +188,10 @@ class TextEntropyEstimator:
             return jax.lax.map(one, (ids3, mask3))
 
         @jax.jit
-        def _score_super_relative(params, dparams, ids3, mask3):
-            def one(xm):
+        def _score_super_relative(params: Any, dparams: Any,
+                                  ids3: jax.Array,
+                                  mask3: jax.Array) -> Any:
+            def one(xm: Any) -> Any:
                 ids, mask = xm
                 nll, valid = _nll(params, self.model, ids, mask)
                 dnll, _ = _nll(dparams, self.domain_model, ids, mask)
@@ -204,7 +211,7 @@ class TextEntropyEstimator:
         # tunnel (~20 MB/s) and over production PCIe.
         pad_id = int(self.tokenizer.pad_id)
 
-        def _expand(ids_u16):
+        def _expand(ids_u16: jax.Array) -> Any:
             ids = ids_u16.astype(jnp.int32)
             mask = (ids != pad_id).astype(jnp.float32)
             # HF adapters pad with an out-of-vocab sentinel (vocab_size);
@@ -216,8 +223,9 @@ class TextEntropyEstimator:
             return ids, mask
 
         @jax.jit
-        def _score_super_packed(params, ids3_u16):
-            def one(ids_u16):
+        def _score_super_packed(params: Any,
+                                ids3_u16: jax.Array) -> Any:
+            def one(ids_u16: jax.Array) -> Any:
                 ids, mask = _expand(ids_u16)
                 nll, valid = _nll(params, self.model, ids, mask)
                 return masked_mean_and_quantiles(
@@ -227,8 +235,9 @@ class TextEntropyEstimator:
             return jax.lax.map(one, ids3_u16)
 
         @jax.jit
-        def _score_super_relative_packed(params, dparams, ids3_u16):
-            def one(ids_u16):
+        def _score_super_relative_packed(params: Any, dparams: Any,
+                                         ids3_u16: jax.Array) -> Any:
+            def one(ids_u16: jax.Array) -> Any:
                 ids, mask = _expand(ids_u16)
                 nll, valid = _nll(params, self.model, ids, mask)
                 dnll, _ = _nll(dparams, self.domain_model, ids, mask)
@@ -247,7 +256,7 @@ class TextEntropyEstimator:
 
     # -- public API ---------------------------------------------------------
 
-    def _dev(self, arr, batch_axis: int = 0):
+    def _dev(self, arr: Any, batch_axis: int = 0) -> Any:
         """Batch placement: plain device array, or sharded over the mesh's
         data axis when this estimator runs data-parallel."""
         if self._dp is None:
@@ -473,7 +482,7 @@ class TextEntropyEstimator:
         relative_to_domain: bool = False,
         batch_size: Optional[int] = None,
         progress: Optional[Callable[[int], None]] = None,
-    ):
+    ) -> Any:
         """Bulk corpus path: per-doc ``(mean, q90, q99)`` arrays ONLY.
 
         Skips materializing per-token entropy lists on the host — that
@@ -528,7 +537,8 @@ class TextEntropyEstimator:
         d_qs = DeferredFetcher()
         placements: List[tuple] = []  # (flat row offset, chunk doc indices)
 
-        def defer(chunks, mean_dev, qs_dev, in_bytes: int) -> None:
+        def defer(chunks: Any, mean_dev: Any, qs_dev: Any,
+                  in_bytes: int) -> None:
             # mean_dev: [G, bs] or [bs]; qs_dev: [G, bs, Q] or [bs, Q].
             nq = qs_dev.shape[-1]
             off = d_mean.append(mean_dev.reshape(-1), cost=in_bytes)
@@ -538,7 +548,7 @@ class TextEntropyEstimator:
             if progress is not None:
                 progress(sum(len(c) for c in chunks))
 
-        def encode_padded(chunk, blen):
+        def encode_padded(chunk: Any, blen: int) -> Any:
             ids, mask = self.tokenizer.encode_batch(
                 [texts[i] for i in chunk], self.cfg.max_len, pad_to=blen
             )
@@ -553,7 +563,7 @@ class TextEntropyEstimator:
                 )
             return ids, mask
 
-        def encode_padded_u16(chunk, blen):
+        def encode_padded_u16(chunk: Any, blen: int) -> Any:
             # Mask-free uint16 fast path: no f32 mask allocation, no
             # int32 -> uint16 downcast copy.
             ids = self.tokenizer.encode_batch_u16(
@@ -647,7 +657,7 @@ class TextEntropyEstimator:
                 q99s[cidx] = flat_qs[rows, -1]
         return means, q90s, q99s
 
-    def __call__(self, text: str, **kwargs) -> TextEntropyResult:
+    def __call__(self, text: str, **kwargs: Any) -> TextEntropyResult:
         return self.compute_entropy(text, **kwargs)
 
 

@@ -11,7 +11,7 @@ files are available locally (``DewiConfig.text.tokenizer``).
 from __future__ import annotations
 
 import logging
-from typing import List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import numpy as np
 
@@ -94,7 +94,7 @@ class ByteTokenizer:
         return ids
 
 
-def get_tokenizer(name="byte"):
+def get_tokenizer(name: Any = "byte") -> Any:
     """Resolve a tokenizer by name; graceful fallback to bytes.
 
     Same optional-dependency discipline as the reference's import guards
@@ -122,7 +122,7 @@ def get_tokenizer(name="byte"):
         return ByteTokenizer()
 
 
-def make_hf_adapter(tok):
+def make_hf_adapter(tok: Any) -> Any:
     """Wrap an HF (fast) tokenizer instance in the estimator contract."""
 
     class _HFAdapter:
@@ -159,7 +159,7 @@ def make_hf_adapter(tok):
         def encode_length(self, text: str, max_len: int) -> int:
             return len(self.encode(text, max_len))
 
-        def encode_lengths(self, texts, max_len) -> np.ndarray:
+        def encode_lengths(self, texts: Any, max_len: int) -> np.ndarray:
             """Token counts for a whole corpus in one fast-batch call
             (bucketing probe; the per-text path costs a full encode
             per document)."""
@@ -173,7 +173,7 @@ def make_hf_adapter(tok):
                 (len(e) for e in enc), np.int64, count=len(texts),
             )
 
-        def _encode_all(self, texts, max_len):
+        def _encode_all(self, texts: Any, max_len: int) -> Any:
             if self._fast:
                 # The raw Rust encode_batch_fast skips offset/word-id
                 # tracking the estimators never read — measured 1.0-1.2x
@@ -192,7 +192,8 @@ def make_hf_adapter(tok):
                 )["input_ids"]
             return [self.encode(t, max_len) for t in texts]
 
-        def encode_batch(self, texts, max_len, pad_to=None):
+        def encode_batch(self, texts: Any, max_len: int,
+                         pad_to: Any = None) -> Any:
             encoded = self._encode_all(texts, max_len)
             t = pad_to or max(1, max(len(e) for e in encoded))
             # Pad rows fill with 0 (a real, in-vocab id): this path
@@ -206,7 +207,8 @@ def make_hf_adapter(tok):
                 mask[i, :m] = 1.0
             return ids, mask
 
-        def encode_batch_u16(self, texts, max_len, pad_to=None):
+        def encode_batch_u16(self, texts: Any, max_len: int,
+                             pad_to: Any = None) -> Any:
             encoded = self._encode_all(texts, max_len)
             t = pad_to or max(1, max(len(e) for e in encoded))
             ids = np.full((len(encoded), t), self.pad_id,

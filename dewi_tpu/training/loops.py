@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Iterator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,8 @@ class TrainState:
     losses: Optional[List[float]] = None
 
 
-def _make_optimizer(lr: float, steps: int, weight_decay: float = 0.01):
+def _make_optimizer(lr: float, steps: int,
+                    weight_decay: float = 0.01) -> Any:
     schedule = optax.cosine_decay_schedule(lr, decay_steps=max(steps, 1))
     return optax.chain(
         optax.clip_by_global_norm(1.0),
@@ -42,14 +43,15 @@ def _make_optimizer(lr: float, steps: int, weight_decay: float = 0.01):
     )
 
 
-def _run(loss_fn, params, batches, optimizer, log_every, progress):
+def _run(loss_fn: Any, params: Any, batches: Any, optimizer: Any,
+         log_every: int, progress: bool) -> Any:
     opt_state = optimizer.init(params)
 
     # Donating params/opt_state lets XLA update them in place — without it
     # both input and output copies stay live across the step (~2x the
     # params+Adam-moments HBM footprint).
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, *batch):
+    def step(params: Any, opt_state: Any, *batch: Any) -> Any:
         loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
@@ -74,7 +76,7 @@ def _run(loss_fn, params, batches, optimizer, log_every, progress):
 
 def lm_batches(
     texts: Sequence[str],
-    tokenizer,
+    tokenizer: Any,
     seq_len: int,
     batch_size: int,
     steps: int,
@@ -90,8 +92,11 @@ def lm_batches(
         yield jnp.asarray(ids), jnp.asarray(mask)
 
 
-def _lm_loop(loss_fn, model, params, texts, steps, batch_size, lr, tokenizer,
-             seq_len, checkpoint, log_every, progress, seed) -> TrainState:
+def _lm_loop(loss_fn: Any, model: Any, params: Any,
+             texts: Sequence[str], steps: int, batch_size: int, lr: float,
+             tokenizer: Any, seq_len: Optional[int],
+             checkpoint: Optional[str], log_every: int, progress: bool,
+             seed: int) -> TrainState:
     """Shared LM-pretraining scaffold: tokenizer default, batch iterator,
     optimizer, run loop, checkpoint save.  ``loss_fn(params, ids, mask)``."""
     from ..signals.tokenizer import get_tokenizer
@@ -108,20 +113,21 @@ def _lm_loop(loss_fn, model, params, texts, steps, batch_size, lr, tokenizer,
     return state
 
 
-def _masked_ce(logits, ids, mask):
+def _masked_ce(logits: jnp.ndarray, ids: jnp.ndarray,
+               mask: jnp.ndarray) -> jnp.ndarray:
     nll, valid = token_nll(logits, ids, mask)
     w = valid.astype(jnp.float32)
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def train_lm(
-    model,
-    params,
+    model: Any,
+    params: Any,
     texts: Sequence[str],
     steps: int = 200,
     batch_size: int = 32,
     lr: float = 3e-4,
-    tokenizer=None,
+    tokenizer: Any = None,
     seq_len: Optional[int] = None,
     checkpoint: Optional[str] = None,
     log_every: int = 50,
@@ -130,7 +136,8 @@ def train_lm(
 ) -> TrainState:
     """Next-token CE pretraining for :class:`dewi_tpu.models.CausalLM`."""
 
-    def loss_fn(params, ids, mask):
+    def loss_fn(params: Any, ids: jnp.ndarray,
+                mask: jnp.ndarray) -> jnp.ndarray:
         return _masked_ce(model.apply(params, ids, mask), ids, mask)
 
     return _lm_loop(loss_fn, model, params, texts, steps, batch_size, lr,
@@ -138,14 +145,14 @@ def train_lm(
 
 
 def train_moe_lm(
-    model,
-    params,
+    model: Any,
+    params: Any,
     texts: Sequence[str],
     steps: int = 200,
     batch_size: int = 32,
     lr: float = 3e-4,
     aux_weight: float = 0.01,
-    tokenizer=None,
+    tokenizer: Any = None,
     seq_len: Optional[int] = None,
     checkpoint: Optional[str] = None,
     log_every: int = 50,
@@ -160,7 +167,8 @@ def train_moe_lm(
     jit, so GSPMD keeps experts sharded through the update."""
     from ..models.moe import load_balance_loss
 
-    def loss_fn(params, ids, mask):
+    def loss_fn(params: Any, ids: jnp.ndarray,
+                mask: jnp.ndarray) -> jnp.ndarray:
         logits, mut = model.apply(params, ids, mask, mutable=["aux_loss"])
         return _masked_ce(logits, ids, mask) + \
             aux_weight * load_balance_loss(mut)
@@ -175,8 +183,8 @@ def train_moe_lm(
 
 
 def train_mae(
-    model,
-    params,
+    model: Any,
+    params: Any,
     images: np.ndarray,
     steps: int = 200,
     batch_size: int = 16,
@@ -194,13 +202,14 @@ def train_mae(
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
 
-    def batches():
+    def batches() -> Any:
         for s in range(steps):
             picks = rng.integers(0, len(images), size=batch_size)
             yield (jnp.asarray(images[picks]),
                    jax.random.fold_in(key, s))
 
-    def loss_fn(params, imgs, rng_key):
+    def loss_fn(params: Any, imgs: jnp.ndarray,
+                rng_key: jnp.ndarray) -> jnp.ndarray:
         return jnp.mean(model.apply(params, imgs, rng_key))
 
     state = _run(loss_fn, params, batches(), _make_optimizer(lr, steps),
@@ -216,14 +225,14 @@ def train_mae(
 
 
 def train_clip(
-    model,
-    params,
+    model: Any,
+    params: Any,
     texts: Sequence[str],
     images: np.ndarray,
     steps: int = 200,
     batch_size: int = 32,
     lr: float = 1e-3,
-    tokenizer=None,
+    tokenizer: Any = None,
     checkpoint: Optional[str] = None,
     log_every: int = 50,
     progress: bool = False,
@@ -242,7 +251,7 @@ def train_clip(
     text_len = model.cfg.text_len
     rng = np.random.default_rng(seed)
 
-    def batches():
+    def batches() -> Any:
         for _ in range(steps):
             picks = rng.integers(0, len(texts), size=batch_size)
             ids, mask = tokenizer.encode_batch(
@@ -251,7 +260,8 @@ def train_clip(
             yield (jnp.asarray(ids), jnp.asarray(mask),
                    jnp.asarray(images[picks]))
 
-    def loss_fn(params, ids, mask, imgs):
+    def loss_fn(params: Any, ids: jnp.ndarray, mask: jnp.ndarray,
+                imgs: jnp.ndarray) -> jnp.ndarray:
         t, v, logit_scale = model.apply(params, ids, mask, imgs)
         scale = jnp.exp(jnp.clip(logit_scale, -5.0, jnp.log(100.0)))
         logits = scale * jnp.dot(t, v.T)                    # [B, B]

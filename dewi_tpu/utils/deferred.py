@@ -24,7 +24,7 @@ the single fetch.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import Any, List, Optional
 
 import numpy as np
 
@@ -50,7 +50,8 @@ class DeferredFetcher:
             DEFAULT_BUDGET_MB if budget_mb is None else int(budget_mb)
         ) << 20
 
-    def append(self, rows, keep: Optional[int] = None, cost: int = 0) -> int:
+    def append(self, rows: Any, keep: Optional[int] = None,
+               cost: int = 0) -> int:
         """Queue a ``[R, ...]`` device block; returns its global row offset.
 
         ``keep``: number of leading rows that are real (the rest are batch

@@ -18,7 +18,7 @@ import contextlib
 import json
 import time
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
@@ -32,11 +32,11 @@ class Timer:
     >>> t.percentile("search", 50)
     """
 
-    def __init__(self):
+    def __init__(self) -> None:
         self.spans: Dict[str, List[float]] = {}
 
     @contextlib.contextmanager
-    def span(self, name: str, result=None):
+    def span(self, name: str, result: Any = None) -> Any:
         """Time a block; pass ``result=`` a device array to block on."""
         start = time.perf_counter()
         try:
@@ -73,7 +73,7 @@ class Timer:
 
 
 @contextlib.contextmanager
-def xla_trace(trace_dir: Optional[str]):
+def xla_trace(trace_dir: Optional[str]) -> Any:
     """``jax.profiler.trace`` context; no-op when ``trace_dir`` is None."""
     if trace_dir is None:
         yield
@@ -111,7 +111,7 @@ def summarize(
     return metrics
 
 
-def write_metrics(metrics: dict, path) -> None:
+def write_metrics(metrics: dict, path: Any) -> None:
     Path(path).write_text(json.dumps(metrics, indent=2), encoding="utf-8")
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import sys
 import time
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 
 def _fmt_eta(seconds: float) -> str:
@@ -39,7 +39,7 @@ class ProgressMeter:
         label: str,
         enabled: bool = True,
         interval: float = 1.0,
-        stream=None,
+        stream: Any = None,
     ) -> None:
         self.total = int(total)
         self.label = label

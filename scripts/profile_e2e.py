@@ -45,6 +45,15 @@ def timed(fn, *args, **kw):
     return out, time.perf_counter() - t0
 
 
+def timed_cpu(fn, *args, **kw):
+    """(result, wall_s, host_cpu_s) — CPU time separates host-bound stages
+    (Python/tokenize/hash) from device-bound ones (wall >> cpu while the
+    host blocks on device fetches)."""
+    w0, c0 = time.perf_counter(), time.process_time()
+    out = fn(*args, **kw)
+    return out, time.perf_counter() - w0, time.process_time() - c0
+
+
 def make_texts(n: int, rng) -> list:
     return [
         " ".join(rng.choice(WORDS, size=rng.integers(20, 60)))
@@ -129,10 +138,11 @@ def main() -> int:
 
     # ---- columnar warm ------------------------------------------------------
     c = corpus()
-    _, t_col = timed(
+    _, t_col, cpu_col = timed_cpu(
         lambda: pipe.build_index_corpus(pipe.process_corpus(c))
     )
     metrics["columnar_warm_s"] = round(t_col, 2)
+    metrics["columnar_host_cpu_s"] = round(cpu_col, 2)
     metrics["columnar_docs_per_sec"] = round(n / t_col, 1)
     metrics["columnar_extrapolated_1M_min_single_chip"] = round(
         1e6 / (n / t_col) / 60, 2
@@ -157,9 +167,11 @@ def main() -> int:
             pad_to=pipe.text_entropy.cfg.max_len,
         )
     )
-    t0 = time.perf_counter()
+    stage_cpu = {}
+    t0, c0 = time.perf_counter(), time.process_time()
     means, q90s, _ = pipe.text_entropy.batch_compute_stats(texts)
     stage_s["text_entropy"] = time.perf_counter() - t0
+    stage_cpu["text_entropy"] = time.process_time() - c0
     c2.signals[tidx, COL["ht_mean"]] = means[tidx]
     c2.signals[tidx, COL["ht_q90"]] = q90s[tidx]
     # Match the real columnar path: one device-resident upload, stages
@@ -171,16 +183,18 @@ def main() -> int:
             lambda: np.asarray(dev_imgs.base[0, 0, 0])  # force the put
         )
     if images is not None:
-        t0 = time.perf_counter()
+        t0, c0 = time.perf_counter(), time.process_time()
         m2, q2 = pipe.image_entropy.batch_compute_stats(dev_imgs)
         c2.signals[:, COL["hi_mean"]] = m2
         c2.signals[:, COL["hi_q90"]] = q2
         stage_s["image_entropy"] = time.perf_counter() - t0
+        stage_cpu["image_entropy"] = time.process_time() - c0
     # Tower encodes run ONCE in the columnar path (I_hat + embeddings
     # share them); time them as the real pipeline does.
-    t0 = time.perf_counter()
+    t0, c0 = time.perf_counter(), time.process_time()
     t_emb = pipe.cross_modal.encode_texts(texts)
     stage_s["clip_text_encode"] = time.perf_counter() - t0
+    stage_cpu["clip_text_encode"] = time.process_time() - c0
     v_emb = None
     if images is not None:
         t0 = time.perf_counter()
@@ -190,16 +204,54 @@ def main() -> int:
     _, stage_s["embeddings"] = timed(
         pipe.ensure_embeddings_corpus, c2, _t_emb=t_emb, _v_emb=v_emb
     )
-    _, stage_s["redundancy"] = timed(pipe._redundancy_corpus, c2)
-    _, stage_s["noise"] = timed(lambda: pipe._noise_corpus(c2, dev=dev))
+    _, stage_s["redundancy"], stage_cpu["redundancy"] = timed_cpu(
+        pipe._redundancy_corpus, c2
+    )
+    _, stage_s["noise"], stage_cpu["noise"] = timed_cpu(
+        lambda: pipe._noise_corpus(c2, dev=dev)
+    )
     scorer = pipe._make_scorer()
     c2.dewi, stage_s["score"] = timed(
         lambda: np.asarray(scorer.fit_and_score(c2.signals, mode="standard"))
     )
     _, stage_s["index_build"] = timed(pipe.build_index_corpus, c2)
     metrics["columnar_stage_s"] = {k: round(v, 2) for k, v in stage_s.items()}
+    metrics["columnar_stage_host_cpu_s"] = {
+        k: round(v, 2) for k, v in stage_cpu.items()
+    }
     print("stage breakdown:",
           {k: f"{v:.2f}s" for k, v in stage_s.items()})
+    print("stage host-CPU:",
+          {k: f"{v:.2f}s" for k, v in stage_cpu.items()})
+
+    # ---- upload/compute overlap (VERDICT r3 #6) ------------------------------
+    # The columnar image path issues the device-resident corpus upload
+    # (async jax.device_put) BEFORE the text stage, claiming the transfer
+    # hides behind the LM forwards.  Measure it: upload alone (issue +
+    # block) vs upload issued, text stage run, then block — the residual
+    # block time is the UNHIDDEN part.
+    if images is not None:
+        import jax as _jax
+
+        from dewi_tpu.io.device_images import DeviceImages
+
+        _, t_alone = timed(
+            lambda: _jax.block_until_ready(DeviceImages(images.copy()).base)
+        )
+        di2 = DeviceImages(images.copy())  # async issue
+        _, t_text_during = timed(
+            lambda: pipe.text_entropy.batch_compute_stats(texts)
+        )
+        _, t_resid = timed(lambda: _jax.block_until_ready(di2.base))
+        metrics["upload_overlap"] = {
+            "upload_alone_s": round(t_alone, 2),
+            "text_stage_during_upload_s": round(t_text_during, 2),
+            "upload_residual_after_text_s": round(t_resid, 2),
+            "hidden_fraction": round(
+                max(0.0, 1.0 - t_resid / max(t_alone, 1e-9)), 3
+            ),
+        }
+        print("upload overlap:", metrics["upload_overlap"])
 
     # ---- object-path comparison ---------------------------------------------
     if not args.skip_object:
@@ -208,16 +260,22 @@ def main() -> int:
                             image=None if images is None else images[i])
             for i in range(n)
         ]
-        t0 = time.perf_counter()
-        docs = pipe.compute_signals(docs)
-        docs = pipe.compute_dewi_scores(docs)
-        pipe.build_index(docs)
-        t_obj = time.perf_counter() - t0
+        def run_object():
+            d2 = pipe.compute_signals(docs)
+            d2 = pipe.compute_dewi_scores(d2)
+            pipe.build_index(d2)
+
+        _, t_obj, cpu_obj = timed_cpu(run_object)
         metrics["object_warm_s"] = round(t_obj, 2)
+        metrics["object_host_cpu_s"] = round(cpu_obj, 2)
         metrics["object_docs_per_sec"] = round(n / t_obj, 1)
         metrics["columnar_speedup_vs_object"] = round(t_obj / t_col, 2)
+        metrics["columnar_host_cpu_speedup_vs_object"] = round(
+            cpu_obj / max(cpu_col, 1e-9), 2
+        )
         print(f"object: {n / t_obj:,.0f} docs/s; columnar speedup "
-              f"{t_obj / t_col:,.2f}x")
+              f"{t_obj / t_col:,.2f}x wall, "
+              f"{cpu_obj / max(cpu_col, 1e-9):,.2f}x host-CPU")
 
     metrics["note"] = (
         "Warm = steady-state after one-time jit compiles. Full library "

@@ -73,8 +73,12 @@ def main() -> int:
     print(f"Device: {jax.devices()[0]}", flush=True)
     keys = jax.random.split(jax.random.PRNGKey(7), 8)
     centers = jax.random.normal(keys[0], (nc, d), jnp.float32) * 3.0
-    w = 1.0 / (jnp.arange(nc) + 1.0)  # zipf mode sizes
-    labels = jax.random.categorical(keys[1], jnp.log(w / w.sum()), shape=(n,))
+    # Zipf mode sizes; labels sampled on HOST — jax.random.categorical
+    # materializes an [n, nc] gumbel matrix (16 GB at 1M x 4096 modes).
+    w = 1.0 / (np.arange(nc) + 1.0)
+    labels = jnp.asarray(
+        np.random.default_rng(11).choice(nc, size=n, p=w / w.sum())
+    )
     emb = centers[labels] + jax.random.normal(keys[2], (n, d), jnp.float32)
     # Serving-realistic payloads: the dewi column (pay[:, 0]) is a SIGMOID
     # output in [0, 1] in production (scorer.py) — round 3's gamma-valued

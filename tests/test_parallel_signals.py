@@ -105,6 +105,29 @@ class TestShardedCrossModal:
         np.testing.assert_allclose(v1, v0, rtol=1e-5, atol=1e-6)
 
 
+class TestShardedRedundancy:
+    def test_max_offdiag_parity(self, mesh8, rng):
+        from dewi_tpu.signals.redundancy import (
+            max_offdiag_similarity,
+            max_offdiag_similarity_sharded,
+        )
+
+        for n in (7, 300, 1024):
+            emb = rng.normal(size=(n, 24)).astype(np.float32)
+            a = max_offdiag_similarity(emb, block=64, chunk=128)
+            b = max_offdiag_similarity_sharded(emb, mesh8, block=64,
+                                               chunk=128)
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+    def test_estimator_uses_mesh(self, mesh8, rng):
+        from dewi_tpu.signals.redundancy import RedundancyEstimator
+
+        emb = rng.normal(size=(96, 16)).astype(np.float32)
+        plain = RedundancyEstimator().score(emb)
+        sharded = RedundancyEstimator(mesh=mesh8).score(emb)
+        np.testing.assert_allclose(sharded, plain, rtol=1e-5, atol=1e-5)
+
+
 def _tiny_config() -> DewiConfig:
     cfg = DewiConfig()
     cfg.text.model = "tiny"
