@@ -303,6 +303,27 @@ def main() -> int:
             results["batched128_blockmax_scoregather"]["p50_ms"] / 128 * 1e3,
             2)
 
+    # Fused stage-1+blockmax at Q=128 (round-4): the transposed corpus-major
+    # kernel emits [nb, Q] maxima (no [Q, cap] matrix in HBM at all);
+    # candidate stage-1 scores are recomputed from gathered int8 blocks.
+    if pallas_available():
+        def batched_fused(carry, e8, sc, e, sq, p, q128):
+            q, acc = carry
+            v, _ = quantized_search(
+                e8, sc, e, sq, p, q128 + 1e-12 * acc, jnp.int32(n),
+                jnp.float32(0.25), jnp.float32(0.1), k=10, m=args.m,
+                normalize=True, blockmax_select=True, int8_queries=True,
+                pallas_stage1=True, fused_bmax=True, pallas_block=4096)
+            s = v[0, 0]
+            return q, acc + s
+
+        chained("batched128_fused_bmax", batched_fused,
+                emb_i8, scales, emb, sqn, pay, qb, read_bytes=corpus_bytes)
+        if "batched128_fused_bmax" in results and \
+                "p50_ms" in results["batched128_fused_bmax"]:
+            results["batched128_fused_bmax"]["per_query_us"] = round(
+                results["batched128_fused_bmax"]["p50_ms"] / 128 * 1e3, 2)
+
     if pallas_available():
         from dewi_tpu.ops.pallas_search import pallas_int8_search
 
