@@ -351,6 +351,39 @@ def main() -> None:
         extras["int8_batched_ms_per_query"] = round(int8_b, 4)
         extras["int8_batched_qps"] = round(1e3 / int8_b, 1)
 
+        # Fused-bmax batched route (round 4): the transposed corpus-major
+        # kernel emits [nb, Q] maxima — no [Q, cap] matrix in HBM — and
+        # candidate stage-1 scores are recomputed from gathered int8
+        # blocks.  Recall measured in the recall section (qblock=128).
+        from dewi_tpu.ops.pallas_search import (
+            bmax_kernel_supported as _bmk,
+            pallas_available as _pav,
+        )
+
+        if (_pav() and emb_d.shape[0] % 4096 == 0
+                and _bmk(True, transposed=True)):
+            def int8_batched_fused_pass():
+                outs = []
+                for s_ in range(0, N_QUERIES, 128):
+                    v, _ = quantized_search(
+                        q_emb, q_scales, emb_d, sqn_d, pay_d,
+                        queries_h[s_ : s_ + 128], n_d, eta, ep,
+                        k=K, m=m, normalize=True, blockmax_select=True,
+                        int8_queries=True, pallas_stage1=True,
+                        fused_bmax=True, pallas_block=4096,
+                    )
+                    outs.append(v)
+                float(outs[-1][0, 0])  # value-fetch sync
+
+            try:
+                int8_batched_fused_pass()  # compile
+                t0 = time.perf_counter()
+                int8_batched_fused_pass()
+                int8_bf = (time.perf_counter() - t0) / N_QUERIES * 1e3
+                extras["int8_batched_fused_ms_per_query"] = round(int8_bf, 4)
+            except Exception as e:  # noqa: BLE001
+                extras["int8_batched_fused_error"] = str(e)[:200]
+
         # Pallas-stage-1 variant at DocStore capacity (power-of-two padding —
         # the production QuantizedIndex layout, which auto-routes here).
         # Paired with the XLA path at the SAME padded capacity for a fair
@@ -582,6 +615,23 @@ def main() -> None:
                     )
                     extras["int8_pallas_s8_blockmax_recall_vs_f32_at_k10"] = (
                         round(int8_pallas_s8_bm_recall, 6)
+                    )
+                if kk == 10 and "int8_batched_fused_ms_per_query" in \
+                        extras:
+                    # Large-batch fused route recall (the path the batched
+                    # row above measured: transposed kernel + int8-block
+                    # score recompute).
+                    idx_bfq = blocked_idx(
+                        lambda q, k: quantized_search(
+                            qep, qsp, embp, sqnp, payp, q, n_d,
+                            eta, ep, k=k, m=m, normalize=True,
+                            pallas_stage1=True, int8_queries=True,
+                            blockmax_select=True, fused_bmax=True,
+                            pallas_block=4096), kk,
+                        qblock=128,
+                    )
+                    extras["int8_batched_fused_recall_vs_f32_at_k10"] = (
+                        round(float(recall_matrix(idx_bfq, idx_f32)), 6)
                     )
                 if kk == 10 and "int8_pallas_s8_bmfused_p50_ms" in extras:
                     # Same selection math as the two-pass blockmax row, but

@@ -77,22 +77,30 @@ class MicroBatcher:
         window_ms: float = 2.0,
         max_batch: int = 256,
         max_pending: int = 4096,
+        resolvers: int = 2,
     ) -> None:
         self.index = index
         self.window_ms = float(window_ms)
         self.max_batch = int(max_batch)
+        self.resolvers = max(1, int(resolvers))
         # Bounded admission queue: beyond max_pending waiting requests,
         # submit() sheds load (OverloadedError → HTTP 429) instead of
         # growing an unbounded backlog.
         self._q: "queue.Queue[_Request]" = queue.Queue(
             maxsize=int(max_pending)
         )
-        # Two-deep dispatch pipeline: the worker launches the (async) device
-        # batch and hands the un-fetched result here; a resolver thread does
-        # the blocking host fetch.  maxsize=1 keeps at most one batch in
-        # flight on device while another resolves — the same double-buffering
-        # as the estimator dispatch loops.
-        self._resolve_q: "queue.Queue" = queue.Queue(maxsize=1)
+        # Dispatch pipeline: the worker launches the (async) device batch
+        # and hands the un-fetched result here; resolver threads do the
+        # blocking host fetches.  The round-4 stage decomposition showed
+        # resolve_wait ~= device_fetch under load — ONE resolver serializes
+        # result fetches behind each other while np.asarray releases the
+        # GIL, so a small pool overlaps them; queue depth = pool size keeps
+        # at most `resolvers` batches in flight on device while another
+        # coalesces (bounded, same double-buffering idea as the estimator
+        # dispatch loops).
+        self._resolve_q: "queue.Queue" = queue.Queue(
+            maxsize=self.resolvers
+        )
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
         self.stats: Dict[str, float] = {
@@ -130,10 +138,13 @@ class MicroBatcher:
         except Exception:  # noqa: BLE001 — purely a dev-env guard
             pass
         self._worker = threading.Thread(target=self._loop, daemon=True)
-        self._resolver = threading.Thread(target=self._resolve_loop,
-                                          daemon=True)
+        self._resolver_threads = [
+            threading.Thread(target=self._resolve_loop, daemon=True)
+            for _ in range(self.resolvers)
+        ]
         self._worker.start()
-        self._resolver.start()
+        for t in self._resolver_threads:
+            t.start()
 
     # -- public API -----------------------------------------------------------
 
@@ -181,7 +192,8 @@ class MicroBatcher:
         # drains below are race-free; if a join times out mid-device-call,
         # the worker still fails its own batch via the stop-aware put.
         self._worker.join(timeout=5.0)
-        self._resolver.join(timeout=5.0)
+        for t in self._resolver_threads:
+            t.join(timeout=5.0)
         # Fail anything still queued — otherwise a caller blocked on
         # Future.result() waits forever on a request no worker will serve.
         while True:
@@ -398,11 +410,13 @@ class SearchServer:
         window_ms: float = 2.0,
         max_batch: int = 256,
         max_pending: int = 4096,
+        resolvers: int = 2,
     ) -> None:
         self.index = index
         self.batcher = MicroBatcher(index, window_ms=window_ms,
                                     max_batch=max_batch,
-                                    max_pending=max_pending)
+                                    max_pending=max_pending,
+                                    resolvers=resolvers)
         self._encoder = None
         self._encoder_lock = threading.Lock()
         server = self
