@@ -370,7 +370,7 @@ def main() -> None:
                         queries_h[s_ : s_ + 128], n_d, eta, ep,
                         k=K, m=m, normalize=True, blockmax_select=True,
                         int8_queries=True, pallas_stage1=True,
-                        fused_bmax=True, pallas_block=4096,
+                        fused_bmax=True,
                     )
                     outs.append(v)
                 float(outs[-1][0, 0])  # value-fetch sync
@@ -626,8 +626,7 @@ def main() -> None:
                             qep, qsp, embp, sqnp, payp, q, n_d,
                             eta, ep, k=k, m=m, normalize=True,
                             pallas_stage1=True, int8_queries=True,
-                            blockmax_select=True, fused_bmax=True,
-                            pallas_block=4096), kk,
+                            blockmax_select=True, fused_bmax=True), kk,
                         qblock=128,
                     )
                     extras["int8_batched_fused_recall_vs_f32_at_k10"] = (

@@ -104,14 +104,16 @@ class QuantizedIndex(BaseIndex):
     def _fused_bmax_block(self, n_queries: int) -> int:
         """Stream-block size for the fused stage-1+blockmax kernel, or 0.
 
-        The kernel's VMEM budget is the [Q, block] f32 accumulator plus the
-        double-buffered [block, D] int8 in-tiles; large batches shrink the
-        stream block (power-of-two multiples of the 128-lane sub-block, so
-        any power-of-two capacity stays divisible) to keep the accumulator
-        ~<= 2 MB.  Returns 0 when fusion cannot engage (blockmax off,
-        Pallas unavailable, capacity misaligned, Mosaic probe failed)."""
+        The kernel dispatches at the query-major BMAX_BLOCK layout for
+        EVERY batch size: quantized_search chunks batches above
+        BLOCKMAX_REFINE_MAX_Q into 32-query groups under lax.map, re-running
+        the small-Q fused pipeline per group (one corpus re-read per group
+        — measured cheaper than any [Q, cap]-materializing path at
+        Q=128 x 1M: see scan_breakdown batched128_* rows).  Returns 0 when
+        fusion cannot engage (blockmax off, Pallas unavailable, capacity
+        misaligned, Mosaic probe failed)."""
+        del n_queries  # chunked internally; the kernel always runs Q<=32
         from ..ops.pallas_search import (
-            BLOCK_SUB_ALIGN,
             BMAX_BLOCK,
             bmax_kernel_supported,
             pallas_available,
@@ -124,21 +126,12 @@ class QuantizedIndex(BaseIndex):
             and self.use_pallas
             and pallas_available()
             and (not self.int8_queries or s8_kernel_supported())
+            and cap % BMAX_BLOCK == 0
+            and cap >= 4 * BMAX_BLOCK
+            and bmax_kernel_supported(self.int8_queries)
         ):
             return 0
-        budget_rows = max(1, (2 << 20) // (4 * max(1, n_queries)))
-        # Transposed (corpus-major) kernel lower bound: (block/128) % 8.
-        min_block = 8 * BLOCK_SUB_ALIGN
-        block = min_block
-        while block * 2 <= min(BMAX_BLOCK, budget_rows):
-            block *= 2
-        if block > budget_rows or cap % block or cap < 4 * block:
-            return 0
-        transposed = (block // BLOCK_SUB_ALIGN) % BLOCK_SUB_ALIGN != 0 \
-            and block != cap
-        if not bmax_kernel_supported(self.int8_queries, transposed):
-            return 0
-        return block
+        return BMAX_BLOCK
 
     def build(self, **kwargs: Any) -> None:
         if len(self.store) == 0:

@@ -166,6 +166,47 @@ def quantized_search(
             and (bmax_block // BLOCKMAX_SUB) % 8 == 0
         )
 
+    # Large batches through the fused kernel: CHUNK the queries and re-run
+    # the whole small-Q fused pipeline per 32-query group under lax.map —
+    # the corpus is re-read once per group (G x 256 MB at 1M docs), which
+    # measured CHEAPER than any path that materializes/roundtrips [Q, cap]
+    # scores (the group's kernel pass runs at the streaming-scan rate, and
+    # selection + block-granular refine stay smallQ-shaped).  The
+    # alternative single-pass designs both lose at Q=128 x 1M on one v5e:
+    # materialized score-gather 31.5 us/query (512 MB f32 written+re-read),
+    # transposed fused kernel + int8 block re-score 52.9 us/query
+    # (scan_breakdown batched128_* rows).
+    if use_fused and nq > BLOCKMAX_REFINE_MAX_Q:
+        g = BLOCKMAX_REFINE_MAX_Q
+        n_groups = -(-nq // g)
+        pad_rows = n_groups * g - nq
+        qpad = (
+            jnp.concatenate(
+                [q, jnp.broadcast_to(q[:1], (pad_rows, q.shape[1]))]
+            )
+            if pad_rows else q
+        )
+
+        def one(qc: jax.Array) -> tuple[jax.Array, jax.Array]:
+            # normalize passes through unchanged — it selects the METRIC
+            # (cosine fold vs L2 fold), not just the unit-norm step; q is
+            # already normalized so the inner re-normalize is an
+            # idempotent no-op under cosine.
+            return quantized_search(
+                emb_i8, scales, emb_f32, sqnorms, payloads, qc, n_valid,
+                eta, entropy_pref, k=k, m=m, normalize=normalize,
+                approx_select=approx_select, pallas_stage1=True,
+                pallas_block=pallas_block, interpret=interpret,
+                int8_queries=int8_queries, bf16_scores=bf16_scores,
+                blockmax_select=True, fused_bmax=True,
+            )
+
+        s_g, i_g = jax.lax.map(one, qpad.reshape(n_groups, g, q.shape[1]))
+        return (
+            s_g.reshape(n_groups * g, k)[:nq],
+            i_g.reshape(n_groups * g, k)[:nq],
+        )
+
     valid = jnp.arange(emb_i8.shape[0], dtype=jnp.int32) < n_valid
     if bf16_scores and not use_fused:
         # Center the fold's additive term on its valid-row mean (a scalar
@@ -295,40 +336,18 @@ def quantized_search(
         ).reshape(nq, s * BLOCKMAX_SUB)                 # [Q, s*128]
         if nq > BLOCKMAX_REFINE_MAX_Q:
             # Large batches: block-granular refine traffic (s*128 D-dim
-            # rows/query) outgrows the flat path's m rows.  Narrow the
-            # candidates to the stage-1 top-m FIRST (so only m rows are
-            # row-gathered for the f32 refine), using per-candidate stage-1
-            # scores obtained one of two ways:
-            if use_fused:
-                # Fused kernel: the [Q, cap] matrix was never materialized
-                # (that is the whole point — at Q=128 x 1M it would be
-                # 512 MB written + re-read).  RECOMPUTE stage-1 scores for
-                # just the winning blocks from gathered int8 rows:
-                # Q*s*128*D int8 (~50 MB at Q=128, s=12, D=256) + one small
-                # batched matmul — a fraction of the materialized path's
-                # traffic.  bf16 recompute only decides which candidates
-                # make the top-m; stage 2 re-ranks exactly in f32.
-                d = emb_i8.shape[1]
-                e8b = emb_i8.reshape(nb, BLOCKMAX_SUB, d)[bid]  # [Q,s,128,D]
-                e8b = e8b.reshape(nq, s * BLOCKMAX_SUB, d)
-                multb = mult.reshape(nb, BLOCKMAX_SUB)[bid].reshape(nq, -1)
-                addb = add.reshape(nb, BLOCKMAX_SUB)[bid].reshape(nq, -1)
-                acc = jnp.einsum(
-                    "qd,qnd->qn", q.astype(jnp.bfloat16),
-                    e8b.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
-                cs = acc * multb + addb                     # [Q, s*128]
-            else:
-                # Materialized stage-1: gather the winning blocks' scores
-                # (s*128 scalars/query — cheap).  Selection still provably
-                # covers the stage-1 top-(k+2) margin the small-Q variant
-                # relies on.
-                assert adj1 is not None
-                cs = jnp.take_along_axis(
-                    adj1.reshape(nq, nb, BLOCKMAX_SUB), bid[:, :, None],
-                    axis=1,
-                ).reshape(nq, s * BLOCKMAX_SUB).astype(jnp.float32)
+            # rows/query) outgrows the flat path's m rows.  Gather the
+            # winning blocks' stage-1 SCORES (s*128 scalars/query — cheap),
+            # take top-m within them, and row-gather only m docs — the
+            # same refine traffic as the approx/flat paths, with selection
+            # that still provably covers the stage-1 top-(k+2) margin.
+            # (The fused kernel never reaches here: large fused batches
+            # return through the chunked lax.map dispatch above.)
+            assert adj1 is not None
+            cs = jnp.take_along_axis(
+                adj1.reshape(nq, nb, BLOCKMAX_SUB), bid[:, :, None],
+                axis=1,
+            ).reshape(nq, s * BLOCKMAX_SUB).astype(jnp.float32)
             _, pos1 = jax.lax.top_k(cs, m)              # [Q, m]
             cand = jnp.take_along_axis(cand, pos1, axis=1)
             ce, cp, csq = emb_f32[cand], payloads[cand], sqnorms[cand]

@@ -127,8 +127,11 @@ def main() -> int:
                 ms.append(max(dt, 0.0) * 1e3 / chain)
             p50 = float(np.percentile(ms, 50))
             row = {"p50_ms": round(p50, 4)}
-            if read_bytes:
+            if read_bytes and p50 > 1e-6:
                 row["effective_gbps"] = round(read_bytes / (p50 * 1e-3) / 1e9, 1)
+            elif read_bytes:
+                row["note"] = "below RTT-floor measurement resolution"
+
             results[name] = row
             print(f"{name:24s} {row}", flush=True)
         except Exception as e:  # noqa: BLE001 — keep profiling the rest
@@ -303,9 +306,32 @@ def main() -> int:
             results["batched128_blockmax_scoregather"]["p50_ms"] / 128 * 1e3,
             2)
 
-    # Fused stage-1+blockmax at Q=128 (round-4): the transposed corpus-major
-    # kernel emits [nb, Q] maxima (no [Q, cap] matrix in HBM at all);
-    # candidate stage-1 scores are recomputed from gathered int8 blocks.
+    # bf16 stage-1 scores + blockmax score-gather: halves the [Q, cap]
+    # writeback AND the bmax/selection reads (the dominant batched traffic:
+    # 512 MB f32 written + re-read at Q=128 x 1M becomes 256 MB bf16).
+    def batched_blockmax_bf16(carry, e8, sc, e, sq, p, q128):
+        q, acc = carry
+        v, _ = quantized_search(
+            e8, sc, e, sq, p, q128 + 1e-12 * acc, jnp.int32(n),
+            jnp.float32(0.25), jnp.float32(0.1), k=10, m=args.m,
+            normalize=True, blockmax_select=True, int8_queries=True,
+            bf16_scores=True)
+        s = v[0, 0]
+        return q, acc + s
+
+    chained("batched128_blockmax_bf16", batched_blockmax_bf16,
+            emb_i8, scales, emb, sqn, pay, qb, read_bytes=corpus_bytes)
+    if "batched128_blockmax_bf16" in results and \
+            "p50_ms" in results["batched128_blockmax_bf16"]:
+        results["batched128_blockmax_bf16"]["per_query_us"] = round(
+            results["batched128_blockmax_bf16"]["p50_ms"] / 128 * 1e3, 2)
+
+    # Fused stage-1+blockmax at Q=128 (round-4): the batch chunks into
+    # 32-query groups (lax.map), each re-running the small-Q fused kernel
+    # — one corpus pass per group, no [Q, cap] matrix ever.  (The
+    # single-pass transposed-kernel alternative measured 52.9 us/query —
+    # its sublane max-reduce + int8 block re-score cost more than the
+    # [Q, cap] roundtrip they avoid — and was replaced by this route.)
     if pallas_available():
         def batched_fused(carry, e8, sc, e, sq, p, q128):
             q, acc = carry
@@ -313,16 +339,17 @@ def main() -> int:
                 e8, sc, e, sq, p, q128 + 1e-12 * acc, jnp.int32(n),
                 jnp.float32(0.25), jnp.float32(0.1), k=10, m=args.m,
                 normalize=True, blockmax_select=True, int8_queries=True,
-                pallas_stage1=True, fused_bmax=True, pallas_block=4096)
+                pallas_stage1=True, fused_bmax=True)
             s = v[0, 0]
             return q, acc + s
 
-        chained("batched128_fused_bmax", batched_fused,
-                emb_i8, scales, emb, sqn, pay, qb, read_bytes=corpus_bytes)
-        if "batched128_fused_bmax" in results and \
-                "p50_ms" in results["batched128_fused_bmax"]:
-            results["batched128_fused_bmax"]["per_query_us"] = round(
-                results["batched128_fused_bmax"]["p50_ms"] / 128 * 1e3, 2)
+        chained("batched128_fused_chunked", batched_fused,
+                emb_i8, scales, emb, sqn, pay, qb,
+                read_bytes=4 * corpus_bytes)  # 4 groups x one corpus pass
+        if "batched128_fused_chunked" in results and \
+                "p50_ms" in results["batched128_fused_chunked"]:
+            results["batched128_fused_chunked"]["per_query_us"] = round(
+                results["batched128_fused_chunked"]["p50_ms"] / 128 * 1e3, 2)
 
     if pallas_available():
         from dewi_tpu.ops.pallas_search import pallas_int8_search
