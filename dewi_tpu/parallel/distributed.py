@@ -220,9 +220,17 @@ class ShardedQuantizedSearcher:
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
         # Same VMEM-bound query-count guard as QuantizedIndex: the Pallas
         # kernel materialises a [Q, SCORES_BLOCK] out tile per step.
-        # Blockmax selection engages on BOTH branches; the large branch
-        # takes the score-gather refine inside quantized_search.
-        fn = self._fn_small if q.shape[0] <= 32 else self._fn_large
+        # Blockmax selection engages on BOTH branches.  With the fused
+        # kernel probed OK, large batches ALSO take the small path: inside
+        # quantized_search they chunk into 32-query groups under lax.map
+        # (one shard pass per group — the round-4 chunked route, measured
+        # cheaper than the score-gather refine); without fusion the large
+        # branch keeps XLA stage-1 + score-gather.
+        fn = (
+            self._fn_small
+            if q.shape[0] <= 32 or self._fused_bmax
+            else self._fn_large
+        )
         return fn(
             self._q_emb, self._scales, emb, sqn, pay, q, n,
             jnp.float32(eta), jnp.float32(entropy_pref),
