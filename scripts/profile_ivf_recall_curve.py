@@ -73,25 +73,35 @@ def main() -> int:
     print(f"Device: {jax.devices()[0]}", flush=True)
     keys = jax.random.split(jax.random.PRNGKey(7), 8)
     centers = jax.random.normal(keys[0], (nc, d), jnp.float32) * 3.0
+    jax.block_until_ready(centers)
+    print("centers ready", flush=True)
     # Zipf mode sizes; labels sampled on HOST — jax.random.categorical
     # materializes an [n, nc] gumbel matrix (16 GB at 1M x 4096 modes).
     w = 1.0 / (np.arange(nc) + 1.0)
     labels = jnp.asarray(
         np.random.default_rng(11).choice(nc, size=n, p=w / w.sum())
     )
+    jax.block_until_ready(labels)
+    print("labels uploaded", flush=True)
     emb = centers[labels] + jax.random.normal(keys[2], (n, d), jnp.float32)
+    jax.block_until_ready(emb)
+    print("emb ready", flush=True)
     # Serving-realistic payloads: the dewi column (pay[:, 0]) is a SIGMOID
     # output in [0, 1] in production (scorer.py) — round 3's gamma-valued
     # dewi (up to ~8) dominated the adjusted score at any eta, making
     # ground truth ≈ the global top-dewi set, which the always-scanned
     # dewi_tier then recovers at any nprobe (the saturated-1.0 artifact).
-    pay = jax.random.gamma(jax.random.PRNGKey(1), 2.0, (n, 8)).astype(
-        jnp.float32
+    # Payloads generated HOST-side: jax.random.gamma's rejection-sampler
+    # compile is minutes-slow over the axon remote-compile tunnel.
+    pay_np = np.random.default_rng(1).gamma(2.0, size=(n, 8)).astype(
+        np.float32
     )
-    pay = pay.at[:, 0].set(
-        jax.random.uniform(jax.random.PRNGKey(2), (n,), jnp.float32)
+    pay_np[:, 0] = np.random.default_rng(2).uniform(size=n).astype(
+        np.float32
     )
-    jax.block_until_ready(emb)
+    pay = jnp.asarray(pay_np)
+    jax.block_until_ready(pay)
+    print("payloads ready", flush=True)
     ids = [str(i) for i in range(n)]
 
     nq = args.n_queries
