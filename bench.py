@@ -17,6 +17,7 @@ Sections (DEWI_BENCH_SECTIONS=comma list; default all at 1M scale,
 "core,recall" below 100k so the CI smoke stays fast):
   core    — build + f32/bf16 chained p50 + batched QPS
   int8    — quantized-tier chained p50
+  int4    — int4-packed two-stage tier (half the stage-1 HBM bytes)
   recall  — 1000-query recall vs f32 exact at k=10 and k=100 (bf16, int8)
   ivf     — device-side 1M IVF build, batched latency + recall (random and
             clustered corpora; random is IVF's worst case)
@@ -25,13 +26,24 @@ Sections (DEWI_BENCH_SECTIONS=comma list; default all at 1M scale,
   signals — small-preset signal backbones (device-resident docs/sec) + the
             combined full-signal 1M single-chip estimate
 
-Prints ONE JSON line:
+Emission protocol (VERDICT r4 #1 — a driver timeout must never erase the
+run): the result JSON line is (re)printed after EVERY completed section,
+each time with everything measured so far; the LAST line printed is
+authoritative.  A SIGTERM/SIGALRM triggers a final best-effort emission.
+DEWI_BENCH_TIME_BUDGET_S (default 1140 s) is a soft deadline: once
+exceeded, remaining sections are skipped and recorded in
+extras.skipped_sections.  Sections run headline-first (core chained p50 →
+int8 variants → recall k=10, which gates the headline) so even a severely
+truncated run still contains the headline number and its recall gate.
+
+Line format:
   {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N, ...extras}
 vs_baseline is the speedup over the reference's 22 ms 1M-doc query latency.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -122,6 +134,73 @@ def main() -> None:
             time.sleep(30.0)
 
     extras: dict = {}
+    extras["latency_method"] = (
+        f"chained on-device loop ({CHAIN} serialized searches per dispatch)"
+    )
+    extras["n_docs"] = N_DOCS
+    extras["dim"] = DIM
+    extras["device"] = str(jax.devices()[0])
+
+    # ---- incremental-emission machinery (VERDICT r4 #1) ------------------
+    # The headline is the fastest tier whose measured recall vs f32 exact
+    # over the full query set meets BASELINE.md's >=0.99 gate (BASELINE.md:29).
+    # Candidates register as (label, p50_ms, recall_extras_key); a None key
+    # means exact-by-construction (recall 1.0).  emit() recomputes the
+    # headline from whatever has been measured so far and prints the full
+    # JSON line — called after every section, so the last printed line is
+    # always a complete, honest snapshot.
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("DEWI_BENCH_TIME_BUDGET_S", 1140))
+    skipped: list = []
+    sect_s: dict = {}
+    cands: list = []
+
+    def elapsed() -> float:
+        return time.perf_counter() - t_start
+
+    def over_budget(margin: float = 0.0) -> bool:
+        return budget_s > 0 and elapsed() + margin >= budget_s
+
+    def emit() -> None:
+        pool = []
+        for label, p50, rkey in cands:
+            rec = 1.0 if rkey is None else extras.get(rkey)
+            if rec is not None and float(rec) >= 0.99:
+                pool.append((p50, float(rec), label))
+        if not pool:
+            return  # nothing measured yet — keep whatever was last printed
+        headline, head_recall, head_tier = min(pool, key=lambda c: c[0])
+        extras["headline_tier"] = head_tier
+        extras["recall_vs_exact"] = round(head_recall, 6)
+        extras["elapsed_s"] = round(elapsed(), 1)
+        extras["skipped_sections"] = list(skipped)
+        extras["section_seconds"] = {k: round(v, 1) for k, v in
+                                     sect_s.items()}
+        print(
+            json.dumps(
+                {
+                    "metric": "p50_query_latency_1M_docs_k10",
+                    "value": round(headline, 4),
+                    "unit": "ms",
+                    "vs_baseline": round(BASELINE_QUERY_MS / headline, 2),
+                    "extras": extras,
+                }
+            ),
+            flush=True,
+        )
+
+    def _on_signal(signum: int, frame: object) -> None:
+        skipped.append(f"interrupted_by_signal_{signum}")
+        emit()
+        os._exit(124)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGALRM, _on_signal)
+    if budget_s > 0:
+        # Last-resort alarm: if a section wedges past the soft deadline
+        # (e.g. a tunnel stall mid-call), emit what we have and bail.
+        signal.alarm(int(budget_s + 120))
+
     key = jax.random.PRNGKey(0)
     k_emb, k_sig, k_q = jax.random.split(key, 3)
 
@@ -153,6 +232,7 @@ def main() -> None:
     extras["index_score_build_s"] = round(build_s, 2)
     extras["index_docs_per_sec"] = round(N_DOCS / build_s, 1)
     extras["build_vs_baseline"] = round(BASELINE_BUILD_S / build_s, 1)
+    sect_s["build"] = build_s
 
     emb_d, sqn_d, pay_d, n_d = index.store.device_arrays()
     eta = jnp.float32(0.25)
@@ -211,8 +291,11 @@ def main() -> None:
             ms.append(max(dt, 0.0) * 1e3 / CHAIN)
         return float(np.percentile(ms, 50))
 
+    t_sec = time.perf_counter()
     p50_device = chained_p50(chained, emb_d, sqn_d, pay_d, n_d)
     extras["f32_p50_ms"] = round(p50_device, 4)
+    cands.append(("f32 exact", p50_device, None))
+    emit()  # first complete headline snapshot: f32 exact, recall 1.0
 
     # Blockmax selection — the ExactIndex DEFAULT since round 3: value-
     # exact hierarchical select replacing the flat [Q, cap] lax.top_k
@@ -234,6 +317,7 @@ def main() -> None:
     p50_f32_bm = chained_p50(chained_bm, emb_d, sqn_d, pay_d, n_d)
     extras["f32_blockmax_p50_ms"] = round(p50_f32_bm, 4)
     p50_device = min(p50_device, p50_f32_bm)  # same values; best route
+    cands.append(("f32 exact", p50_f32_bm, None))
 
     # ---- bf16 storage variant (the recommended serving config) -----------
     emb16 = emb_d.astype(jnp.bfloat16)
@@ -243,6 +327,7 @@ def main() -> None:
     extras["bf16_blockmax_p50_ms"] = round(p50_bf16_bm, 4)
     if p50_bf16_bm < p50_bf16:
         p50_bf16 = p50_bf16_bm
+    cands.append(("bf16-store exact", p50_bf16, "bf16_recall_vs_f32_at_k10"))
 
     # bf16 exact via the streaming Pallas scores kernel (ExactIndex's
     # default route for bf16 stores): identical results, epilogue rides
@@ -273,8 +358,12 @@ def main() -> None:
             extras["bf16_pallas_p50_ms"] = round(p50_bf16_pl, 4)
             if p50_bf16_pl < p50_bf16:
                 p50_bf16 = p50_bf16_pl  # same results; candidate uses best
+                cands.append(("bf16-store exact", p50_bf16,
+                              "bf16_recall_vs_f32_at_k10"))
         except Exception as e:  # noqa: BLE001
             extras["bf16_pallas_error"] = str(e)[:200]
+    sect_s["core_chained"] = time.perf_counter() - t_sec
+    emit()
 
     # ---- int8 quantized tier ----------------------------------------------
     p50_int8 = p50_int8_pallas = p50_int8_s8 = p50_int8_pallas_s8 = None
@@ -282,7 +371,11 @@ def main() -> None:
     p50_int8_pallas_s8_bmf = None
     q_emb = q_scales = None
     embp = sqnp = payp = qep = qsp = None
+    if "int8" in SECTIONS and over_budget(margin=60.0):
+        skipped.append("int8")
+        SECTIONS.discard("int8")
     if "int8" in SECTIONS:
+        t_sec = time.perf_counter()
         q_emb, q_scales = quantize_rows(emb_d)
         jax.block_until_ready(q_emb)
         m = min(max(K * 8, 32), N_DOCS)
@@ -305,6 +398,8 @@ def main() -> None:
             chained_int8, q_emb, q_scales, emb_d, sqn_d, pay_d, n_d
         )
         extras["int8_p50_ms"] = round(p50_int8, 4)
+        cands.append(("int8 two-stage refined", p50_int8,
+                      "int8_recall_vs_f32_at_k10"))
 
         # s8xs8 stage-1: quantize the query too — native int8 MXU dot (2x
         # int8 throughput on v5e, no int8->bf16 convert on the corpus
@@ -329,60 +424,8 @@ def main() -> None:
             chained_int8_s8, q_emb, q_scales, emb_d, sqn_d, pay_d, n_d
         )
         extras["int8_s8_p50_ms"] = round(p50_int8_s8, 4)
-
-        # Batched serving on the int8 tier: 4x less stage-1 HBM read than
-        # the bf16 exact scan; 128-query blocks keep the [Q, cap] adjusted
-        # matrix at 512 MB.
-        def int8_batched_pass():
-            outs = []
-            for s in range(0, N_QUERIES, 128):
-                v, _ = quantized_search(
-                    q_emb, q_scales, emb_d, sqn_d, pay_d,
-                    queries_h[s : s + 128], n_d, eta, ep,
-                    k=K, m=m, normalize=True, approx_select=True,
-                )
-                outs.append(v)
-            float(outs[-1][0, 0])  # value-fetch sync
-
-        int8_batched_pass()  # compile
-        t0 = time.perf_counter()
-        int8_batched_pass()
-        int8_b = (time.perf_counter() - t0) / N_QUERIES * 1e3
-        extras["int8_batched_ms_per_query"] = round(int8_b, 4)
-        extras["int8_batched_qps"] = round(1e3 / int8_b, 1)
-
-        # Fused-bmax batched route (round 4): the transposed corpus-major
-        # kernel emits [nb, Q] maxima — no [Q, cap] matrix in HBM — and
-        # candidate stage-1 scores are recomputed from gathered int8
-        # blocks.  Recall measured in the recall section (qblock=128).
-        from dewi_tpu.ops.pallas_search import (
-            bmax_kernel_supported as _bmk,
-            pallas_available as _pav,
-        )
-
-        if (_pav() and emb_d.shape[0] % 4096 == 0
-                and _bmk(True, transposed=True)):
-            def int8_batched_fused_pass():
-                outs = []
-                for s_ in range(0, N_QUERIES, 128):
-                    v, _ = quantized_search(
-                        q_emb, q_scales, emb_d, sqn_d, pay_d,
-                        queries_h[s_ : s_ + 128], n_d, eta, ep,
-                        k=K, m=m, normalize=True, blockmax_select=True,
-                        int8_queries=True, pallas_stage1=True,
-                        fused_bmax=True,
-                    )
-                    outs.append(v)
-                float(outs[-1][0, 0])  # value-fetch sync
-
-            try:
-                int8_batched_fused_pass()  # compile
-                t0 = time.perf_counter()
-                int8_batched_fused_pass()
-                int8_bf = (time.perf_counter() - t0) / N_QUERIES * 1e3
-                extras["int8_batched_fused_ms_per_query"] = round(int8_bf, 4)
-            except Exception as e:  # noqa: BLE001
-                extras["int8_batched_fused_error"] = str(e)[:200]
+        cands.append(("int8 two-stage refined (s8xs8 stage-1)", p50_int8_s8,
+                      "int8_s8_recall_vs_f32_at_k10"))
 
         # Pallas-stage-1 variant at DocStore capacity (power-of-two padding —
         # the production QuantizedIndex layout, which auto-routes here).
@@ -433,7 +476,26 @@ def main() -> None:
             else:
                 variants.insert(0, (False, False, False, False,
                                     "int8_cap_p50_ms"))
+            _cand_info = {
+                "int8_pallas_cap_p50_ms": (
+                    "int8 two-stage refined (Pallas stage-1)",
+                    "int8_pallas_recall_vs_f32_at_k10"),
+                "int8_pallas_s8_p50_ms": (
+                    "int8 two-stage refined (s8xs8 Pallas stage-1)",
+                    "int8_pallas_s8_recall_vs_f32_at_k10"),
+                "int8_pallas_s8_blockmax_p50_ms": (
+                    "int8 two-stage refined (s8xs8 Pallas stage-1, "
+                    "blockmax select)",
+                    "int8_pallas_s8_blockmax_recall_vs_f32_at_k10"),
+                "int8_pallas_s8_bmfused_p50_ms": (
+                    "int8 two-stage refined (fused s8 stage-1+blockmax "
+                    "kernel)",
+                    "int8_pallas_s8_bmfused_recall_vs_f32_at_k10"),
+            }
             for use_pl, s8, bm, fz, name in variants:
+                if over_budget(margin=30.0):
+                    skipped.append(f"int8_variant:{name}")
+                    continue
                 @jax.jit
                 def chained_int8_cap(qe, qs, emb_a, sqn_a, pay_a, n_a, q0,
                                      _pl=use_pl, _s8=s8, _bm=bm, _fz=fz):
@@ -458,6 +520,9 @@ def main() -> None:
                         chained_int8_cap, qep, qsp, embp, sqnp, payp, n_d
                     )
                     extras[name] = round(p50, 4)
+                    if name in _cand_info:
+                        _lbl, _rk = _cand_info[name]
+                        cands.append((_lbl, p50, _rk))
                     if use_pl and s8 and bm and fz:
                         p50_int8_pallas_s8_bmf = p50
                     elif use_pl and s8 and bm:
@@ -516,6 +581,68 @@ def main() -> None:
             # padded arrays stay alive for the recall section (the Pallas
             # tier's recall must be measured on the exact config benched).
 
+        # Batched serving on the int8 tier: 4x less stage-1 HBM read than
+        # the bf16 exact scan; 128-query blocks keep the [Q, cap] adjusted
+        # matrix at 512 MB.  Runs AFTER the chained (headline) variants so
+        # a budget cut loses throughput rows, never the headline.
+        if not over_budget(margin=45.0):
+            def int8_batched_pass():
+                outs = []
+                for s in range(0, N_QUERIES, 128):
+                    v, _ = quantized_search(
+                        q_emb, q_scales, emb_d, sqn_d, pay_d,
+                        queries_h[s : s + 128], n_d, eta, ep,
+                        k=K, m=m, normalize=True, approx_select=True,
+                    )
+                    outs.append(v)
+                float(outs[-1][0, 0])  # value-fetch sync
+
+            int8_batched_pass()  # compile
+            t0 = time.perf_counter()
+            int8_batched_pass()
+            int8_b = (time.perf_counter() - t0) / N_QUERIES * 1e3
+            extras["int8_batched_ms_per_query"] = round(int8_b, 4)
+            extras["int8_batched_qps"] = round(1e3 / int8_b, 1)
+        else:
+            skipped.append("int8_batched")
+
+        # Fused-bmax batched route (round 4): the transposed corpus-major
+        # kernel emits [nb, Q] maxima — no [Q, cap] matrix in HBM — and
+        # candidate stage-1 scores are recomputed from gathered int8
+        # blocks.  Recall measured in the recall section (qblock=128).
+        from dewi_tpu.ops.pallas_search import (
+            bmax_kernel_supported as _bmk,
+            pallas_available as _pav,
+        )
+
+        if (_pav() and emb_d.shape[0] % 4096 == 0
+                and _bmk(True, transposed=True)
+                and not over_budget(margin=45.0)):
+            def int8_batched_fused_pass():
+                outs = []
+                for s_ in range(0, N_QUERIES, 128):
+                    v, _ = quantized_search(
+                        q_emb, q_scales, emb_d, sqn_d, pay_d,
+                        queries_h[s_ : s_ + 128], n_d, eta, ep,
+                        k=K, m=m, normalize=True, blockmax_select=True,
+                        int8_queries=True, pallas_stage1=True,
+                        fused_bmax=True,
+                    )
+                    outs.append(v)
+                float(outs[-1][0, 0])  # value-fetch sync
+
+            try:
+                int8_batched_fused_pass()  # compile
+                t0 = time.perf_counter()
+                int8_batched_fused_pass()
+                int8_bf = (time.perf_counter() - t0) / N_QUERIES * 1e3
+                extras["int8_batched_fused_ms_per_query"] = round(int8_bf, 4)
+            except Exception as e:  # noqa: BLE001
+                extras["int8_batched_fused_error"] = str(e)[:200]
+
+        sect_s["int8"] = time.perf_counter() - t_sec
+        emit()
+
     # ---- recall vs f32 exact: full query set, k=10 and k=100 ---------------
     # Queries run in blocks: a single [1000, 1M] f32 score matrix is 4 GB of
     # HBM; 128-query blocks keep the intermediate at 512 MB.
@@ -532,8 +659,15 @@ def main() -> None:
     int8_pallas_s8_recall = 0.0
     int8_pallas_s8_bm_recall = 0.0
     int8_pallas_s8_bmf_recall = 0.0
+    if "recall" in SECTIONS and over_budget():
+        skipped.append("recall")
+        SECTIONS.discard("recall")
     if "recall" in SECTIONS:
+        t_sec = time.perf_counter()
         for kk in (10, min(100, N_DOCS)):
+            if kk != 10 and over_budget(margin=60.0):
+                skipped.append(f"recall_k{kk}")
+                continue
             idx_f32 = blocked_idx(
                 lambda q, k: fused_search(emb_d, sqn_d, pay_d, q, n_d, eta,
                                           ep, k=k, normalize=True), kk
@@ -650,36 +784,50 @@ def main() -> None:
                     extras["int8_pallas_s8_bmfused_recall_vs_f32_at_k10"] = (
                         round(int8_pallas_s8_bmf_recall, 6)
                     )
+            if kk == 10:
+                extras["recall_queries"] = N_QUERIES
+                sect_s["recall_k10"] = time.perf_counter() - t_sec
+                emit()  # headline now recall-gated on the full query set
         extras["recall_queries"] = N_QUERIES
+        sect_s["recall"] = time.perf_counter() - t_sec
+        emit()
     if embp is not None:
         del embp, sqnp, payp, qep, qsp
 
     # ---- raw single-dispatch latency (includes host<->device RTT) --------
-    q0 = queries_h[:1]
-    float(index.search_batch(q0, k=K, eta=0.25, entropy_pref=0.1)[0][0, 0])
-    raw_ms = []
-    for i in range(min(50, N_QUERIES)):
-        t = time.perf_counter()
-        s, _ = index.search_batch(queries_h[i : i + 1], k=K, eta=0.25,
-                                  entropy_pref=0.1)
-        float(s[0, 0])
-        raw_ms.append((time.perf_counter() - t) * 1e3)
-    extras["raw_dispatch_p50_ms_incl_host_rtt"] = round(
-        float(np.percentile(raw_ms, 50)), 4
-    )
+    if not over_budget(margin=30.0):
+        q0 = queries_h[:1]
+        float(index.search_batch(q0, k=K, eta=0.25,
+                                 entropy_pref=0.1)[0][0, 0])
+        raw_ms = []
+        for i in range(min(50, N_QUERIES)):
+            t = time.perf_counter()
+            s, _ = index.search_batch(queries_h[i : i + 1], k=K, eta=0.25,
+                                      entropy_pref=0.1)
+            float(s[0, 0])
+            raw_ms.append((time.perf_counter() - t) * 1e3)
+        extras["raw_dispatch_p50_ms_incl_host_rtt"] = round(
+            float(np.percentile(raw_ms, 50)), 4
+        )
+    else:
+        skipped.append("raw_dispatch")
 
     # ---- batched QPS (all queries in one fused call) -----------------------
-    s, _ = index.search_batch(queries_h, k=K, eta=0.25, entropy_pref=0.1)
-    float(s[0, 0])  # compile the [Q, D] shape
-    batch_s = []
-    for _ in range(3):
-        t = time.perf_counter()
+    if not over_budget(margin=30.0):
         s, _ = index.search_batch(queries_h, k=K, eta=0.25, entropy_pref=0.1)
-        float(s[0, 0])
-        batch_s.append(max(time.perf_counter() - t - sync_floor_s, 0.0))
-    batch_s = min(batch_s)
-    extras["batched_qps"] = round(N_QUERIES / batch_s, 1)
-    extras["batched_ms_per_query"] = round(batch_s / N_QUERIES * 1e3, 4)
+        float(s[0, 0])  # compile the [Q, D] shape
+        batch_s = []
+        for _ in range(3):
+            t = time.perf_counter()
+            s, _ = index.search_batch(queries_h, k=K, eta=0.25,
+                                      entropy_pref=0.1)
+            float(s[0, 0])
+            batch_s.append(max(time.perf_counter() - t - sync_floor_s, 0.0))
+        batch_s = min(batch_s)
+        extras["batched_qps"] = round(N_QUERIES / batch_s, 1)
+        extras["batched_ms_per_query"] = round(batch_s / N_QUERIES * 1e3, 4)
+    else:
+        skipped.append("batched_qps")
 
     # ---- memory footprint ---------------------------------------------------
     extras["index_hbm_gb_f32"] = round(
@@ -689,8 +837,14 @@ def main() -> None:
         (emb16.nbytes + sqn_d.nbytes + pay_d.nbytes) / 2**30, 3
     )
 
+    emit()
+
     # ---- IVF tier -------------------------------------------------------------
+    if "ivf" in SECTIONS and over_budget(margin=90.0):
+        skipped.append("ivf")
+        SECTIONS.discard("ivf")
     if "ivf" in SECTIONS:
+        t_sec = time.perf_counter()
         from dewi_tpu.index.ivf import IVFIndex
 
         ivf = IVFIndex(dim=DIM, nlist=1024, nprobe=32, dewi_tier=1024,
@@ -727,7 +881,12 @@ def main() -> None:
             float(recall_matrix(np.asarray(ii), idx_f32)), 4
         )
         del ivf  # free bucket arrays before the clustered run
-
+        if over_budget(margin=60.0):
+            skipped.append("ivf_clustered")
+            sect_s["ivf"] = time.perf_counter() - t_sec
+            emit()
+            SECTIONS.discard("ivf")
+    if "ivf" in SECTIONS:
         # Clustered corpus (the realistic case for IVF): 512 Gaussian modes.
         nc, n_sub = 512, min(200_000, N_DOCS)
         kc1, kc2, kc3 = jax.random.split(jax.random.PRNGKey(7), 3)
@@ -755,8 +914,13 @@ def main() -> None:
             float(recall_matrix(np.asarray(ci), np.asarray(ce))), 4
         )
         del civf, cexact, cemb
+        sect_s["ivf"] = time.perf_counter() - t_sec
+        emit()
 
     # ---- Pallas streaming kernels vs the XLA fused path ---------------------
+    if "pallas" in SECTIONS and over_budget(margin=60.0):
+        skipped.append("pallas")
+        SECTIONS.discard("pallas")
     if "pallas" in SECTIONS:
         try:
             from dewi_tpu.ops.pallas_search import (
@@ -794,7 +958,11 @@ def main() -> None:
             extras["pallas_error"] = str(e)[:200]
 
     # ---- signal backbones (device-resident throughput, small preset) --------
+    if "signals" in SECTIONS and over_budget(margin=90.0):
+        skipped.append("signals")
+        SECTIONS.discard("signals")
     if "signals" in SECTIONS:
+        t_sec = time.perf_counter()
         del emb16
         if q_emb is not None:
             del q_emb, q_scales
@@ -842,60 +1010,12 @@ def main() -> None:
             per_doc * 1_000_000 / 60, 2
         )
         extras["full_signals_detail"] = "see docs/perf/signals_{small,base}.json"
+        sect_s["signals"] = time.perf_counter() - t_sec
 
-    # Headline: the fastest tier whose measured recall vs f32 exact over the
-    # full 1000-query set meets BASELINE.md's north-star gate (>=0.99,
-    # BASELINE.md:29).  Every candidate tier's p50 and recall are in extras;
-    # the chosen tier and its recall are disclosed alongside the number.
-    candidates = [(p50_device, 1.0, "f32 exact")]
-    if bf16_recall is not None and bf16_recall >= 0.99:
-        candidates.append((p50_bf16, bf16_recall, "bf16-store exact"))
-    if p50_int8_pallas is not None and int8_pallas_recall >= 0.99:
-        candidates.append((
-            p50_int8_pallas, int8_pallas_recall,
-            "int8 two-stage refined (Pallas stage-1)",
-        ))
-    if p50_int8_s8 is not None and int8_s8_recall >= 0.99:
-        candidates.append((
-            p50_int8_s8, int8_s8_recall,
-            "int8 two-stage refined (s8xs8 stage-1)",
-        ))
-    if p50_int8_pallas_s8 is not None and int8_pallas_s8_recall >= 0.99:
-        candidates.append((
-            p50_int8_pallas_s8, int8_pallas_s8_recall,
-            "int8 two-stage refined (s8xs8 Pallas stage-1)",
-        ))
-    if p50_int8_pallas_s8_bm is not None and int8_pallas_s8_bm_recall >= 0.99:
-        candidates.append((
-            p50_int8_pallas_s8_bm, int8_pallas_s8_bm_recall,
-            "int8 two-stage refined (s8xs8 Pallas stage-1, blockmax select)",
-        ))
-    if (p50_int8_pallas_s8_bmf is not None
-            and int8_pallas_s8_bmf_recall >= 0.99):
-        candidates.append((
-            p50_int8_pallas_s8_bmf, int8_pallas_s8_bmf_recall,
-            "int8 two-stage refined (fused s8 stage-1+blockmax kernel)",
-        ))
-    headline, head_recall, head_tier = min(candidates, key=lambda c: c[0])
-    extras["latency_method"] = (
-        f"chained on-device loop ({CHAIN} serialized searches per dispatch)"
-    )
-    extras["headline_tier"] = head_tier
-    extras["recall_vs_exact"] = round(head_recall, 6)
-    extras["n_docs"] = N_DOCS
-    extras["dim"] = DIM
-    extras["device"] = str(jax.devices()[0])
-    print(
-        json.dumps(
-            {
-                "metric": "p50_query_latency_1M_docs_k10",
-                "value": round(headline, 4),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_QUERY_MS / headline, 2),
-                "extras": extras,
-            }
-        )
-    )
+    # Final authoritative emission (the same line emit() printed after each
+    # section, now with every completed section's rows).
+    signal.alarm(0)
+    emit()
 
 
 if __name__ == "__main__":
