@@ -63,7 +63,7 @@ BASELINE_BUILD_S = 2.1 * 3600.0  # reference README.md:163
 # docs/DESIGN.md) is opt-in: the production Pallas path is measured every
 # round via the int8 tier's int8_pallas_cap row.
 _default_sections = (
-    "core,int8,recall,ivf,signals" if N_DOCS >= 100_000
+    "core,int8,int4,recall,ivf,signals" if N_DOCS >= 100_000
     else "core,recall"
 )
 SECTIONS = set(
@@ -370,7 +370,7 @@ def main() -> None:
     p50_int8_pallas_s8_bm = None
     p50_int8_pallas_s8_bmf = None
     q_emb = q_scales = None
-    embp = sqnp = payp = qep = qsp = None
+    embp = sqnp = payp = qep = qsp = q4_emb = q4_scales = None
     if "int8" in SECTIONS and over_budget(margin=60.0):
         skipped.append("int8")
         SECTIONS.discard("int8")
@@ -643,6 +643,91 @@ def main() -> None:
         sect_s["int8"] = time.perf_counter() - t_sec
         emit()
 
+    # ---- int4 tier: nibble-packed corpus, half the stage-1 HBM stream -----
+    # The stage-1 scan is HBM-bound (~750 GB/s effective on the 256 MB int8
+    # read, docs/perf/scan_breakdown.json), so int4 storage halves the
+    # latency floor.  Chained p50 + batched route; recall (with the 4x
+    # refine margin + doubled block margin) gates headline candidacy in
+    # the recall section like every tier.
+    if "int4" in SECTIONS and over_budget(margin=60.0):
+        skipped.append("int4")
+        SECTIONS.discard("int4")
+    if "int4" in SECTIONS and embp is not None:
+        from dewi_tpu.ops.pallas_search import (
+            BMAX_BLOCK as _BMB,
+            s4_kernel_supported,
+        )
+        from dewi_tpu.ops.quantized import quantize_rows_int4
+
+        cap4 = embp.shape[0]
+        if cap4 % _BMB == 0 and s4_kernel_supported(fused=True):
+            t_sec = time.perf_counter()
+            q4_emb, q4_scales = quantize_rows_int4(embp)
+            jax.block_until_ready(q4_emb)
+            m4 = min(max(K * 32, 32), N_DOCS)  # 4x the int8 tier's margin
+
+            @jax.jit
+            def chained_int4(qe, qs, emb_a, sqn_a, pay_a, n_a, q0):
+                def body(_, carry):
+                    q, acc = carry
+                    scores, _ = quantized_search(
+                        qe, qs, emb_a, sqn_a, pay_a, q, n_a, eta, ep,
+                        k=K, m=m4, normalize=True, pallas_stage1=True,
+                        int8_queries=True, blockmax_select=True,
+                        fused_bmax=True, int4_packed=True,
+                    )
+                    q = q + 1e-12 * scores[0, 0]
+                    return q, acc + scores[0, 0]
+
+                _, acc = jax.lax.fori_loop(
+                    0, CHAIN, body, (q0, jnp.float32(0.0))
+                )
+                return acc
+
+            try:
+                p50_int4 = chained_p50(
+                    chained_int4, q4_emb, q4_scales, embp, sqnp, payp, n_d
+                )
+                extras["int4_pallas_s4_bmfused_p50_ms"] = round(p50_int4, 4)
+                cands.append((
+                    "int4 two-stage refined (fused s4 stage-1+blockmax "
+                    "kernel)", p50_int4, "int4_bmfused_recall_vs_f32_at_k10",
+                ))
+            except Exception as e:  # noqa: BLE001 — per-tier failures must
+                # not take down the rest of the run (Mosaic regression etc.)
+                extras["int4_error"] = str(e)[:200]
+
+            if ("int4_pallas_s4_bmfused_p50_ms" in extras
+                    and not over_budget(margin=45.0)):
+                def int4_batched_pass():
+                    outs = []
+                    for s_ in range(0, N_QUERIES, 128):
+                        v, _ = quantized_search(
+                            q4_emb, q4_scales, embp, sqnp, payp,
+                            queries_h[s_ : s_ + 128], n_d, eta, ep,
+                            k=K, m=m4, normalize=True, blockmax_select=True,
+                            int8_queries=True, pallas_stage1=True,
+                            fused_bmax=True, int4_packed=True,
+                        )
+                        outs.append(v)
+                    float(outs[-1][0, 0])  # value-fetch sync
+
+                try:
+                    int4_batched_pass()  # compile
+                    t0 = time.perf_counter()
+                    int4_batched_pass()
+                    int4_b = (time.perf_counter() - t0) / N_QUERIES * 1e3
+                    extras["int4_batched_fused_ms_per_query"] = round(
+                        int4_b, 4)
+                except Exception as e:  # noqa: BLE001
+                    extras["int4_batched_fused_error"] = str(e)[:200]
+            sect_s["int4"] = time.perf_counter() - t_sec
+            emit()
+        else:
+            extras["int4_skipped_reason"] = (
+                "s4 kernel unsupported or capacity misaligned"
+            )
+
     # ---- recall vs f32 exact: full query set, k=10 and k=100 ---------------
     # Queries run in blocks: a single [1000, 1M] f32 score matrix is 4 GB of
     # HBM; 128-query blocks keep the intermediate at 512 MB.
@@ -784,6 +869,26 @@ def main() -> None:
                     extras["int8_pallas_s8_bmfused_recall_vs_f32_at_k10"] = (
                         round(int8_pallas_s8_bmf_recall, 6)
                     )
+                if (kk == 10 and q4_emb is not None
+                        and "int4_pallas_s4_bmfused_p50_ms" in extras):
+                    # int4 tier recall: 4x refine margin (m4) + the doubled
+                    # block margin inside quantized_search.  One row covers
+                    # both the chained and batched routes — the chunked
+                    # large-batch dispatch re-runs the identical small-Q
+                    # fused pipeline per 32-query group.
+                    m4 = min(max(kk * 32, 32), N_DOCS)
+                    idx_i4 = blocked_idx(
+                        lambda q, k: quantized_search(
+                            q4_emb, q4_scales, embp, sqnp, payp, q, n_d,
+                            eta, ep, k=k, m=m4, normalize=True,
+                            pallas_stage1=True, int8_queries=True,
+                            blockmax_select=True, fused_bmax=True,
+                            int4_packed=True), kk,
+                        qblock=32,
+                    )
+                    extras["int4_bmfused_recall_vs_f32_at_k10"] = round(
+                        float(recall_matrix(idx_i4, idx_f32)), 6
+                    )
             if kk == 10:
                 extras["recall_queries"] = N_QUERIES
                 sect_s["recall_k10"] = time.perf_counter() - t_sec
@@ -792,7 +897,7 @@ def main() -> None:
         sect_s["recall"] = time.perf_counter() - t_sec
         emit()
     if embp is not None:
-        del embp, sqnp, payp, qep, qsp
+        del embp, sqnp, payp, qep, qsp, q4_emb, q4_scales
 
     # ---- raw single-dispatch latency (includes host<->device RTT) --------
     if not over_budget(margin=30.0):

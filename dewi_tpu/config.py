@@ -135,6 +135,10 @@ class IndexConfig:
     refine_factor: int = 8  # quantized backend: top-(refine_factor*k) refine
     int8_queries: bool = False  # quantized: native s8xs8 MXU stage-1
     bf16_scores: bool = False   # quantized: bf16 stage-1 score matrix
+    # quantized: nibble-packed int4 corpus storage — half the stage-1 HBM
+    # stream (the scan's binding resource); implies int8_queries and a
+    # 4x-wider stage-2 refine margin.  Select with ann="int4" or this flag.
+    int4_storage: bool = False
     # hierarchical sub-block-max candidate selection.  Quantized tier:
     # exact w.r.t. stage-1 scores; beats the approx_max_k fallback on
     # BOTH latency and recall where its shape gates hold (0.4425 vs
@@ -147,6 +151,11 @@ class IndexConfig:
     # IVF bucket storage: auto (follow mesh.dtype) | float32 | bfloat16
     probe_dtype: str = "auto"
     probe_impl: str = "auto"      # IVF probe layout: auto | scan | gather
+    # IVF doc-side boundary spill: this fraction of docs (smallest top-2
+    # centroid margin) is ALSO written to its runner-up bucket, recovering
+    # the boundary-query recall the probe set misses (measured curve:
+    # docs/perf/ivf_recall_curve.json); duplicates dedup at top-k.
+    spill_frac: float = 0.0
 
 
 @dataclass

@@ -48,7 +48,7 @@ class IndexBackend(Enum):
         name = name.lower()
         if name in ("auto", "bruteforce"):
             return cls.EXACT
-        if name in ("int8", "scann"):
+        if name in ("int8", "scann", "int4"):
             return cls.QUANTIZED
         return cls(name)
 
@@ -102,6 +102,10 @@ class DewiIndex:
         self._use_ann = bool(use_ann)
 
         if isinstance(backend, str):
+            if backend.lower() == "int4":
+                # "int4" selects the quantized backend's nibble-packed
+                # storage tier (half the stage-1 HBM stream).
+                kwargs.setdefault("int4_storage", True)
             try:
                 backend = IndexBackend.from_str(backend)
             except ValueError:

@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.quantized import quantize_rows, quantized_search
+from ..ops.quantized import (
+    quantize_rows,
+    quantize_rows_int4,
+    quantized_search,
+)
 from ..types import Payload
 from .base import BaseIndex
 
@@ -34,6 +38,7 @@ class QuantizedIndex(BaseIndex):
         int8_queries: bool = False,
         bf16_scores: bool = False,
         blockmax_select: bool = True,
+        int4_storage: bool = False,
         **kwargs: Any,
     ) -> None:
         super().__init__(dim, space, **kwargs)
@@ -67,6 +72,16 @@ class QuantizedIndex(BaseIndex):
         # s*128 docs PER QUERY, a large-batch pessimization (1.5 GB of
         # refine gathers at Q=1000 vs approx's 82 MB).
         self.blockmax_select = bool(blockmax_select)
+        # int4 nibble-packed storage: HALF the stage-1 HBM stream — the
+        # binding resource of the whole scan (docs/perf/scan_breakdown.json:
+        # ~750 GB/s effective on the int8 stream, i.e. stage 1 IS the corpus
+        # read).  Implies int8_queries (the s4 Pallas kernels run the MXU
+        # dot s8xs8); the coarser 15-level grid is absorbed by a 4x-wider
+        # stage-2 refine margin (see search_batch), recall-gated in
+        # tests/bench like every tier.
+        self.int4_storage = bool(int4_storage)
+        if self.int4_storage:
+            self.int8_queries = True
         self._q_emb: Optional[jax.Array] = None
         self._q_scales: Optional[jax.Array] = None
 
@@ -78,6 +93,7 @@ class QuantizedIndex(BaseIndex):
             "int8_queries": self.int8_queries,
             "bf16_scores": self.bf16_scores,
             "blockmax_select": self.blockmax_select,
+            "int4_storage": self.int4_storage,
         }
 
     def _pallas_stage1_ok(self, n_queries: int) -> bool:
@@ -95,7 +111,13 @@ class QuantizedIndex(BaseIndex):
             and n_queries <= 32          # [Q, block] out tile stays <= 1 MB
             and pallas_available()
         )
-        if ok and self.int8_queries:
+        if ok and self.int4_storage:
+            # The s4 composition additionally needs the in-kernel nibble
+            # unpack to legalize; its probe subsumes the s8 one.
+            from ..ops.pallas_search import s4_kernel_supported
+
+            ok = s4_kernel_supported(fused=False)
+        elif ok and self.int8_queries:
             # The s8 composition needs Mosaic to legalize the int8 dot;
             # probe once and fall back to the XLA s8 path if it can't.
             ok = s8_kernel_supported()
@@ -117,6 +139,7 @@ class QuantizedIndex(BaseIndex):
             BMAX_BLOCK,
             bmax_kernel_supported,
             pallas_available,
+            s4_kernel_supported,
             s8_kernel_supported,
         )
 
@@ -131,13 +154,21 @@ class QuantizedIndex(BaseIndex):
             and bmax_kernel_supported(self.int8_queries)
         ):
             return 0
+        if self.int4_storage and not s4_kernel_supported(fused=True):
+            # quantized_search would silently unpack via XLA inside the
+            # fused dispatch; prefer the plain path so the fallback is the
+            # measured two-pass route, not a fused-shaped detour.
+            return 0
         return BMAX_BLOCK
 
     def build(self, **kwargs: Any) -> None:
         if len(self.store) == 0:
             raise ValueError("No embeddings to build index from")
         emb, _, _, _ = self.store.device_arrays()
-        self._q_emb, self._q_scales = quantize_rows(emb)
+        if self.int4_storage:
+            self._q_emb, self._q_scales = quantize_rows_int4(emb)
+        else:
+            self._q_emb, self._q_scales = quantize_rows(emb)
         self._built_len = len(self.store)
         self._is_trained = True
 
@@ -158,7 +189,12 @@ class QuantizedIndex(BaseIndex):
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
         cap = self.store.capacity
         k_eff = min(int(k), cap)
-        m = min(max(k_eff * self.refine_factor, 32), cap)
+        # int4's 15-level grid displaces true top-k members further down
+        # the stage-1 ranking than int8's 255-level one; a 4x-wider refine
+        # margin recovers the recall gate (measured in bench's int4 rows)
+        # while stage 2 stays a tiny fraction of the halved stage-1 read.
+        boost = 4 if self.int4_storage else 1
+        m = min(max(k_eff * self.refine_factor * boost, 32), cap)
         nq = int(q.shape[0])
         # Fused stage-1+blockmax: engaged at EVERY batch size when the
         # probe passes — large batches shrink the kernel's stream block
@@ -191,6 +227,7 @@ class QuantizedIndex(BaseIndex):
             # refine traffic, selection still exact w.r.t. stage-1).
             blockmax_select=self.blockmax_select,
             fused_bmax=bool(fused_block),
+            int4_packed=self.int4_storage,
         )
 
     def search(

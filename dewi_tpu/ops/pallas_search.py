@@ -425,6 +425,99 @@ def pallas_scores_matrix_s8(
     )
 
 
+def _s4_acc(q: jax.Array, packed: jax.Array) -> jax.Array:
+    """In-kernel int4 dot: ``[Q, D] i8 x [B, D/2] packed -> [Q, B] i32``.
+
+    Packing contract (ops/quantized.quantize_rows_int4): byte j = hi*16 +
+    (lo+8) with hi = dim j (signed nibble) and lo = dim j + D/2.  The
+    arithmetic shift recovers hi because the low bits are non-negative;
+    the widen-to-i32 round-trip is for Mosaic, whose bitwise/shift
+    legalization on native i8 vectors is backend-dependent.
+
+    Deliberately TWO plane dots (query halves against the hi/lo nibble
+    planes) rather than unpack-concat-dot: the lane-axis concatenate both
+    materializes a second [B, D] i8 tile in VMEM and legalizes poorly —
+    measured 0.99 ms/query on the Q=32 batched route vs 0.275 ms chained
+    at Q=1 (VMEM spill thrash).  The plane split was chosen so each dot's
+    operands are contiguous halves of the query.
+    """
+    pi = packed.astype(jnp.int32)
+    hi = (pi >> 4).astype(jnp.int8)
+    lo = ((pi & 15) - 8).astype(jnp.int8)
+    d2 = packed.shape[1]
+    dn = (((1,), (1,)), ((), ()))
+    return jax.lax.dot_general(
+        q[:, :d2], hi, dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    ) + jax.lax.dot_general(
+        q[:, d2:], lo, dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _scores_kernel_s4(q_ref: Any, emb_ref: Any, qscale_ref: Any,
+                      mult_ref: Any, add_ref: Any, out_ref: Any) -> None:
+    acc = _s4_acc(q_ref[...], emb_ref[...])                # [Q, BLOCK] i32
+    out_ref[...] = (
+        acc.astype(jnp.float32) * (qscale_ref[...] * mult_ref[...])
+        + add_ref[...]
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "out_dtype")
+)
+def pallas_scores_matrix_s4(
+    emb_s4: jax.Array,    # [cap, D/2] nibble-packed int4, cap % block == 0
+    mult: jax.Array,      # [cap] f32 per-row multiplier (dequant scale fold)
+    add: jax.Array,       # [cap] f32 per-row addend (re-rank + mask fold)
+    q_i8: jax.Array,      # [Q, D] int8 quantized queries
+    q_scale: jax.Array,   # [Q] f32 per-query dequant scales
+    block: int = SCORES_BLOCK,
+    interpret: bool = False,
+    out_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """int4-storage streaming stage-1: ``[Q, cap]`` adjusted scores.
+
+    Same streaming shape as :func:`pallas_scores_matrix_s8` but the corpus
+    tile is HALF the bytes: ``[block, D/2]`` packed nibbles stream from
+    HBM, unpack on the VPU inside the kernel, and feed the MXU as int8
+    (the s8 dot is exact for nibble values).  The stage-1 scan is
+    HBM-bound (docs/perf/scan_breakdown.json), so halving the stream is
+    the single biggest remaining lever on the headline; stage-1 rounding
+    grows from int8 to int4 and is absorbed by a wider refine margin
+    downstream (recall-gated in bench/tests).
+    """
+    cap = emb_s4.shape[0]
+    d = q_i8.shape[1]
+    nq = q_i8.shape[0]
+    assert emb_s4.shape[1] * 2 == d, "packed dim must be D/2"
+    assert cap % block == 0, f"capacity {cap} must be a multiple of {block}"
+    grid = (cap // block,)
+    return pl.pallas_call(
+        _scores_kernel_s4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d // 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nq, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq, cap), out_dtype),
+        interpret=interpret,
+    )(
+        q_i8,
+        emb_s4,
+        q_scale.reshape(-1, 1).astype(jnp.float32),
+        mult.reshape(1, -1).astype(jnp.float32),
+        add.reshape(1, -1).astype(jnp.float32),
+    )
+
+
 BLOCK_SUB_ALIGN = 128  # lane-aligned sub-block width (== ops.quantized.BLOCKMAX_SUB)
 BMAX_BLOCK = 16384  # corpus rows per grid step for the fused bmax kernels:
 # the [Q, block/128] out tile must stay lane-aligned (128 sub-block maxima
@@ -549,6 +642,68 @@ def pallas_bmax_s8(
     )(
         q_i8,
         emb_i8,
+        q_scale.reshape(-1, 1).astype(jnp.float32),
+        mult.reshape(1, -1).astype(jnp.float32),
+        add.reshape(1, -1).astype(jnp.float32),
+    )
+
+
+def _bmax_kernel_s4(q_ref: Any, emb_ref: Any, qscale_ref: Any,
+                    mult_ref: Any, add_ref: Any, out_ref: Any,
+                    *, sub: int) -> None:
+    acc = _s4_acc(q_ref[...], emb_ref[...])                # [Q, BLOCK] i32
+    adj = (acc.astype(jnp.float32) * (qscale_ref[...] * mult_ref[...])
+           + add_ref[...])
+    out_ref[...] = _bmax_epilogue(adj, sub)
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "block", "interpret"))
+def pallas_bmax_s4(
+    emb_s4: jax.Array,    # [cap, D/2] nibble-packed int4, cap % block == 0
+    mult: jax.Array,      # [cap] f32 per-row multiplier (dequant scale fold)
+    add: jax.Array,       # [cap] f32 per-row addend (re-rank + mask fold)
+    q_i8: jax.Array,      # [Q, D] int8 quantized queries
+    q_scale: jax.Array,   # [Q] f32 per-query dequant scales
+    sub: int = 128,
+    block: int = BMAX_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    """int4-storage variant of :func:`pallas_bmax_s8`: fused stage-1 +
+    sub-block max over a HALF-byte corpus stream.
+
+    Combines the two strongest stage-1 levers: nothing of size ``[Q, cap]``
+    touches HBM (only the ``[Q, cap/128]`` maxima leave the kernel) and the
+    corpus read itself is 128 MB instead of 256 MB at 1M x 256.  The
+    nibble unpack (``_unpack_s4_tile``) runs on the VPU while the next
+    packed tile streams in.
+    """
+    cap = emb_s4.shape[0]
+    d = q_i8.shape[1]
+    nq = q_i8.shape[0]
+    assert emb_s4.shape[1] * 2 == d, "packed dim must be D/2"
+    assert cap % block == 0, f"capacity {cap} must be a multiple of {block}"
+    assert block % sub == 0
+    grid = (cap // block,)
+    kernel = functools.partial(_bmax_kernel_s4, sub=sub)
+    nb_step = block // sub
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d // 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nq, nb_step), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq, cap // sub), jnp.float32),
+        interpret=interpret,
+    )(
+        q_i8,
+        emb_s4,
         q_scale.reshape(-1, 1).astype(jnp.float32),
         mult.reshape(1, -1).astype(jnp.float32),
         add.reshape(1, -1).astype(jnp.float32),
@@ -733,6 +888,47 @@ def bmax_kernel_supported(int8_queries: bool,
     return _BMAX_SUPPORTED[key]
 
 
+_S4_SUPPORTED: dict[bool, bool] = {}
+
+
+def s4_kernel_supported(fused: bool = True) -> bool:
+    """True when Mosaic compiles the int4 nibble-unpack kernels here.
+
+    The legalization risks on top of the s8 dot: i8->i32 widen, vector
+    shift/mask, lane-axis concatenate, i32->i8 narrow — all inside a
+    streamed kernel.  Probed once per (fused) variant; cheap across
+    processes via the persistent XLA compile cache.
+    """
+    key = bool(fused)
+    if key in _S4_SUPPORTED:
+        return _S4_SUPPORTED[key]
+    if not pallas_available():
+        _S4_SUPPORTED[key] = False
+        return False
+    try:
+        q8 = jnp.zeros((1, 128), jnp.int8)
+        qs = jnp.ones((1,), jnp.float32)
+        if fused:
+            e4 = jnp.zeros((BMAX_BLOCK, 64), jnp.int8)
+            z = jnp.zeros((BMAX_BLOCK,), jnp.float32)
+            pallas_bmax_s4.lower(e4, z, z, q8, qs).compile()
+        else:
+            e4 = jnp.zeros((256, 64), jnp.int8)
+            z = jnp.zeros((256,), jnp.float32)
+            pallas_scores_matrix_s4.lower(e4, z, z, q8, qs,
+                                          block=256).compile()
+        _S4_SUPPORTED[key] = True
+    except Exception as e:  # noqa: BLE001 — any lowering/compile failure
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "s4 Pallas kernel unsupported on this backend (%s); "
+            "int4 searches use the XLA unpack path.", str(e)[:200]
+        )
+        _S4_SUPPORTED[key] = False
+    return _S4_SUPPORTED[key]
+
+
 _S8_SUPPORTED: bool | None = None
 
 
@@ -784,12 +980,15 @@ __all__ = [
     "pallas_int8_search",
     "pallas_scores_matrix",
     "pallas_scores_matrix_s8",
+    "pallas_scores_matrix_s4",
     "pallas_bmax",
     "pallas_bmax_s8",
+    "pallas_bmax_s4",
     "pallas_bmax_t",
     "pallas_bmax_s8_t",
     "pallas_available",
     "s8_kernel_supported",
+    "s4_kernel_supported",
     "bmax_kernel_supported",
     "BLOCK",
     "SCORES_BLOCK",

@@ -53,16 +53,71 @@ def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+@jax.jit
+def quantize_rows_int4(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int4 quantization, nibble-packed 2-per-byte.
+
+    Returns ``(packed [N, D/2] int8, scales [N] f32)``.  Values live in
+    [-7, 7] (scale = absmax/7; the -8 code is unused so the grid is
+    symmetric).  Byte ``j`` packs dimension ``j`` in its HIGH nibble
+    (signed) and dimension ``j + D/2`` in its LOW nibble (biased by +8 so
+    the unpack needs no sign propagation across the nibble boundary):
+
+        byte_j = hi_j * 16 + (lo_j + 8),  hi_j = q(x[:, j]),
+                                          lo_j = q(x[:, j + D/2])
+
+    so ``hi = byte >> 4`` (arithmetic — floor division recovers the signed
+    high nibble exactly because the low bits are non-negative) and
+    ``lo = (byte & 15) - 8``.  The plane split (first half of dims in high
+    nibbles, second half in low) means unpacking yields two ``[N, D/2]``
+    tensors whose axis-1 concatenation restores the ORIGINAL dimension
+    order — the query needs no permutation.  D must be even.
+
+    Why int4: stage-1 of the two-stage search is HBM-bound — the corpus
+    read is the whole cost (docs/perf/scan_breakdown.json: ~750 GB/s
+    effective on the 256 MB int8 stream).  Halving the bytes halves the
+    stage-1 floor; the extra rounding error is absorbed by a wider
+    refine margin (larger ``m``) in the exact f32 stage 2, recall-gated
+    in bench like every other tier.
+    """
+    x = x.astype(jnp.float32)
+    d = x.shape[-1]
+    assert d % 2 == 0, f"int4 packing needs even dim, got {d}"
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    scale = absmax / 7.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(x / safe[:, None]), -7, 7).astype(jnp.int8)
+    hi = q[:, : d // 2]
+    lo = q[:, d // 2 :]
+    packed = (hi * 16 + (lo + 8)).astype(jnp.int8)
+    return packed, scale
+
+
+@jax.jit
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of :func:`quantize_rows_int4`'s packing: ``[N, D] int8``.
+
+    XLA reference implementation (also the fallback stage-1 path on
+    backends without the Pallas s4 kernel); the Pallas kernels inline the
+    same two-op unpack per tile so the packed bytes are what streams from
+    HBM.
+    """
+    # int8 arithmetic shift keeps the sign; & 15 isolates the biased low.
+    hi = packed >> 4
+    lo = (packed & 15) - 8
+    return jnp.concatenate([hi, lo], axis=-1).astype(jnp.int8)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "k", "m", "normalize", "approx_select", "pallas_stage1",
         "pallas_block", "interpret", "int8_queries", "bf16_scores",
-        "blockmax_select", "fused_bmax",
+        "blockmax_select", "fused_bmax", "int4_packed",
     ),
 )
 def quantized_search(
-    emb_i8: jax.Array,    # [cap, D] int8 corpus
+    emb_i8: jax.Array,    # [cap, D] int8 corpus ([cap, D/2] if int4_packed)
     scales: jax.Array,    # [cap] f32 row scales
     emb_f32: jax.Array,   # [cap, D] f32 corpus (refinement gather source)
     sqnorms: jax.Array,   # [cap] f32 row squared norms (L2 path)
@@ -82,6 +137,7 @@ def quantized_search(
     bf16_scores: bool = False,
     blockmax_select: bool = False,
     fused_bmax: bool = False,
+    int4_packed: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Two-stage int8 -> f32 exact search; returns ([Q, k] scores, [Q, k] idx).
 
@@ -123,7 +179,25 @@ def quantized_search(
     is never written to HBM and the selection pass never re-reads it —
     only the ``[Q, cap/128]`` maxima leave the kernel.  Selection math is
     identical to the two-pass blockmax path; callers gate on
-    ``bmax_kernel_supported()`` (Mosaic legalization probe)."""
+    ``bmax_kernel_supported()`` (Mosaic legalization probe).
+
+    ``int4_packed=True`` reads ``emb_i8`` as the ``[cap, D/2]``
+    nibble-packed int4 corpus from :func:`quantize_rows_int4` — HALF the
+    stage-1 HBM stream of int8, the binding resource of the whole scan.
+    The Pallas int4 kernels (``pallas_{bmax,scores_matrix}_s4``) unpack
+    in-VMEM and need ``int8_queries=True`` (the MXU dot runs s8xs8);
+    other configurations transparently unpack via XLA first (correct, but
+    reads the unpacked bytes — use for tests/CPU).  int4's larger stage-1
+    rounding needs a wider refine margin: callers should raise ``m``
+    (the index layer uses 4x the int8 tier's), and the blockmax margin
+    doubles automatically (measured on TPU at 131k x 256, k=10: 12 blocks
+    -> recall 0.944, 24 blocks -> 0.997, plateau thereafter — the
+    15-level grid displaces true top-k docs past int8's k+2-block
+    margin); recall-gate as usual."""
+    # The 15-level grid's wider selection margin applies whether stage 1
+    # reads packed nibbles or the XLA-unpacked values (the rounding is in
+    # the VALUES); snapshot before the layout normalization below.
+    int4_grid = int4_packed
     q = queries.astype(jnp.float32)
     if normalize:
         q = l2_normalize(q)
@@ -166,6 +240,23 @@ def quantized_search(
             and (bmax_block // BLOCKMAX_SUB) % 8 == 0
         )
 
+    if int4_packed:
+        # The Pallas s4 kernels are s8-query, query-major only.  Any other
+        # configuration transparently unpacks the nibbles via XLA and rides
+        # the int8 code paths below — values land in [-7, 7] and the scales
+        # are already absmax/7, so the dequant algebra is unchanged; only
+        # the HBM-stream saving is forfeited.
+        s4_t_layout = (
+            use_fused
+            and (bmax_block // BLOCKMAX_SUB) % BLOCKMAX_SUB != 0
+            and bmax_block != cap
+        )
+        if not int8_queries or s4_t_layout:
+            use_fused = False
+        if not (pallas_stage1 and int8_queries) or s4_t_layout:
+            emb_i8 = unpack_int4(emb_i8)
+            int4_packed = False
+
     # Large batches through the fused kernel: CHUNK the queries and re-run
     # the whole small-Q fused pipeline per 32-query group under lax.map —
     # the corpus is re-read once per group (G x 256 MB at 1M docs), which
@@ -199,6 +290,7 @@ def quantized_search(
                 pallas_block=pallas_block, interpret=interpret,
                 int8_queries=int8_queries, bf16_scores=bf16_scores,
                 blockmax_select=True, fused_bmax=True,
+                int4_packed=int4_packed,
             )
 
         s_g, i_g = jax.lax.map(one, qpad.reshape(n_groups, g, q.shape[1]))
@@ -242,7 +334,17 @@ def quantized_search(
         # at 1M docs, Q=128) — still nothing of size [Q, cap].
         nb_step = bmax_block // BLOCKMAX_SUB
         t_layout = nb_step % BLOCKMAX_SUB != 0 and bmax_block != cap
-        if int8_queries:
+        if int4_packed:
+            # int4 fused: query-major s4 kernel (the normalization above
+            # already rerouted any t_layout shape to the unpacked path).
+            from .pallas_search import pallas_bmax_s4
+
+            q_i8, q_scale = quantize_rows(q)
+            bmax = pallas_bmax_s4(
+                emb_i8, mult, add, q_i8, q_scale,
+                sub=BLOCKMAX_SUB, block=bmax_block, interpret=interpret,
+            )
+        elif int8_queries:
             q_i8, q_scale = quantize_rows(q)
             if t_layout:
                 bmax = pallas_bmax_s8_t(
@@ -267,15 +369,25 @@ def quantized_search(
     elif pallas_stage1 and int8_queries:
         # Native s8xs8 MXU streaming kernel: int8 corpus AND int8 query on
         # the MXU (s32 accumulate), no per-element int8->bf16 convert on
-        # the corpus stream; query scale folded into the epilogue.
-        from .pallas_search import SCORES_BLOCK, pallas_scores_matrix_s8
+        # the corpus stream; query scale folded into the epilogue.  The
+        # int4_packed variant streams half the bytes and unpacks in-VMEM.
+        from .pallas_search import (
+            SCORES_BLOCK, pallas_scores_matrix_s4, pallas_scores_matrix_s8,
+        )
 
         q_i8, q_scale = quantize_rows(q)
-        adj1 = pallas_scores_matrix_s8(
-            emb_i8, mult, add, q_i8, q_scale,
-            block=pallas_block or SCORES_BLOCK, interpret=interpret,
-            out_dtype=jnp.bfloat16 if bf16_scores else jnp.float32,
-        )
+        if int4_packed:
+            adj1 = pallas_scores_matrix_s4(
+                emb_i8, mult, add, q_i8, q_scale,
+                block=pallas_block or SCORES_BLOCK, interpret=interpret,
+                out_dtype=jnp.bfloat16 if bf16_scores else jnp.float32,
+            )
+        else:
+            adj1 = pallas_scores_matrix_s8(
+                emb_i8, mult, add, q_i8, q_scale,
+                block=pallas_block or SCORES_BLOCK, interpret=interpret,
+                out_dtype=jnp.bfloat16 if bf16_scores else jnp.float32,
+            )
     elif pallas_stage1:
         from .pallas_search import SCORES_BLOCK, pallas_scores_matrix
 
@@ -325,7 +437,10 @@ def quantized_search(
         # +2 margin blocks over the exact top-k guarantee absorb int8
         # stage-1 rank displacement past rank k (measured at 1M x 256,
         # k=10: s=10 -> recall 0.993, s=12 -> 0.999 = the approx path).
-        s = min(nb, max(k + 2, -(-m // BLOCKMAX_SUB)))
+        # int4's coarser grid needs double the margin (131k x 256, k=10:
+        # 12 blocks -> 0.944, 24 -> 0.997, flat beyond — see docstring).
+        margin = 2 * (k + 2) if int4_grid else k + 2
+        s = min(nb, max(margin, -(-m // BLOCKMAX_SUB)))
         if bmax is None:
             assert adj1 is not None  # not use_fused => stage-1 materialized
             bmax = jnp.max(adj1.reshape(nq, nb, BLOCKMAX_SUB), axis=-1)
@@ -394,4 +509,10 @@ def quantized_search(
     return scores, jnp.take_along_axis(cand, pos, axis=1)
 
 
-__all__ = ["quantize_rows", "quantized_search", "BLOCKMAX_SUB"]
+__all__ = [
+    "quantize_rows",
+    "quantize_rows_int4",
+    "unpack_int4",
+    "quantized_search",
+    "BLOCKMAX_SUB",
+]

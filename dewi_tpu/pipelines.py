@@ -1446,12 +1446,15 @@ class DewiPipeline:
             kwargs.update(nlist=cfg.nlist, nprobe=cfg.nprobe,
                           dewi_tier=cfg.dewi_tier,
                           probe_dtype=cfg.probe_dtype,
-                          probe_impl=cfg.probe_impl)
+                          probe_impl=cfg.probe_impl,
+                          spill_frac=cfg.spill_frac)
         elif resolved == "QuantizedIndex":
             kwargs.update(refine_factor=cfg.refine_factor,
                           int8_queries=cfg.int8_queries,
                           bf16_scores=cfg.bf16_scores,
-                          blockmax_select=cfg.blockmax_select)
+                          blockmax_select=cfg.blockmax_select,
+                          int4_storage=(cfg.int4_storage
+                                        or cfg.ann.lower() == "int4"))
         if self.config.mesh.dtype == "bfloat16":
             import jax.numpy as jnp
 
