@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.kmeans import assign_clusters, kmeans
+from ..ops.kmeans import assign_clusters, assign_clusters_top2, kmeans
 from ..ops.similarity import l2_normalize, rerank_scores
 from ..types import Payload
 from .base import BaseIndex
@@ -33,7 +33,8 @@ NEG_INF = float("-inf")  # python float: no backend init at import time
 QUERY_BLOCK = 64
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe", "normalize", "probe_impl"))
+@partial(jax.jit, static_argnames=("k", "nprobe", "normalize", "probe_impl",
+                                   "dedup"))
 def _ivf_search_kernel(
     centroids: jax.Array,     # [nlist, D]
     b_emb: jax.Array,         # [nlist, cap, D] (f32 or bf16)
@@ -53,6 +54,7 @@ def _ivf_search_kernel(
     nprobe: int,
     normalize: bool,
     probe_impl: str = "scan",
+    dedup: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     q = queries.astype(jnp.float32)
     if normalize:
@@ -144,29 +146,47 @@ def _ivf_search_kernel(
     all_idx = jnp.concatenate(
         [flat_idx, jnp.broadcast_to(o_docidx[None, :], oadj.shape)], axis=1
     )
-    vals, pos = jax.lax.top_k(all_scores, k)
-    return vals, jnp.take_along_axis(all_idx, pos, axis=1)
+    if not dedup:
+        vals, pos = jax.lax.top_k(all_scores, k)
+        return vals, jnp.take_along_axis(all_idx, pos, axis=1)
+    # Spill-built indexes (spill_frac > 0) can surface the same doc from two
+    # buckets with IDENTICAL scores (the copies are bit-equal); both slots
+    # entering the top-k would displace a distinct doc.  Take top-2k, kill
+    # every later occurrence of a repeated id, re-select k.  The [Q, 2k, 2k]
+    # mask is a few kB — noise next to the probe matmuls.
+    kk = min(2 * k, all_scores.shape[1])
+    vals, pos = jax.lax.top_k(all_scores, kk)
+    ids = jnp.take_along_axis(all_idx, pos, axis=1)          # [Q, kk]
+    eq = ids[:, :, None] == ids[:, None, :]                  # [Q, j, l]
+    earlier = jnp.tril(jnp.ones((kk, kk), bool), -1)         # l < j
+    is_dup = jnp.any(eq & earlier[None], axis=2)             # [Q, kk]
+    vals = jnp.where(is_dup, NEG_INF, vals)
+    vals_k, pos_k = jax.lax.top_k(vals, k)
+    return vals_k, jnp.take_along_axis(ids, pos_k, axis=1)
 
 
 @partial(jax.jit, static_argnames=("nlist", "cap", "tier_n"))
 def _ivf_plan(
-    assign: jax.Array,   # [N] int32 cluster ids
-    pay: jax.Array,      # [N, 8] payloads (col 0 = dewi)
+    assign: jax.Array,   # [Nx] int32 cluster ids (Nx >= N with spill copies)
+    pay: jax.Array,      # [N, 8] ORIGINAL payloads (col 0 = dewi)
+    doc_of: jax.Array,   # [Nx] int32: original doc id of each entry
     nlist: int,
     cap: int,
     tier_n: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Device-side bucket planning: stable sort by cluster, within-cluster
-    rank, and the in-bucket mask (docs past ``cap`` or in the high-DEWI tier
-    go to the exact overflow scan)."""
+    rank, and the in-bucket mask (entries past ``cap`` or in the high-DEWI
+    tier go to the exact overflow scan).  Spill copies (``doc_of`` repeats)
+    plan like any other entry; the tier is picked over ORIGINAL docs so a
+    tiered doc's every copy routes to the overflow scan."""
     n = assign.shape[0]
-    order = jnp.argsort(assign, stable=True)          # [N]
+    order = jnp.argsort(assign, stable=True)          # [Nx]
     sorted_assign = assign[order]
     counts = jnp.bincount(assign, length=nlist)
     starts = jnp.concatenate(
         [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]]
     )
-    rank = jnp.arange(n) - starts[sorted_assign]      # [N] rank within cluster
+    rank = jnp.arange(n) - starts[sorted_assign]      # [Nx] rank in cluster
     in_bucket = rank < cap
     if tier_n > 0:
         # The query-independent part of the adjusted score is
@@ -178,21 +198,23 @@ def _ivf_plan(
         _, dewi_idx = jax.lax.top_k(pay[:, 0], tier_n)
         _, ent_idx = jax.lax.top_k(0.5 * (pay[:, 1] + pay[:, 3]), tier_n)
         is_tier = (
-            jnp.zeros((n,), bool).at[dewi_idx].set(True).at[ent_idx].set(True)
+            jnp.zeros((pay.shape[0],), bool)
+            .at[dewi_idx].set(True).at[ent_idx].set(True)
         )
-        in_bucket &= ~is_tier[order]
+        in_bucket &= ~is_tier[doc_of[order]]
     return order, rank, in_bucket
 
 
 @partial(jax.jit, static_argnames=("nlist", "cap", "o_cap", "emb_dtype"))
 def _ivf_materialize(
-    emb: jax.Array,
+    emb: jax.Array,      # [N, D] ORIGINAL embeddings
     sqn: jax.Array,
     pay: jax.Array,
-    order: jax.Array,
+    order: jax.Array,    # [Nx] sorted entry positions
     rank: jax.Array,
     in_bucket: jax.Array,
-    assign: jax.Array,
+    assign: jax.Array,   # [Nx]
+    doc_of: jax.Array,   # [Nx] original doc id per entry
     nlist: int,
     cap: int,
     o_cap: int,
@@ -200,13 +222,16 @@ def _ivf_materialize(
 ) -> Tuple[jax.Array, ...]:
     """Scatter the planned layout into fixed-shape bucket + overflow arrays,
     all on device (scatters route rejected docs to a trash row/slot that is
-    sliced away)."""
+    sliced away).  ``b_docidx``/``o_docidx`` store ORIGINAL doc ids, so a
+    spill copy gathers the same row as its primary and search results
+    reference one canonical id (deduped in the search kernel)."""
     sorted_assign = assign[order]
+    src = doc_of[order].astype(jnp.int32)             # [Nx] original ids
     dest_row = jnp.where(in_bucket, sorted_assign, nlist)
     dest_col = jnp.where(in_bucket, jnp.minimum(rank, cap - 1), 0)
     b_docidx = (
         jnp.full((nlist + 1, cap), -1, jnp.int32)
-        .at[dest_row, dest_col].set(order.astype(jnp.int32))
+        .at[dest_row, dest_col].set(src)
     )[:nlist]
 
     # Pack overflow docs densely: position = running count of overflow rows.
@@ -215,7 +240,7 @@ def _ivf_materialize(
     o_dest = jnp.where(is_over, pos, o_cap)
     o_docidx = (
         jnp.full((o_cap + 1,), -1, jnp.int32)
-        .at[o_dest].set(order.astype(jnp.int32))
+        .at[o_dest].set(src)
     )[:o_cap]
 
     b_valid = b_docidx >= 0
@@ -253,6 +278,7 @@ class IVFIndex(BaseIndex):
         seed: int = 0,
         probe_dtype: str = "float32",
         probe_impl: str = "auto",
+        spill_frac: float = 0.0,
         **kwargs: Any,
     ) -> None:
         super().__init__(dim, space, **kwargs)
@@ -295,6 +321,17 @@ class IVFIndex(BaseIndex):
         # in the reference re-rank only retrieved candidates and silently
         # miss global DEWI leaders (backends.py:217-240, 326-355).
         self.dewi_tier = int(dewi_tier)
+        # Doc-side boundary spill (ScaNN-SOAR / FAISS-spill style): the
+        # ``spill_frac`` fraction of docs with the smallest top-2 centroid
+        # margin are ALSO written into their second-closest bucket.  Probe
+        # misses concentrate exactly there — a boundary query's nprobe set
+        # covers the boundary's both sides only if the doc does too
+        # (measured: boundary-family recall 0.9582 @ nprobe=32 without
+        # spill, docs/perf/ivf_recall_curve.json).  Costs spill_frac extra
+        # bucket storage/probe read; duplicates are deduped at top-k.
+        self.spill_frac = float(spill_frac)
+        if not 0.0 <= self.spill_frac <= 1.0:
+            raise ValueError(f"spill_frac must be in [0, 1], got {spill_frac}")
         self.seed = int(seed)
         self._dev = None
 
@@ -309,6 +346,7 @@ class IVFIndex(BaseIndex):
             "seed": self.seed,
             "probe_dtype": self.probe_dtype,
             "probe_impl": self.probe_impl,
+            "spill_frac": self.spill_frac,
         }
 
     def _resolved_probe_impl(self) -> str:
@@ -348,13 +386,31 @@ class IVFIndex(BaseIndex):
             train, key, n_clusters=nlist, n_iters=self.kmeans_iters,
             spherical=self.store.normalize,
         )
-        assign = assign_clusters(emb, centroids)  # [N] int32, device
+        n_spill = (
+            int(round(self.spill_frac * n)) if nlist >= 2 else 0
+        )
+        if n_spill > 0:
+            a2, margin = assign_clusters_top2(emb, centroids)
+            assign = a2[:, 0]
+            # Smallest-margin docs sit on cluster boundaries; copy them
+            # into their runner-up bucket.
+            _, spill_idx = jax.lax.top_k(-margin, n_spill)
+            spill_idx = spill_idx.astype(jnp.int32)
+            assign_x = jnp.concatenate([assign, a2[spill_idx, 1]])
+            doc_of = jnp.concatenate(
+                [jnp.arange(n, dtype=jnp.int32), spill_idx]
+            )
+        else:
+            assign_x = assign_clusters(emb, centroids)  # [N] int32, device
+            doc_of = jnp.arange(n, dtype=jnp.int32)
 
-        cap = max(8, int(np.ceil(self.bucket_load_factor * max(1, n / nlist) / 8.0)) * 8)
+        n_eff = n + n_spill  # spill copies share the bucket budget
+        cap = max(8, int(np.ceil(
+            self.bucket_load_factor * max(1, n_eff / nlist) / 8.0)) * 8)
         tier_n = min(self.dewi_tier, n)
 
         order, rank, in_bucket = _ivf_plan(
-            assign, pay, nlist=nlist, cap=cap, tier_n=tier_n
+            assign_x, pay, doc_of, nlist=nlist, cap=cap, tier_n=tier_n
         )
         # The one host sync: overflow count -> static overflow capacity.
         o_n = int(jnp.sum(~in_bucket))
@@ -366,7 +422,7 @@ class IVFIndex(BaseIndex):
                 "bfloat16" if emb.dtype == jnp.bfloat16 else "float32"
             )
         b_arrays, o_arrays = _ivf_materialize(
-            emb, sqn, pay, order, rank, in_bucket, assign,
+            emb, sqn, pay, order, rank, in_bucket, assign_x, doc_of,
             nlist=nlist, cap=cap, o_cap=o_cap,
             emb_dtype=jnp.dtype(probe_dtype).name,
         )
@@ -425,6 +481,8 @@ class IVFIndex(BaseIndex):
                 nprobe=nprobe,
                 normalize=self.store.normalize,
                 probe_impl=probe_impl,
+                # Spill-built buckets can hold two copies of one doc.
+                dedup=self.spill_frac > 0.0,
             )
             outs_v.append(v)
             outs_i.append(i)

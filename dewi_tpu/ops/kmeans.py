@@ -44,6 +44,38 @@ def assign_clusters(x: jax.Array, centroids: jax.Array, chunk: int = ASSIGN_CHUN
     return out.reshape(-1)[:n]
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def assign_clusters_top2(
+    x: jax.Array, centroids: jax.Array, chunk: int = ASSIGN_CHUNK
+) -> tuple[jax.Array, jax.Array]:
+    """Two nearest centroids per row plus the assignment margin.
+
+    Returns ``(assign2 [N, 2] int32, margin [N] f32)`` where ``margin`` is
+    ``d2 - d1`` (squared-distance gap; small = near a cluster boundary).
+    Powers the IVF spill tier: boundary docs — exactly the ones a
+    boundary QUERY's probe set misses — get a copy in their second-best
+    bucket (docs/perf/ivf_recall_curve.json measured the miss).  Same
+    blocked [chunk, K] tiling as :func:`assign_clusters`.
+    """
+    n = x.shape[0]
+    cn = jnp.sum(centroids * centroids, axis=1)
+    xp = _pad_rows(x.astype(jnp.float32), chunk)
+    blocks = xp.reshape(-1, chunk, x.shape[1])
+
+    def block_assign(xb: jax.Array) -> tuple[jax.Array, jax.Array]:
+        d = cn[None, :] - 2.0 * jnp.dot(
+            xb, centroids.T, preferred_element_type=jnp.float32
+        )
+        nd2, idx2 = jax.lax.top_k(-d, 2)  # top-2 smallest distances
+        return idx2.astype(jnp.int32), nd2[:, 0] - nd2[:, 1]
+
+    a2, margin = jax.lax.map(block_assign, blocks)
+    return (
+        a2.reshape(-1, 2)[:n],
+        margin.reshape(-1)[:n],
+    )
+
+
 @partial(jax.jit, static_argnames=("n_clusters", "n_iters", "spherical", "chunk"))
 def kmeans(
     x: jax.Array,

@@ -20,9 +20,17 @@ about the recall/latency tradeoff.  This benchmark makes the buckets bite:
   row at the shipped 1024 shows its effect.
 
 Reports recall@k for nprobe in {1, 2, 4, 8, 16, 32, 64} per family, plus
-batched latency per nprobe, so the shipped default (nprobe=32,
-config.py IndexConfig) is justified by a measured knee instead of a
-saturated row.  Ground truth is fused exact search on the same store.
+batched latency per nprobe (median of 3 timed passes, after a throwaway
+warm nprobe).  Ground truth is fused exact search on the same store.
+
+Round-4 honesty note (ADVICE r4): the no-spill curve FAILED the 0.99 bar
+on the boundary family at every measured nprobe (0.9721 @ 64) — the
+shipped nprobe=32 default was NOT knee-justified.  Round 5 adds the
+doc-side boundary-spill tier (``IVFIndex(spill_frac=...)``: near-boundary
+docs get a copy in their runner-up bucket, deduped at top-k) and this
+script now sweeps ``--spill`` fractions alongside the no-spill control;
+``shipped_default_ok`` is computed for the SHIPPED configuration
+(config.py IndexConfig: nprobe + spill_frac) against the measured curves.
 
 Usage:
   python scripts/profile_ivf_recall_curve.py --n-docs 1000000
@@ -51,6 +59,9 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--dewi-tier", type=int, default=0)
     ap.add_argument("--nprobes", default="1,2,4,8,16,32,64")
+    ap.add_argument("--spill", default="0.5",
+                    help="comma list of spill_frac values to sweep "
+                         "alongside the spill=0 control")
     ap.add_argument("--output", default="docs/perf/ivf_recall_curve.json")
     args = ap.parse_args()
 
@@ -125,20 +136,18 @@ def main() -> int:
     }
     print("corpus + queries ready", flush=True)
 
+    from dewi_tpu.config import IndexConfig
+
+    shipped = IndexConfig()
+    spills = [0.0] + [float(x) for x in args.spill.split(",") if x]
     metrics: dict = {
         "n_docs": n, "dim": d, "modes": nc, "mode_weights": "zipf",
         "nlist": args.nlist, "k": args.k, "n_queries": nq,
         "dewi_tier": args.dewi_tier, "device": str(jax.devices()[0]),
-        "shipped_default_nprobe": 32,
+        "shipped_default_nprobe": shipped.nprobe,
+        "shipped_default_spill_frac": shipped.spill_frac,
     }
 
-    ivf = IVFIndex(dim=d, nlist=args.nlist, nprobe=max(nprobes),
-                   dewi_tier=args.dewi_tier, kmeans_iters=8)
-    ivf.store.attach_device(ids, emb, pay)
-    t0 = time.perf_counter()
-    ivf.build()
-    jax.block_until_ready(ivf._dev[1])
-    metrics["build_s"] = round(time.perf_counter() - t0, 1)
     exact = ExactIndex(dim=d)
     exact.store.attach_device(ids, emb, pay)
     exact.build()
@@ -150,29 +159,61 @@ def main() -> int:
             outs.append(np.asarray(idx))
         return np.concatenate(outs)
 
-    curves: dict = {}
-    for fam, queries in families.items():
-        gt = blocked(exact.search_batch, queries)
-        row = {}
-        for nprobe in nprobes:
-            got = blocked(ivf.search_batch, queries, nprobe=nprobe)
-            row[f"nprobe{nprobe}"] = round(float(recall_matrix(got, gt)), 4)
-        curves[fam] = row
-        print(f"{fam}: {row}", flush=True)
-    metrics["recall_curves"] = curves
+    gts = {fam: blocked(exact.search_batch, q)
+           for fam, q in families.items()}
 
-    # Latency per nprobe (boundary family; impl resolved by platform).
-    lat = {}
-    qs = families["boundary"]
-    for nprobe in nprobes:
-        blocked(ivf.search_batch, qs, nprobe=nprobe)  # warm trace
+    def sweep(spill_frac: float) -> tuple[dict, dict]:
+        ivf = IVFIndex(dim=d, nlist=args.nlist, nprobe=max(nprobes),
+                       dewi_tier=args.dewi_tier, kmeans_iters=8,
+                       spill_frac=spill_frac)
+        ivf.store.attach_device(ids, emb, pay)
         t0 = time.perf_counter()
-        blocked(ivf.search_batch, qs, nprobe=nprobe)
-        lat[f"nprobe{nprobe}"] = round(
-            (time.perf_counter() - t0) / nq * 1e3, 4
-        )
-    metrics["batched_ms_per_query"] = lat
-    print(f"latency: {lat}", flush=True)
+        ivf.build()
+        jax.block_until_ready(ivf._dev[1])
+        build_s = round(time.perf_counter() - t0, 1)
+        curves: dict = {"build_s": build_s}
+        for fam, queries in families.items():
+            row = {}
+            for nprobe in nprobes:
+                got = blocked(ivf.search_batch, queries, nprobe=nprobe)
+                row[f"nprobe{nprobe}"] = round(
+                    float(recall_matrix(got, gts[fam])), 4)
+            curves[fam] = row
+            print(f"spill={spill_frac} {fam}: {row}", flush=True)
+        # Latency per nprobe (boundary family): median of 3 timed passes;
+        # the first sweep entry's dispatch noise is absorbed by a
+        # throwaway warm pass at the smallest nprobe (ADVICE r4).
+        lat = {}
+        qs = families["boundary"]
+        blocked(ivf.search_batch, qs, nprobe=nprobes[0])  # throwaway
+        for nprobe in nprobes:
+            blocked(ivf.search_batch, qs, nprobe=nprobe)  # warm trace
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                blocked(ivf.search_batch, qs, nprobe=nprobe)
+                times.append(time.perf_counter() - t0)
+            lat[f"nprobe{nprobe}"] = round(
+                float(np.median(times)) / nq * 1e3, 4
+            )
+        print(f"spill={spill_frac} latency: {lat}", flush=True)
+        return curves, lat
+
+    curves0, lat0 = sweep(0.0)
+    curves = {k: v for k, v in curves0.items() if k != "build_s"}
+    metrics["build_s"] = curves0["build_s"]
+    metrics["recall_curves"] = curves
+    metrics["batched_ms_per_query"] = lat0
+    spill_results: dict = {}
+    for sf in spills[1:]:
+        c, lt = sweep(sf)
+        spill_results[f"spill{sf}"] = {
+            "build_s": c.pop("build_s"),
+            "recall_curves": c,
+            "batched_ms_per_query": lt,
+        }
+    if spill_results:
+        metrics["spill"] = spill_results
 
     # Control: the shipped dewi_tier=1024 on the hardest family — shows how
     # much the always-scanned high-DEWI tier recovers at the same nprobe.
@@ -190,20 +231,33 @@ def main() -> int:
     metrics["recall_boundary_dewi_tier1024"] = row
     print(f"boundary + dewi_tier=1024: {row}", flush=True)
 
-    # The knee: smallest measured nprobe with recall >= 0.99 on every family.
-    knee = None
-    for nprobe in nprobes:
-        if all(curves[f][f"nprobe{nprobe}"] >= 0.99 for f in curves):
-            knee = nprobe
-            break
-    metrics["min_nprobe_recall_0.99_all_families"] = knee
-    if "nprobe32" in next(iter(curves.values())):
+    # The knee per configuration: smallest measured nprobe with recall
+    # >= 0.99 on every family.
+    def find_knee(cv: dict) -> int | None:
+        for nprobe in nprobes:
+            if all(cv[f][f"nprobe{nprobe}"] >= 0.99 for f in cv):
+                return nprobe
+        return None
+
+    metrics["min_nprobe_recall_0.99_all_families"] = find_knee(curves)
+    for key, res in spill_results.items():
+        metrics[f"min_nprobe_recall_0.99_all_families_{key}"] = find_knee(
+            res["recall_curves"])
+
+    # Gate the SHIPPED configuration (IndexConfig nprobe + spill_frac)
+    # against whichever measured curve matches it.
+    ship_curves = curves
+    for sf in spills[1:]:
+        if abs(sf - shipped.spill_frac) < 1e-9:
+            ship_curves = spill_results[f"spill{sf}"]["recall_curves"]
+    ship_key = f"nprobe{shipped.nprobe}"
+    if ship_key in next(iter(ship_curves.values())):
         metrics["shipped_default_ok"] = bool(
-            all(curves[f]["nprobe32"] >= 0.99 for f in curves)
+            all(ship_curves[f][ship_key] >= 0.99 for f in ship_curves)
         )
 
     Path(args.output).parent.mkdir(parents=True, exist_ok=True)
-    Path(args.output).write_text(json.dumps(metrics, indent=2))
+    Path(args.output).write_text(json.dumps(metrics, indent=2) + "\n")
     print(json.dumps(metrics, indent=2))
     return 0
 

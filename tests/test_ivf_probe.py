@@ -166,3 +166,100 @@ class TestBf16Tier:
         v0, i0 = ix.search_batch(q, k=5)
         v1, i1 = back.search_batch(q, k=5)
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+class TestSpillTier:
+    """Doc-side boundary spill (spill_frac): second-bucket copies + dedup."""
+
+    def test_no_duplicate_ids_in_results(self):
+        ix, emb, rng = _build(spill_frac=0.5)
+        q = rng.normal(size=(16, 32)).astype(np.float32)
+        _, idx = ix.search_batch(q, k=20, eta=0.2, entropy_pref=0.1)
+        idx = np.asarray(idx)
+        for row in idx:
+            live = row[row >= 0]
+            assert len(set(live.tolist())) == len(live), row
+
+    def test_spill_recall_dominates_no_spill(self):
+        # A clustered corpus with boundary queries: spilled buckets must
+        # recover at least the no-spill recall at equal nprobe (strict
+        # improvement is measured on the 1M curve; equality-or-better is
+        # the invariant a unit-size corpus can assert deterministically).
+        from dewi_tpu.index import ExactIndex
+        from dewi_tpu.metrics import recall_matrix
+
+        rng = np.random.default_rng(11)
+        modes = rng.normal(size=(24, 32)).astype(np.float32)
+        assign = rng.integers(0, 24, 1200)
+        emb = (modes[assign] + 0.15 * rng.normal(size=(1200, 32))
+               ).astype(np.float32)
+        pay = np.abs(rng.normal(size=(1200, 8))).astype(np.float32)
+        ids = [f"d{i}" for i in range(1200)]
+        exact = ExactIndex(dim=32)
+        exact.add_batch(ids, emb, pay)
+        exact.build()
+        # Boundary queries: midpoints of random mode pairs.
+        pairs = rng.integers(0, 24, (64, 2))
+        q = ((modes[pairs[:, 0]] + modes[pairs[:, 1]]) / 2.0
+             + 0.05 * rng.normal(size=(64, 32))).astype(np.float32)
+        _, ei = exact.search_batch(q, k=10, eta=0.1, entropy_pref=0.0)
+        recs = {}
+        for frac in (0.0, 0.5):
+            ix = IVFIndex(dim=32, nlist=24, nprobe=3, kmeans_iters=6,
+                          dewi_tier=0, seed=5, spill_frac=frac)
+            ix.add_batch(ids, emb, pay)
+            ix.build()
+            _, ii = ix.search_batch(q, k=10, eta=0.1, entropy_pref=0.0)
+            recs[frac] = recall_matrix(np.asarray(ii), np.asarray(ei))
+        assert recs[0.5] >= recs[0.0] - 1e-9, recs
+
+    def test_results_match_exact_at_full_probe(self):
+        # nprobe == nlist probes everything: spill duplicates must be
+        # invisible (dedup) and results equal to the exact index's.
+        from dewi_tpu.index import ExactIndex
+
+        rng = np.random.default_rng(13)
+        emb = rng.normal(size=(400, 16)).astype(np.float32)
+        pay = np.abs(rng.normal(size=(400, 8))).astype(np.float32)
+        ids = [f"d{i}" for i in range(400)]
+        exact = ExactIndex(dim=16)
+        exact.add_batch(ids, emb, pay)
+        exact.build()
+        ix = IVFIndex(dim=16, nlist=8, nprobe=8, kmeans_iters=4,
+                      dewi_tier=0, spill_frac=1.0,
+                      bucket_load_factor=4.0)
+        ix.add_batch(ids, emb, pay)
+        ix.build()
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        _, ei = exact.search_batch(q, k=10, eta=0.3, entropy_pref=0.1)
+        _, ii = ix.search_batch(q, k=10, eta=0.3, entropy_pref=0.1)
+        np.testing.assert_array_equal(np.asarray(ii), np.asarray(ei))
+
+    def test_spill_frac_persists(self, tmp_path):
+        ix, emb, rng = _build(spill_frac=0.25)
+        ix.save(tmp_path / "ix")
+        back = IVFIndex.load(tmp_path / "ix")
+        assert back.spill_frac == 0.25
+        q = rng.normal(size=(4, 32)).astype(np.float32)
+        _, i0 = ix.search_batch(q, k=5)
+        _, i1 = back.search_batch(q, k=5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_bad_spill_frac_rejected(self):
+        with pytest.raises(ValueError):
+            IVFIndex(dim=8, spill_frac=1.5)
+
+    def test_tiered_doc_copies_both_overflow(self):
+        # A doc in the DEWI tier must not ALSO occupy a bucket slot via its
+        # spill copy (the tier mask applies to original ids).
+        ix, emb, rng = _build(spill_frac=1.0)
+        tier_n = ix.dewi_tier
+        b_docidx = np.asarray(ix._dev[4])
+        o_docidx = np.asarray(ix._dev[8])
+        in_overflow = set(o_docidx[o_docidx >= 0].tolist())
+        pay = ix.store.payload_matrix()[: len(ix.store)]
+        top_dewi = set(np.argsort(-pay[:, 0])[:tier_n].tolist())
+        bucket_ids = set(b_docidx[b_docidx >= 0].ravel().tolist())
+        # every top-dewi doc is overflow-scanned and never bucket-resident
+        assert top_dewi <= in_overflow
+        assert not (top_dewi & bucket_ids)
