@@ -200,17 +200,57 @@ def main() -> int:
     if n_small == 0:
         corpus = None
     if corpus is not None:
-        pipe.process_corpus(corpus)  # warm (compiles every stage)
-        corpus2 = Corpus(ids=[f"d{i}" for i in range(n_small)],
-                         texts=texts[:n_small], images=small_imgs)
+        # VERDICT r4 #6: the round-4 artifact's bare 83.5 docs/s had no
+        # n_docs, no cold/warm split, and no meshless pair — as committed
+        # it read as "the mesh path is a 40x regression".  Record all
+        # three so the number explains itself: the cold pass is compile-
+        # dominated at this tiny corpus, and the meshless pair on the SAME
+        # corpus/config isolates the mesh placement overhead from the
+        # host-feed cost both paths share.
+        def _mk_corpus():
+            return Corpus(ids=[f"d{i}" for i in range(n_small)],
+                          texts=texts[:n_small], images=small_imgs)
+
         t0 = time.perf_counter()
-        pipe.process_corpus(corpus2)
+        pipe.process_corpus(_mk_corpus())   # cold (compiles every stage)
+        cold_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        c2 = pipe.process_corpus(_mk_corpus())
         e2e_s = time.perf_counter() - t0
+        # Stage split on a third pass: signals vs scoring.
+        c3 = _mk_corpus()
+        t0 = time.perf_counter()
+        pipe.compute_signals_corpus(c3)
+        sig_s = time.perf_counter() - t0
+        mesh_row = {
+            "n_docs": n_small,
+            "cold_s": round(cold_s, 2),
+            "warm_s": round(e2e_s, 2),
+            "warm_docs_per_sec": round(n_small / e2e_s, 1),
+            "warm_signals_s": round(sig_s, 2),
+            "warm_scoring_s": round(max(e2e_s - sig_s, 0.0), 2),
+        }
+        pipe_nomesh = DewiPipeline(cfg)
+        pipe_nomesh.process_corpus(_mk_corpus())  # cold
+        t0 = time.perf_counter()
+        pipe_nomesh.process_corpus(_mk_corpus())
+        nomesh_s = time.perf_counter() - t0
+        mesh_row["meshless_warm_docs_per_sec"] = round(
+            n_small / nomesh_s, 1)
+        mesh_row["mesh_vs_meshless"] = round(nomesh_s / e2e_s, 3)
+        mesh_row["note"] = (
+            "tiny-corpus smoke: proves the PUBLIC process_corpus(mesh=) "
+            "path end-to-end; per-doc rates at this size are dominated "
+            "by fixed per-batch dispatch+host feed, not device compute — "
+            "the staged kernel rates above are the capacity numbers."
+        )
+        metrics["pipeline_e2e_sharded"] = mesh_row
+        # Back-compat key for dashboards; same number as warm_docs_per_sec.
         metrics["pipeline_e2e_docs_per_sec_sharded"] = round(
             n_small / e2e_s, 1
         )
-        print(f"public process_corpus (mesh): {n_small / e2e_s:,.0f} "
-              f"docs/s warm")
+        print(f"public process_corpus (mesh): {mesh_row}")
+        del c2, c3
 
     # ---- non-sharded residuals from the committed single-chip artifacts -----
     base_path = Path("docs/perf/signals_base.json")
