@@ -1,5 +1,14 @@
 # Developer entry points.
-.PHONY: test native bench profile schemas audit clean
+.PHONY: test native bench profile perf-artifacts schemas audit clean
+
+# Regenerate every committed docs/perf artifact from the scripts that own
+# them, ON THE CURRENT MACHINE (run on the real TPU for the numbers the
+# round docs cite).  Each script writes its own JSON under docs/perf/ —
+# a ROUNDn.md claim of "regenerated" must correspond to a git change of
+# the matching file from this target (VERDICT r4 #2: claims-vs-artifacts
+# drift happened twice; this makes regeneration one command).
+perf-artifacts:
+	python scripts/run_all_perf.py
 
 test:
 	python -m pytest tests -q

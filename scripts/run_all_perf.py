@@ -33,6 +33,14 @@ STAGES = [
     ("ivf_1m", 1800, [sys.executable, "scripts/profile_ivf_1m.py"]),
     ("scan_breakdown", 900, [sys.executable,
                              "scripts/profile_scan_breakdown.py"]),
+    ("ivf_recall_curve", 2400, [sys.executable,
+                                "scripts/profile_ivf_recall_curve.py"]),
+    ("serving", 900, [sys.executable, "scripts/profile_serving.py",
+                      "--output", "docs/perf/serving.json"]),
+    ("signals_sharded", 900, [sys.executable,
+                              "scripts/profile_signals_sharded.py"]),
+    ("tokenize_scaling", 600, [sys.executable,
+                               "scripts/profile_tokenize_scaling.py"]),
     ("bench", 1200, [sys.executable, "bench.py"]),
 ]
 
