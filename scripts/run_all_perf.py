@@ -33,7 +33,7 @@ STAGES = [
     ("ivf_1m", 1800, [sys.executable, "scripts/profile_ivf_1m.py"]),
     ("scan_breakdown", 900, [sys.executable,
                              "scripts/profile_scan_breakdown.py"]),
-    ("ivf_recall_curve", 2400, [sys.executable,
+    ("ivf_recall_curve", 3600, [sys.executable,
                                 "scripts/profile_ivf_recall_curve.py"]),
     ("serving", 900, [sys.executable, "scripts/profile_serving.py",
                       "--output", "docs/perf/serving.json"]),
