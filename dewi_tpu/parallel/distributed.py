@@ -75,7 +75,8 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
                                   int8_queries: bool = False,
                                   bf16_scores: bool = False,
                                   blockmax_select: bool = False,
-                                  fused_bmax: bool = False) -> Any:
+                                  fused_bmax: bool = False,
+                                  int4_packed: bool = False) -> Any:
     """Sharded two-stage int8 search: local int8 scan + f32 refine per shard,
     then the same all-gather/top-k merge as the exact path.  Stage-1 HBM
     traffic per device is the int8 shard — 4x less than f32.
@@ -89,7 +90,10 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
     hierarchical sub-block-max (ops/quantized.py); with ``fused_bmax`` the
     max-reduce fuses into the streaming kernel so the per-shard [Q, cap]
     scores matrix never touches HBM (callers gate on the Mosaic probe +
-    shard alignment, see ShardedQuantizedSearcher)."""
+    shard alignment, see ShardedQuantizedSearcher).  ``int4_packed`` reads
+    the shard as the nibble-packed int4 corpus (half the per-device
+    stage-1 HBM stream; quantized_search widens its selection margins
+    internally — see ops/quantized)."""
     from ..ops.quantized import quantized_search
 
     def local_search(emb_i8: jax.Array, scales: jax.Array,
@@ -107,6 +111,7 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
             pallas_block=pallas_block, interpret=interpret,
             int8_queries=int8_queries, bf16_scores=bf16_scores,
             blockmax_select=blockmax_select, fused_bmax=fused_bmax,
+            int4_packed=int4_packed,
         )
         gidx = idx + shard * shard_cap
         all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
@@ -136,15 +141,17 @@ class ShardedQuantizedSearcher:
     def __init__(self, store: Any, mesh: Mesh, k: int = 10,
                  refine_factor: int = 8,
                  use_pallas: bool = True, int8_queries: bool = False,
-                 bf16_scores: bool = False, blockmax_select: bool = True) -> None:
+                 bf16_scores: bool = False, blockmax_select: bool = True,
+                 int4_storage: bool = False) -> None:
         from ..ops.pallas_search import (
             BMAX_BLOCK,
             SCORES_BLOCK,
             bmax_kernel_supported,
             pallas_available,
+            s4_kernel_supported,
             s8_kernel_supported,
         )
-        from ..ops.quantized import quantize_rows
+        from ..ops.quantized import quantize_rows, quantize_rows_int4
 
         self.store = store
         self.mesh = mesh
@@ -159,11 +166,21 @@ class ShardedQuantizedSearcher:
         # QuantizedIndex.blockmax_select); the small-Q gate lives in
         # search_batch alongside the Pallas tile guard.
         self.blockmax_select = bool(blockmax_select)
+        # int4 nibble-packed shard storage (see QuantizedIndex.int4_storage):
+        # half the per-device stage-1 read; implies int8_queries and a
+        # 4x-wider refine margin (quantized_search doubles the blockmax
+        # margin internally for int4-valued corpora).
+        self.int4_storage = bool(int4_storage)
+        if self.int4_storage:
+            self.int8_queries = True
         store.sharding = data_sharding(mesh, rank=2)
         emb, _, _, _ = store.device_arrays()
         # Row-wise quantization preserves the data-axis sharding.
-        self._q_emb, self._scales = quantize_rows(emb)
-        m = max(32, k * refine_factor)
+        if self.int4_storage:
+            self._q_emb, self._scales = quantize_rows_int4(emb)
+        else:
+            self._q_emb, self._scales = quantize_rows(emb)
+        m = max(32, k * refine_factor * (4 if self.int4_storage else 1))
         # Per-shard Pallas stage-1 where it wins (see QuantizedIndex): the
         # local corpus block must be a SCORES_BLOCK multiple.  Query count is
         # gated per dispatch (see search_batch) — the [Q, SCORES_BLOCK] out
@@ -177,8 +194,10 @@ class ShardedQuantizedSearcher:
             and shard_cap % SCORES_BLOCK == 0
             and pallas_available()
             # The s8 composition additionally needs the Mosaic int8-dot
-            # legalization probe to pass (falls back to XLA s8 otherwise).
+            # legalization probe to pass (falls back to XLA s8 otherwise);
+            # int4 shards additionally need the s4 nibble-unpack kernels.
             and (not self.int8_queries or s8_kernel_supported())
+            and (not self.int4_storage or s4_kernel_supported(fused=False))
         )
         # Fused stage-1+blockmax kernel per shard: needs the blockmax tier,
         # Pallas capability, shard alignment to the kernel's lane-aligned
@@ -189,6 +208,7 @@ class ShardedQuantizedSearcher:
             and self._pallas_capable
             and shard_cap % BMAX_BLOCK == 0
             and bmax_kernel_supported(self.int8_queries)
+            and (not self.int4_storage or s4_kernel_supported(fused=True))
         )
         # Large batches (Q > 32): XLA stage-1 (the Pallas out tile would
         # overflow VMEM), but blockmax selection stays on — above
@@ -198,6 +218,7 @@ class ShardedQuantizedSearcher:
             mesh, k, m, normalize=store.normalize, pallas_stage1=False,
             int8_queries=self.int8_queries, bf16_scores=self.bf16_scores,
             blockmax_select=self.blockmax_select,
+            int4_packed=self.int4_storage,
         )
         self._fn_small = (
             make_sharded_quantized_search(
@@ -206,6 +227,7 @@ class ShardedQuantizedSearcher:
                 int8_queries=self.int8_queries, bf16_scores=self.bf16_scores,
                 blockmax_select=self.blockmax_select,
                 fused_bmax=self._fused_bmax,
+                int4_packed=self.int4_storage,
             )
             if (self._pallas_capable or self.blockmax_select)
             else self._fn_large

@@ -319,3 +319,39 @@ class TestInt4Index:
         pipe = DewiPipeline(config=cfg)
         idx = pipe._make_index(dim=16)
         assert idx._backend.int4_storage is True
+
+
+class TestInt4Sharded:
+    def test_sharded_int4_matches_sharded_exact(self):
+        # int4 shard storage on the 8-device CPU mesh: half the per-device
+        # stage-1 read; widened margins keep recall vs the sharded exact
+        # searcher.
+        from dewi_tpu.index.store import DocStore
+        from dewi_tpu.metrics import recall_matrix
+        from dewi_tpu.parallel import (
+            ShardedExactSearcher,
+            ShardedQuantizedSearcher,
+            make_mesh,
+        )
+
+        rng = np.random.default_rng(41)
+        n, d = 8 * 64, 32
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pay = np.abs(rng.normal(size=(n, 8))).astype(np.float32)
+        ids = [str(i) for i in range(n)]
+        mesh = make_mesh(n_data=8, n_model=1)
+
+        s1 = DocStore(dim=d)
+        s1.add_batch(ids, emb, pay)
+        exact = ShardedExactSearcher(s1, mesh, k=10)
+        s2 = DocStore(dim=d)
+        s2.add_batch(ids, emb, pay)
+        quant = ShardedQuantizedSearcher(s2, mesh, k=10, refine_factor=8,
+                                         int4_storage=True)
+        assert quant.int8_queries is True  # implied
+        assert quant._q_emb.shape[-1] == d // 2  # packed shards
+
+        q = rng.normal(size=(6, d)).astype(np.float32)
+        _, ei = exact.search_batch(q, eta=0.25, entropy_pref=0.1)
+        _, qi = quant.search_batch(q, eta=0.25, entropy_pref=0.1)
+        assert recall_matrix(np.asarray(qi), np.asarray(ei)) >= 0.99
