@@ -191,6 +191,42 @@ def main() -> int:
 
             chained("bmax_s8", bmax_s8, emb_i8, mult, add,
                     read_bytes=corpus_bytes)
+
+        # int4 rows (round 5): the nibble-packed corpus is HALF the bytes;
+        # effective_gbps is computed on the PACKED read so the roofline
+        # comparison is apples-to-apples with the s8 rows' stream.
+        from dewi_tpu.ops.pallas_search import (
+            pallas_bmax_s4,
+            pallas_scores_matrix_s4,
+            s4_kernel_supported,
+        )
+        from dewi_tpu.ops.quantized import quantize_rows_int4
+
+        if s4_kernel_supported(fused=False):
+            emb_i4, _scales4 = quantize_rows_int4(emb)
+            jax.block_until_ready(emb_i4)
+
+            def scores_pl_s4(carry, e4, mu, ad):
+                q, acc = carry
+                qi, qs = quantize_rows(q)
+                adj = pallas_scores_matrix_s4(e4, mu, ad, qi, qs,
+                                              block=SCORES_BLOCK)
+                s = jnp.max(adj)
+                return q + 1e-12 * s, acc + s
+
+            chained("scores_pallas_s4", scores_pl_s4, emb_i4, mult, add,
+                    read_bytes=corpus_bytes // 2)
+
+            if n % BMAX_BLOCK == 0 and s4_kernel_supported(fused=True):
+                def bmax_s4(carry, e4, mu, ad):
+                    q, acc = carry
+                    qi, qs = quantize_rows(q)
+                    bm = pallas_bmax_s4(e4, mu, ad, qi, qs)
+                    s = jnp.max(bm)
+                    return q + 1e-12 * s, acc + s
+
+                chained("bmax_s4", bmax_s4, emb_i4, mult, add,
+                        read_bytes=corpus_bytes // 2)
     else:
         print("pallas unavailable on this backend; skipping kernel rows",
               flush=True)
