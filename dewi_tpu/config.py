@@ -153,9 +153,13 @@ class IndexConfig:
     probe_impl: str = "auto"      # IVF probe layout: auto | scan | gather
     # IVF doc-side boundary spill: this fraction of docs (smallest top-2
     # centroid margin) is ALSO written to its runner-up bucket, recovering
-    # the boundary-query recall the probe set misses (measured curve:
-    # docs/perf/ivf_recall_curve.json); duplicates dedup at top-k.
-    spill_frac: float = 0.0
+    # boundary-query recall the probe set misses; duplicates dedup at
+    # top-k.  0.5 is measured Pareto-dominant at 1M x 256 (boundary
+    # 0.9811 @ nprobe=32/1.29 ms vs no-spill 0.9721 @ nprobe=64/1.20 ms —
+    # docs/perf/ivf_recall_curve.json); even so the adversarial boundary
+    # family never reaches the 0.99 bar at any measured dial — for such
+    # workloads use the quantized/int4 tier (docs/DESIGN.md round 5).
+    spill_frac: float = 0.5
 
 
 @dataclass
