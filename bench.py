@@ -665,6 +665,15 @@ def main() -> None:
             q4_emb, q4_scales = quantize_rows_int4(embp)
             jax.block_until_ready(q4_emb)
             m4 = min(max(K * 32, 32), N_DOCS)  # 4x the int8 tier's margin
+            # Small-Q stream block: 2x BMAX_BLOCK halves grid steps
+            # (measured 0.2549 vs 0.2673 ms at 1M) — same choice
+            # QuantizedIndex._fused_bmax_block makes at Q<=8.
+            blk4 = (
+                2 * _BMB
+                if cap4 % (2 * _BMB) == 0
+                and s4_kernel_supported(fused=True, block=2 * _BMB)
+                else 0
+            )
 
             @jax.jit
             def chained_int4(qe, qs, emb_a, sqn_a, pay_a, n_a, q0):
@@ -675,6 +684,7 @@ def main() -> None:
                         k=K, m=m4, normalize=True, pallas_stage1=True,
                         int8_queries=True, blockmax_select=True,
                         fused_bmax=True, int4_packed=True,
+                        pallas_block=blk4,
                     )
                     q = q + 1e-12 * scores[0, 0]
                     return q, acc + scores[0, 0]

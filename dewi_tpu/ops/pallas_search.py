@@ -888,18 +888,22 @@ def bmax_kernel_supported(int8_queries: bool,
     return _BMAX_SUPPORTED[key]
 
 
-_S4_SUPPORTED: dict[bool, bool] = {}
+_S4_SUPPORTED: dict[tuple[bool, int], bool] = {}
 
 
-def s4_kernel_supported(fused: bool = True) -> bool:
+def s4_kernel_supported(fused: bool = True, block: int = 0) -> bool:
     """True when Mosaic compiles the int4 nibble-unpack kernels here.
 
     The legalization risks on top of the s8 dot: i8->i32 widen, vector
-    shift/mask, lane-axis concatenate, i32->i8 narrow — all inside a
-    streamed kernel.  Probed once per (fused) variant; cheap across
-    processes via the persistent XLA compile cache.
+    shift/mask, i32->i8 narrow — all inside a streamed kernel.  Probed
+    once per (fused, block) variant; cheap across processes via the
+    persistent XLA compile cache.  ``block`` probes a specific stream
+    block (0 = the default BMAX_BLOCK): the 2x block halves grid steps
+    and measured 0.2549 vs 0.2673 ms on the 1M Q=1 chained search, but
+    its VMEM footprint only closes at small Q — callers gate on both
+    the probe and their query count.
     """
-    key = bool(fused)
+    key = (bool(fused), int(block))
     if key in _S4_SUPPORTED:
         return _S4_SUPPORTED[key]
     if not pallas_available():
@@ -909,9 +913,10 @@ def s4_kernel_supported(fused: bool = True) -> bool:
         q8 = jnp.zeros((1, 128), jnp.int8)
         qs = jnp.ones((1,), jnp.float32)
         if fused:
-            e4 = jnp.zeros((BMAX_BLOCK, 64), jnp.int8)
-            z = jnp.zeros((BMAX_BLOCK,), jnp.float32)
-            pallas_bmax_s4.lower(e4, z, z, q8, qs).compile()
+            blk = int(block) or BMAX_BLOCK
+            e4 = jnp.zeros((blk, 64), jnp.int8)
+            z = jnp.zeros((blk,), jnp.float32)
+            pallas_bmax_s4.lower(e4, z, z, q8, qs, block=blk).compile()
         else:
             e4 = jnp.zeros((256, 64), jnp.int8)
             z = jnp.zeros((256,), jnp.float32)
