@@ -9,7 +9,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def test_bench_emits_one_json_line():
+def test_bench_emits_incremental_json_lines():
     env = dict(os.environ)
     env.update(
         DEWI_BENCH_N_DOCS="3000",
@@ -24,8 +24,18 @@ def test_bench_emits_one_json_line():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    assert len(lines) == 1
-    record = json.loads(lines[0])
+    # Emission protocol (VERDICT r4 #1): the line is REPRINTED after every
+    # completed section so a timeout can never erase the run; every line
+    # must parse and the LAST is authoritative.
+    assert len(lines) >= 1
+    for line in lines:
+        json.loads(line)
+    record = json.loads(lines[-1])
+    # Each successive emission only accumulates sections.
+    if len(lines) > 1:
+        prev = json.loads(lines[0])["extras"]["section_seconds"]
+        last = record["extras"]["section_seconds"]
+        assert set(prev) <= set(last)
     assert record["metric"] == "p50_query_latency_1M_docs_k10"
     assert record["value"] > 0
     assert "vs_baseline" in record and "unit" in record
