@@ -44,3 +44,9 @@ def test_multichip_search_example():
     assert out.returncode == 0, out.stderr[-2000:]
     assert "exact tier: sharded top-10 == single-device top-10" in out.stdout
     assert "quantized tier" in out.stdout
+
+
+def test_index_tiers_example():
+    out = _run("index_tiers.py", {"DEWI_EXAMPLE_DOCS": "1024"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "all tiers hold the >=0.99 recall gate" in out.stdout
