@@ -652,6 +652,17 @@ def main() -> None:
     if "int4" in SECTIONS and over_budget(margin=60.0):
         skipped.append("int4")
         SECTIONS.discard("int4")
+    if "int4" in SECTIONS and embp is None:
+        # The int4 tier reuses the int8 section's capacity-padded arrays;
+        # without them (int8 skipped/budget-cut, or Pallas unavailable)
+        # the section cannot run — record WHY so the artifact never shows
+        # a silent hole (emission-protocol contract).
+        skipped.append("int4")
+        extras["int4_skipped_reason"] = (
+            "int8 section did not build padded arrays "
+            "(pallas unavailable, or int8 skipped/cut)"
+        )
+        SECTIONS.discard("int4")
     if "int4" in SECTIONS and embp is not None:
         from dewi_tpu.ops.pallas_search import (
             BMAX_BLOCK as _BMB,

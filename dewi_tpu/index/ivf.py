@@ -157,11 +157,27 @@ def _ivf_search_kernel(
     kk = min(2 * k, all_scores.shape[1])
     vals, pos = jax.lax.top_k(all_scores, kk)
     ids = jnp.take_along_axis(all_idx, pos, axis=1)          # [Q, kk]
+    vals_k, ids_k = _dedup_topk(vals, ids, k)
+    return vals_k, ids_k
+
+
+def _dedup_topk(vals: jax.Array, ids: jax.Array,
+                k: int) -> tuple[jax.Array, jax.Array]:
+    """Kill every later occurrence of a repeated id, re-select top-k.
+
+    ``vals``/``ids`` are score-descending candidate rows (e.g. a top-2k).
+    Duplicate slots get score -inf AND id -1 — the -1 matches the
+    exhausted-pool sentinel the non-dedup paths produce, so downstream
+    consumers (IVFIndex.search's ``i < 0`` skip, the sharded merge) treat
+    a deduped slot exactly like an empty one instead of returning the
+    same document twice."""
+    kk = ids.shape[1]
     eq = ids[:, :, None] == ids[:, None, :]                  # [Q, j, l]
     earlier = jnp.tril(jnp.ones((kk, kk), bool), -1)         # l < j
-    is_dup = jnp.any(eq & earlier[None], axis=2)             # [Q, kk]
+    is_dup = jnp.any(eq & earlier[None], axis=2) & (ids >= 0)
     vals = jnp.where(is_dup, NEG_INF, vals)
-    vals_k, pos_k = jax.lax.top_k(vals, k)
+    ids = jnp.where(is_dup, -1, ids)
+    vals_k, pos_k = jax.lax.top_k(vals, min(k, kk))
     return vals_k, jnp.take_along_axis(ids, pos_k, axis=1)
 
 

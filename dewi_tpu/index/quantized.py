@@ -84,6 +84,9 @@ class QuantizedIndex(BaseIndex):
             self.int8_queries = True
         self._q_emb: Optional[jax.Array] = None
         self._q_scales: Optional[jax.Array] = None
+        # Whether the built int4 corpus is stored packed (s4 kernels
+        # available) or pre-unpacked at build time (XLA fallback backends).
+        self._int4_packed_runtime = False
 
     def _hyperparams(self) -> dict:
         return {
@@ -176,7 +179,20 @@ class QuantizedIndex(BaseIndex):
             raise ValueError("No embeddings to build index from")
         emb, _, _, _ = self.store.device_arrays()
         if self.int4_storage:
-            self._q_emb, self._q_scales = quantize_rows_int4(emb)
+            packed, self._q_scales = quantize_rows_int4(emb)
+            # Backends without the s4 kernels read the corpus through the
+            # XLA int8 paths — cache the unpack ONCE here instead of
+            # re-unpacking [cap, D/2] -> [cap, D] inside every dispatch
+            # (round-5 review finding).  The int4-grid selection margins
+            # are preserved via int4_values (the rounding is in the
+            # values, not the layout).
+            from ..ops.pallas_search import s4_kernel_supported
+            from ..ops.quantized import unpack_int4
+
+            self._int4_packed_runtime = s4_kernel_supported(fused=False)
+            self._q_emb = (
+                packed if self._int4_packed_runtime else unpack_int4(packed)
+            )
         else:
             self._q_emb, self._q_scales = quantize_rows(emb)
         self._built_len = len(self.store)
@@ -237,7 +253,10 @@ class QuantizedIndex(BaseIndex):
             # refine traffic, selection still exact w.r.t. stage-1).
             blockmax_select=self.blockmax_select,
             fused_bmax=bool(fused_block),
-            int4_packed=self.int4_storage,
+            int4_packed=(self.int4_storage
+                         and self._int4_packed_runtime),
+            int4_values=(self.int4_storage
+                         and not self._int4_packed_runtime),
         )
 
     def search(

@@ -113,7 +113,7 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
     static_argnames=(
         "k", "m", "normalize", "approx_select", "pallas_stage1",
         "pallas_block", "interpret", "int8_queries", "bf16_scores",
-        "blockmax_select", "fused_bmax", "int4_packed",
+        "blockmax_select", "fused_bmax", "int4_packed", "int4_values",
     ),
 )
 def quantized_search(
@@ -138,6 +138,7 @@ def quantized_search(
     blockmax_select: bool = False,
     fused_bmax: bool = False,
     int4_packed: bool = False,
+    int4_values: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Two-stage int8 -> f32 exact search; returns ([Q, k] scores, [Q, k] idx).
 
@@ -193,11 +194,18 @@ def quantized_search(
     doubles automatically (measured on TPU at 131k x 256, k=10: 12 blocks
     -> recall 0.944, 24 blocks -> 0.997, plateau thereafter — the
     15-level grid displaces true top-k docs past int8's k+2-block
-    margin); recall-gate as usual."""
+    margin); recall-gate as usual.
+
+    ``int4_values=True`` declares that ``emb_i8`` holds int4-GRID values
+    in the plain unpacked ``[cap, D]`` int8 layout (the index layer
+    caches the unpack at BUILD time on backends without the s4 kernels,
+    instead of re-unpacking the whole corpus inside every dispatch): no
+    packed handling, but the int4 selection margins still apply — the
+    rounding lives in the VALUES, not the layout."""
     # The 15-level grid's wider selection margin applies whether stage 1
-    # reads packed nibbles or the XLA-unpacked values (the rounding is in
-    # the VALUES); snapshot before the layout normalization below.
-    int4_grid = int4_packed
+    # reads packed nibbles or unpacked int4-grid values (the rounding is
+    # in the VALUES); snapshot before the layout normalization below.
+    int4_grid = int4_packed or int4_values
     q = queries.astype(jnp.float32)
     if normalize:
         q = l2_normalize(q)
@@ -290,7 +298,7 @@ def quantized_search(
                 pallas_block=pallas_block, interpret=interpret,
                 int8_queries=int8_queries, bf16_scores=bf16_scores,
                 blockmax_select=True, fused_bmax=True,
-                int4_packed=int4_packed,
+                int4_packed=int4_packed, int4_values=int4_values,
             )
 
         s_g, i_g = jax.lax.map(one, qpad.reshape(n_groups, g, q.shape[1]))

@@ -76,7 +76,8 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
                                   bf16_scores: bool = False,
                                   blockmax_select: bool = False,
                                   fused_bmax: bool = False,
-                                  int4_packed: bool = False) -> Any:
+                                  int4_packed: bool = False,
+                                  int4_values: bool = False) -> Any:
     """Sharded two-stage int8 search: local int8 scan + f32 refine per shard,
     then the same all-gather/top-k merge as the exact path.  Stage-1 HBM
     traffic per device is the int8 shard — 4x less than f32.
@@ -111,7 +112,7 @@ def make_sharded_quantized_search(mesh: Mesh, k: int, m: int,
             pallas_block=pallas_block, interpret=interpret,
             int8_queries=int8_queries, bf16_scores=bf16_scores,
             blockmax_select=blockmax_select, fused_bmax=fused_bmax,
-            int4_packed=int4_packed,
+            int4_packed=int4_packed, int4_values=int4_values,
         )
         gidx = idx + shard * shard_cap
         all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
@@ -177,9 +178,20 @@ class ShardedQuantizedSearcher:
         emb, _, _, _ = store.device_arrays()
         # Row-wise quantization preserves the data-axis sharding.
         if self.int4_storage:
-            self._q_emb, self._scales = quantize_rows_int4(emb)
+            packed, self._scales = quantize_rows_int4(emb)
+            # No s4 kernels on this backend: cache the unpack ONCE (it
+            # preserves the sharding) instead of per dispatch; int4-grid
+            # margins ride int4_values.
+            self._int4_packed_runtime = s4_kernel_supported(fused=False)
+            if self._int4_packed_runtime:
+                self._q_emb = packed
+            else:
+                from ..ops.quantized import unpack_int4
+
+                self._q_emb = unpack_int4(packed)
         else:
             self._q_emb, self._scales = quantize_rows(emb)
+            self._int4_packed_runtime = False
         m = max(32, k * refine_factor * (4 if self.int4_storage else 1))
         # Per-shard Pallas stage-1 where it wins (see QuantizedIndex): the
         # local corpus block must be a SCORES_BLOCK multiple.  Query count is
@@ -218,7 +230,9 @@ class ShardedQuantizedSearcher:
             mesh, k, m, normalize=store.normalize, pallas_stage1=False,
             int8_queries=self.int8_queries, bf16_scores=self.bf16_scores,
             blockmax_select=self.blockmax_select,
-            int4_packed=self.int4_storage,
+            int4_packed=self.int4_storage and self._int4_packed_runtime,
+            int4_values=(self.int4_storage
+                         and not self._int4_packed_runtime),
         )
         self._fn_small = (
             make_sharded_quantized_search(
@@ -227,7 +241,10 @@ class ShardedQuantizedSearcher:
                 int8_queries=self.int8_queries, bf16_scores=self.bf16_scores,
                 blockmax_select=self.blockmax_select,
                 fused_bmax=self._fused_bmax,
-                int4_packed=self.int4_storage,
+                int4_packed=(self.int4_storage
+                             and self._int4_packed_runtime),
+                int4_values=(self.int4_storage
+                             and not self._int4_packed_runtime),
             )
             if (self._pallas_capable or self.blockmax_select)
             else self._fn_large
@@ -260,7 +277,8 @@ class ShardedQuantizedSearcher:
 
 
 def make_sharded_ivf_search(mesh: Mesh, k: int, nprobe_per_shard: int,
-                            normalize: bool = True) -> Any:
+                            normalize: bool = True,
+                            dedup: bool = False) -> Any:
     """Sharded IVF search: buckets (and their centroids) are sharded over the
     data axis; each device scores its local centroid shard, probes its local
     top-``nprobe_per_shard`` buckets, scans its overflow slice exactly, and
@@ -270,8 +288,14 @@ def make_sharded_ivf_search(mesh: Mesh, k: int, nprobe_per_shard: int,
     nprobe_per_shard, spread by where the clusters live) — the natural
     distributed variant of nprobe; with ``nprobe_per_shard = local nlist``
     it degenerates to exact search.
+
+    ``dedup=True`` is REQUIRED for spill-built indexes (spill_frac > 0):
+    a doc's primary and spill copies can land on different shards, so the
+    per-shard kernel dedup alone cannot prevent the same id appearing
+    twice in the merged top-k — the merge re-runs the id-dedup over the
+    gathered candidates.
     """
-    from ..index.ivf import _ivf_search_kernel
+    from ..index.ivf import _dedup_topk, _ivf_search_kernel
 
     def local_search(centroids: jax.Array, b_emb: jax.Array,
                      b_pay: jax.Array, b_valid: jax.Array,
@@ -292,11 +316,17 @@ def make_sharded_ivf_search(mesh: Mesh, k: int, nprobe_per_shard: int,
             jnp.int32(o_emb.shape[0]),  # padded slots carry docidx == -1
             queries, eta, entropy_pref,
             k=k_local, nprobe=nprobe, normalize=normalize,
+            dedup=dedup,
         )
         # b_docidx/o_docidx hold GLOBAL store row ids — no shard offset.
         all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
         all_idx = jax.lax.all_gather(idx, DATA_AXIS, axis=1, tiled=True)
-        return topk_merge(all_vals, all_idx, min(k, all_vals.shape[1]))
+        k_out = min(k, all_vals.shape[1])
+        if dedup:
+            # Cross-shard copies carry bit-equal scores, so positional
+            # first-keep over the (unsorted) gathered rows is exact.
+            return _dedup_topk(all_vals, all_idx, k_out)
+        return topk_merge(all_vals, all_idx, k_out)
 
     sharded = jax.shard_map(
         local_search,
@@ -387,6 +417,9 @@ class ShardedIVFSearcher:
         self._fn = make_sharded_ivf_search(
             mesh, k, min(nprobe_per_shard, local_nlist),
             normalize=ivf_index.store.normalize,
+            # Spill-built buckets can hold a doc twice, possibly on
+            # different shards — dedup locally AND at the merge.
+            dedup=getattr(ivf_index, "spill_frac", 0.0) > 0.0,
         )
 
     def search_batch(self, queries: np.ndarray, eta: float = 0.5,

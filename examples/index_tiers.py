@@ -40,11 +40,15 @@ def main() -> None:
         idx = DewiIndex(dim=D, backend=backend)
         idx.add_batch(ids, emb, pay)
         idx.build()
-        idx.search_batch(queries, k=K, eta=0.25, entropy_pref=0.1)  # warm
+        # np.asarray inside the timed region forces the async dispatch to
+        # complete — without it the timer measures dispatch, not search.
+        np.asarray(idx.search_batch(queries, k=K, eta=0.25,
+                                    entropy_pref=0.1)[1])  # warm + sync
         t0 = time.perf_counter()
         _, got = idx.search_batch(queries, k=K, eta=0.25, entropy_pref=0.1)
+        got = np.asarray(got)
         dt = (time.perf_counter() - t0) / NQ * 1e3
-        results[backend] = (dt, np.asarray(got))
+        results[backend] = (dt, got)
 
     exact_idx = results["exact"][1]
     print(f"{'backend':8s} {'ms/query':>9s} {'recall@10 vs exact':>19s}")

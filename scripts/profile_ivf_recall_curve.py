@@ -245,13 +245,23 @@ def main() -> int:
             res["recall_curves"])
 
     # Gate the SHIPPED configuration (IndexConfig nprobe + spill_frac)
-    # against whichever measured curve matches it.
-    ship_curves = curves
-    for sf in spills[1:]:
+    # against the measured curve that matches it.  If the shipped spill
+    # fraction was NOT among the swept values, emitting a verdict would
+    # silently gate against the wrong curve (claims-vs-artifacts drift) —
+    # record the mismatch instead.
+    ship_curves = None
+    for sf in spills:
         if abs(sf - shipped.spill_frac) < 1e-9:
-            ship_curves = spill_results[f"spill{sf}"]["recall_curves"]
+            ship_curves = (curves if sf == 0.0 else
+                           spill_results[f"spill{sf}"]["recall_curves"])
+            metrics["shipped_gate_curve"] = f"spill{sf}"
     ship_key = f"nprobe{shipped.nprobe}"
-    if ship_key in next(iter(ship_curves.values())):
+    if ship_curves is None:
+        metrics["shipped_default_ok_note"] = (
+            f"shipped spill_frac={shipped.spill_frac} not among swept "
+            f"values {spills}; no verdict emitted"
+        )
+    elif ship_key in next(iter(ship_curves.values())):
         metrics["shipped_default_ok"] = bool(
             all(ship_curves[f][ship_key] >= 0.99 for f in ship_curves)
         )

@@ -270,7 +270,13 @@ class TestInt4Index:
         assert q4.int8_queries is True  # implied by int4 storage
         q4.add_batch(ids, emb, pay)
         q4.build()
-        assert q4._q_emb.shape == (q4.store.capacity, 32)  # packed D/2
+        # On backends with the s4 kernels the corpus stays nibble-packed
+        # ([cap, D/2]); elsewhere build caches the unpack ONCE ([cap, D])
+        # so searches never re-unpack per dispatch (round-5 review).
+        from dewi_tpu.ops.pallas_search import s4_kernel_supported
+
+        want = 32 if s4_kernel_supported(fused=False) else 64
+        assert q4._q_emb.shape == (q4.store.capacity, want)
         q = np.random.default_rng(7).normal(size=(32, 64)).astype(np.float32)
         _, ei = exact.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
         _, qi = q4.search_batch(q, k=10, eta=0.25, entropy_pref=0.1)
@@ -349,7 +355,10 @@ class TestInt4Sharded:
         quant = ShardedQuantizedSearcher(s2, mesh, k=10, refine_factor=8,
                                          int4_storage=True)
         assert quant.int8_queries is True  # implied
-        assert quant._q_emb.shape[-1] == d // 2  # packed shards
+        from dewi_tpu.ops.pallas_search import s4_kernel_supported
+
+        want = d // 2 if s4_kernel_supported(fused=False) else d
+        assert quant._q_emb.shape[-1] == want  # packed or build-unpacked
 
         q = rng.normal(size=(6, d)).astype(np.float32)
         _, ei = exact.search_batch(q, eta=0.25, entropy_pref=0.1)

@@ -263,3 +263,49 @@ class TestSpillTier:
         # every top-dewi doc is overflow-scanned and never bucket-resident
         assert top_dewi <= in_overflow
         assert not (top_dewi & bucket_ids)
+
+    def test_dedup_pads_with_minus1_when_pool_exhausted(self):
+        # When the probed pool holds fewer than k DISTINCT docs, deduped
+        # slots must surface as -1/-inf padding (the exhausted-pool
+        # sentinel), never as a repeated id with a -inf score.
+        rng = np.random.default_rng(17)
+        emb = rng.normal(size=(24, 16)).astype(np.float32)
+        pay = np.abs(rng.normal(size=(24, 8))).astype(np.float32)
+        ix = IVFIndex(dim=16, nlist=8, nprobe=2, kmeans_iters=4,
+                      dewi_tier=0, spill_frac=1.0)
+        ix.add_batch([f"d{i}" for i in range(24)], emb, pay)
+        ix.build()
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        _, idx = ix.search_batch(q, k=12, eta=0.2, entropy_pref=0.0)
+        idx = np.asarray(idx)
+        for row in idx:
+            live = row[row >= 0]
+            assert len(set(live.tolist())) == len(live), row
+
+    def test_sharded_searcher_dedups_spill_copies(self):
+        # A spill-built index served through ShardedIVFSearcher: a doc's
+        # primary and spill buckets can land on DIFFERENT shards, so the
+        # merge must dedup too (found by round-5 code review — the
+        # per-shard kernel dedup alone returned rows like
+        # [164,164,81,81,...] with bit-equal duplicate scores).
+        from dewi_tpu.parallel import ShardedIVFSearcher, make_mesh
+
+        rng = np.random.default_rng(19)
+        n, d, k = 600, 32, 10
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        pay = np.abs(rng.normal(size=(n, 8))).astype(np.float32)
+        ix = IVFIndex(dim=d, nlist=16, nprobe=16, kmeans_iters=4,
+                      dewi_tier=0, spill_frac=1.0)
+        ix.add_batch([f"d{i}" for i in range(n)], emb, pay)
+        ix.build()
+        mesh = make_mesh(n_data=4, n_model=2)
+        searcher = ShardedIVFSearcher(ix, mesh, k=k, nprobe_per_shard=4)
+        q = rng.normal(size=(8, d)).astype(np.float32)
+        vals, idx = searcher.search_batch(q, eta=0.25, entropy_pref=0.1)
+        idx = np.asarray(idx)
+        for row in idx:
+            live = row[row >= 0]
+            assert len(set(live.tolist())) == len(live), row
+        # Full-probe spill index still matches the local index's ranking.
+        _, li = ix.search_batch(q, k=k, eta=0.25, entropy_pref=0.1)
+        np.testing.assert_array_equal(idx, np.asarray(li))
